@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data-pipeline text operators over the `documents` table.
+  *
+  * All shapes are 100 TB-safe: per-row expression work (whole-stage codegen)
+  * plus hash-grouped shuffles; near-dup joins are blocked/banded, never
+  * all-pairs. The all-pairs forms only appear in DuckDB oracle SQL (small SF)
+  * as ground truth for the banded Spark implementations.
+  */
+object LlmText {
+
+  private val StopWords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+  private def stopList = StopWords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- exact dedup: hash-groupBy on content digest ----
+    "dedup_exact" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("text_md5"))
+        .agg(count(lit(1)).as("dup_count"), min(col("doc_id")).as("keep_id"))
+        .orderBy("text_md5")),
+
+    // ---- token-set fingerprint dedup: catches word-reordered copies ----
+    "dedup_tokenset" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(concat_ws(" ",
+          array_sort(array_distinct(split(col("text"), " "))))).as("fp"))
+        .agg(count(lit(1)).as("dup_count"), min(col("doc_id")).as("keep_id"))
+        .orderBy("fp")),
+
+    // ---- blocked n-gram jaccard similarity join (same length-bucket only) ----
+    "dedup_blocked_jaccard" -> ((s, d) => {
+      val t = Tables.documents(s, d).select(
+        col("doc_id"), (col("n_chars") / 100).cast("long").as("bkt"),
+        array_distinct(split(col("text"), " ")).as("w"))
+      val a = t.select(col("doc_id").as("id_a"), col("bkt"), col("w").as("wa"))
+      val b = t.select(col("doc_id").as("id_b"), col("bkt"), col("w").as("wb"))
+      a.join(b, Seq("bkt")).filter(col("id_a") < col("id_b"))
+        .withColumn("jac",
+          size(array_intersect(col("wa"), col("wb"))).cast("double") /
+            size(array_union(col("wa"), col("wb"))))
+        .filter(col("jac") >= 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- quality scoring: length / stopword / alpha ratios ----
+    "text_quality" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"),
+          size(col("w")).as("n_tokens"),
+          size(array_distinct(col("w"))).as("n_types"),
+          (aggregate(transform(col("w"), t => length(t)), lit(0), (acc, x) => acc + x)
+            .cast("double") / size(col("w"))).as("avg_token_len"),
+          (size(expr(s"filter(w, x -> x IN $stopList)")).cast("double") /
+            size(col("w"))).as("stop_ratio"),
+          (length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
+            length(col("text"))).as("alpha_ratio"))
+        .orderBy("doc_id")),
+
+    // ---- token counting: whitespace + BPE-ish regex segmentation ----
+    "text_token_count" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("ws_tokens"),
+          expr("regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')").as("re_tokens"))
+        .orderBy("doc_id")),
+
+    // ---- document fingerprinting: content digest + min rolling 8-gram digest ----
+    "text_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(col("text")).as("content_md5"),
+          when(length(col("text")) >= 8,
+            array_min(expr(
+              "transform(sequence(1, length(text) - 7), i -> md5(substring(text, i, 8)))")))
+            .otherwise(md5(col("text"))).as("min_shingle_md5"))
+        .orderBy("doc_id")),
+
+    // ---- sessionization: 30-min-gap sessions per user (events table) ----
+    "events_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapUs = lit(30L * 60 * 1000000)
+      Tables.events(s, d)
+        .withColumn("prev_us", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+            col("ts") - col("prev_us") > gapUs, 1L).otherwise(0L))
+        .select(col("event_id"), col("user_id"),
+          sum(col("new_session")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("session_id"))
+        .orderBy("event_id")
+    }),
+
+    // ---- multimodal plumbing: opaque binary column + typed metadata ----
+    // Decode itself is stubbed (no codec libs in env); the Spark-side schema,
+    // binary handling, and deterministic metadata extraction are real.
+    "mm_binary_meta" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .select(col("doc_id"),
+          length(col("payload")).as("n_bytes"),
+          (col("n_chars") % 640).as("fake_width"),
+          ((col("n_chars") * 7) % 480).as("fake_height"),
+          ascii(substring(col("text"), 1, 1)).as("first_byte"))
+        .orderBy("doc_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_md5, count(*) AS dup_count, min(doc_id) AS keep_id
+        |FROM documents GROUP BY md5(text) ORDER BY text_md5""".stripMargin,
+    "dedup_tokenset" ->
+      """SELECT md5(list_aggregate(list_sort(list_distinct(string_split(text, ' '))),
+        |                          'string_agg', ' ')) AS fp,
+        |       count(*) AS dup_count, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "dedup_blocked_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(n_chars // 100 AS BIGINT) AS bkt,
+        |         list_distinct(string_split(text, ' ')) AS w
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.w, b.w))::DOUBLE / len(list_distinct(a.w || b.w)), 6) AS jac
+        |FROM t a JOIN t b ON a.bkt = b.bkt AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.w, b.w))::DOUBLE / len(list_distinct(a.w || b.w)) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+         |SELECT doc_id,
+         |  len(w) AS n_tokens,
+         |  len(list_distinct(w)) AS n_types,
+         |  list_sum(list_transform(w, x -> len(x)))::DOUBLE / len(w) AS avg_token_len,
+         |  len(list_filter(w, x -> x IN $stopList))::DOUBLE / len(w) AS stop_ratio,
+         |  len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / len(text) AS alpha_ratio
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(text) AS content_md5,
+        |  CASE WHEN len(text) >= 8
+        |    THEN list_aggregate(list_transform(range(1, len(text) - 7 + 1),
+        |                                       i -> md5(substring(text, i, 8))), 'min')
+        |    ELSE md5(text) END AS min_shingle_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "events_sessionize" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, ts,
+        |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |f AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM w)
+        |SELECT event_id, user_id,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |FROM f ORDER BY event_id""".stripMargin,
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  n_chars % 640 AS fake_width,
+        |  (n_chars * 7) % 480 AS fake_height,
+        |  ascii(substring(text, 1, 1)) AS first_byte
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

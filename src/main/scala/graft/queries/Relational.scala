@@ -1,0 +1,468 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ts.{GroupKernels, Kernels}
+
+/** The relational operator surface of SURVEY.md §2, one driver-checkable
+  * query per operator, each paired with an equivalent DuckDB oracle SQL.
+  *
+  * Conventions for oracle hash-parity:
+  *  - every aggregate/computed column is aliased identically on both sides;
+  *  - every query ends in ORDER BY a unique key on both sides;
+  *  - double sums go through DECIMAL(18,2) (exact, order-independent) and
+  *    back to double, so Spark's partial aggregation order can't flip a bit;
+  *  - genuinely float-path results (stddev/corr/log/OLS residuals) are
+  *    rounded on both sides, coarse enough to absorb ulp-level divergence.
+  */
+object Relational {
+
+  /** Exact, summation-order-independent sum of a 2-decimal double column. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  private val wUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- S1: CSV scan with explicit schema, RFC-4180 quoting, ""->null ----
+    // (reference: detrendandstat_quad.R:4-6)
+    "s1_csv_scan" -> ((s, _) => {
+      s.read.option("header", true).schema(graft.wdi.WdiSchemas.wideSchema)
+        .csv("/root/reference/GDP_SSA_WDI.csv")
+        .select(
+          col("Country Code").as("country_code"),
+          col("Series Code").as("series_code"),
+          col("1960").as("y1960"),
+          col("2019").as("y2019"))
+        .orderBy("country_code", "series_code")
+    }),
+
+    // ---- S2: CSV sink round-trip (reference: detrendandstat_quad.R:214) ----
+    "s2_csv_sink" -> ((s, d) => {
+      val agg = Tables.lineitem(s, d).groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s2").toString
+      agg.coalesce(1).write.mode("overwrite").option("header", true).csv(tmp)
+      s.read.option("header", true)
+        .schema("l_returnflag STRING, l_linestatus STRING, n BIGINT, sum_price DOUBLE")
+        .csv(tmp)
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---- P1: projection ----
+    "p1_project" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- P2: IN-list filter (reference: detrendandstat_quad.R:68) ----
+    "p2_filter_in" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag").isin("A", "R"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- P3: compound predicate (reference: detrendandstat_quad.R:97) ----
+    "p3_filter_compound" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 25 && col("l_discount") > 0.02 &&
+          col("l_returnflag").isNotNull)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- P4: CASE WHEN recode chain (reference: detrendandstat_quad.R:8-16) ----
+    "p4_recode_case" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          when(col("event_type") === "click", "C")
+            .when(col("event_type") === "purchase", "P")
+            .when(col("event_type") === "signup", "S")
+            .otherwise(lit(null).cast("string")).as("code"))
+        .orderBy("event_id")),
+
+    // ---- P5: guarded scalar when/otherwise (reference: quad.R:154) ----
+    "p5_when_otherwise" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          round(when(col("value") > 0, log(col("value")))
+            .otherwise(lit(null).cast("double")), 6).as("log_value"))
+        .orderBy("event_id")),
+
+    // ---- P6: derived-column block (reference: quad.R:118-125) ----
+    "p6_derived_cols" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("revenue", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .withColumn("charge", col("revenue") * (lit(1.0) + col("l_tax")))
+        .select("l_orderkey", "l_linenumber", "revenue", "charge")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- R1: unpivot (reference: detrendandstat_quad.R:36-56) ----
+    "r1_unpivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "metric", "val")
+        .orderBy("l_orderkey", "l_linenumber", "metric")),
+
+    // ---- R2: pivot with explicit value list (reference: quad.R:112-116) ----
+    "r2_pivot" -> ((s, d) => {
+      val pv = Tables.orders(s, d).groupBy("o_custkey")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+      pv.select(col("o_custkey"),
+          coalesce(col("`1-URGENT`"), lit(0L)).as("n_urgent"),
+          coalesce(col("`2-HIGH`"), lit(0L)).as("n_high"),
+          coalesce(col("`3-MEDIUM`"), lit(0L)).as("n_medium"),
+          coalesce(col("`4-NOT SPECIFIED`"), lit(0L)).as("n_notspec"),
+          coalesce(col("`5-LOW`"), lit(0L)).as("n_low"))
+        .orderBy("o_custkey")
+    }),
+
+    // ---- U1: union-all by name (reference: detrendandstat_quad.R:65) ----
+    "u1_union_by_name" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      val a = n.filter(col("n_regionkey") < 2).select("n_nationkey", "n_name")
+      val b = n.filter(col("n_regionkey") >= 2).select("n_name", "n_nationkey")
+      a.unionByName(b).orderBy("n_nationkey")
+    }),
+
+    // ---- J1: semi-join (reference: detrendandstat_quad.R:103-110) ----
+    "j1_semi_join" -> ((s, d) => {
+      val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 100000.0)
+      Tables.customer(s, d)
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // ---- J2: broadcast dimension lookup (reference: quad.R:127-130) ----
+    "j2_lookup_join" -> ((s, d) => {
+      val dim = broadcast(Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name", "r_name"))
+      Tables.customer(s, d)
+        .join(dim, col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "n_name", "r_name")
+        .orderBy("c_custkey")
+    }),
+
+    // ---- W1: lag with default (reference: detrendandstat_quad.R:73) ----
+    "w1_lag" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          lag(col("value"), 1, 0.0).over(wUser).as("prev_value"))
+        .orderBy("event_id")),
+
+    // ---- W2: running sum (reference: detrendandstat_quad.R:73 cumsum) ----
+    "w2_running_sum" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          round(sum(col("value")).over(
+            wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 6)
+            .as("running_value"))
+        .orderBy("event_id")),
+
+    // ---- W3: group-size broadcast count (reference: quad.R:94-95) ----
+    "w3_group_count" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          count(lit(1)).over(Window.partitionBy("user_id", "event_type")).as("n"))
+        .orderBy("event_id")),
+
+    // ---- W4: lag on value series + derived diff (reference: dlog.R:87-89) ----
+    "w4_lag_diff" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          round(col("value") - lag(col("value"), 1).over(wUser), 6).as("dvalue"))
+        .orderBy("event_id")),
+
+    // ---- A1: count (reference: detrendandstat_quad.R:77) ----
+    "a1_count" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    // ---- A2: max (reference: detrendandstat_quad.R:79) ----
+    "a2_max" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(max(col("l_quantity")).as("max_qty"),
+          max(col("l_extendedprice")).as("max_price"))
+        .orderBy("l_returnflag")),
+
+    // ---- A3: sample stddev x100 (reference: detrendandstat_quad.R:173) ----
+    "a3_stddev" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(round(stddev_samp(col("l_quantity")) * 100, 6).as("sd_qty"))
+        .orderBy("l_returnflag")),
+
+    // ---- A4: avg (reference: detrendandstat_quad.R:183) ----
+    "a4_avg" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg((dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"))
+        .orderBy("l_returnflag")),
+
+    // ---- A5: Pearson corr (reference: detrendandstat_quad.R:226-231) ----
+    "a5_corr" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"))
+        .orderBy("l_returnflag")),
+
+    // ---- A6: lag-1 autocorrelation (reference: quad.R:266-269) ----
+    "a6_autocorr" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("prev_value", lag(col("value"), 1).over(wUser))
+        .groupBy("user_id")
+        .agg(round(corr(col("value"), col("prev_value")), 6).as("acf_value"))
+        .orderBy("user_id")),
+
+    // ---- A7: distinct (reference: detrendandstat_quad.R:100-101) ----
+    "a7_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // ---- A8: count after distinct (reference: quad.R:103-107) ----
+    "a8_count_distinct" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select("o_custkey", "o_orderpriority").distinct()
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_priorities"))
+        .orderBy("o_custkey")),
+
+    // ---- A9: post-agg derived ratio (reference: quad.R:197-201) ----
+    "a9_post_agg_ratio" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(dsum(col("l_extendedprice")).as("sum_price"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .withColumn("price_per_qty", col("sum_price") / col("sum_qty"))
+        .orderBy("l_returnflag")),
+
+    // ---- F1: scalar function set (reference §2.9) ----
+    "f1_scalar_fns" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - 0.05).as("abs_disc"),
+          ceil(col("l_quantity")).as("ceil_qty"),
+          floor(col("l_quantity")).as("floor_qty"),
+          col("l_quantity").cast("int").as("int_qty"),
+          concat(col("l_returnflag"), lit("-"), col("l_linestatus")).as("flag_status"),
+          upper(col("l_returnflag")).as("uflag"),
+          substring(col("l_linestatus"), 1, 1).as("ls1"),
+          coalesce(col("l_returnflag"), lit("?")).as("flag_nn"),
+          round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- K1: per-group quadratic OLS detrend (reference: quad.R:132-168) ----
+    "k1_quad_detrend" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .withColumn("t", row_number().over(wUser).cast("double"))
+        .select("event_id", "user_id", "t", "value")
+      GroupKernels
+        .withKernel(base, Seq("user_id"), "t", Seq("value" -> "resid_raw"),
+          Kernels.quadResiduals(_, _, 3))
+        .select(col("event_id"), round(col("resid_raw"), 4).as("resid"))
+        .orderBy("event_id")
+    }),
+
+    // ---- K2: per-group Hodrick-Prescott cycle (reference: HP100.R:136-145) ----
+    // No SQL-expressible oracle (pentadiagonal solve) -> rows-only check here;
+    // numeric parity is pinned by the WDI golden-file tests.
+    "k2_hp_filter" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .withColumn("t", row_number().over(wUser).cast("double"))
+        .select("event_id", "user_id", "t", "value")
+      GroupKernels
+        .withKernel(base, Seq("user_id"), "t", Seq("value" -> "cycle_raw"),
+          (_, y) => Kernels.hpCycle(y, lambda = 100.0, minObs = 12))
+        .select(col("event_id"), round(col("cycle_raw"), 6).as("hp_cycle"))
+        .orderBy("event_id")
+    }),
+
+    // ---- K3: log-difference growth (reference: dlog.R:83-92) ----
+    "k3_dlog" -> ((s, d) => {
+      val prev = lag(col("value"), 1).over(wUser)
+      Tables.events(s, d)
+        .select(col("event_id"),
+          round(when(col("value") > 0 && prev > 0, log(col("value")) - log(prev))
+            .otherwise(lit(null).cast("double")), 6).as("dlog_value"))
+        .orderBy("event_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s1_csv_scan" ->
+      """SELECT "Country Code" AS country_code, "Series Code" AS series_code,
+        |       "1960" AS y1960, "2019" AS y2019
+        |FROM read_csv('/root/reference/GDP_SSA_WDI.csv', header=true)
+        |ORDER BY country_code, series_code""".stripMargin,
+    "s2_csv_sink" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "p1_project" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "p2_filter_in" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+        |WHERE l_returnflag IN ('A','R') ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "p3_filter_compound" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+        |WHERE l_quantity >= 25 AND l_discount > 0.02 AND l_returnflag IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "p4_recode_case" ->
+      """SELECT event_id,
+        |  CASE WHEN event_type = 'click' THEN 'C'
+        |       WHEN event_type = 'purchase' THEN 'P'
+        |       WHEN event_type = 'signup' THEN 'S'
+        |       ELSE NULL END AS code
+        |FROM events ORDER BY event_id""".stripMargin,
+    "p5_when_otherwise" ->
+      """SELECT event_id,
+        |  round(CASE WHEN value > 0 THEN ln(value) ELSE NULL END, 6) AS log_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "p6_derived_cols" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1.0 - l_discount) AS revenue,
+        |  (l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax) AS charge
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "r1_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+    "r2_pivot" ->
+      """SELECT o_custkey,
+        |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+        |  count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+        |  count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_medium,
+        |  count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+        |  count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "u1_union_by_name" ->
+      """SELECT n_nationkey, n_name FROM nation WHERE n_regionkey < 2
+        |UNION ALL
+        |SELECT n_nationkey, n_name FROM nation WHERE n_regionkey >= 2
+        |ORDER BY n_nationkey""".stripMargin,
+    "j1_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "j2_lookup_join" ->
+      """SELECT c_custkey, n_name, r_name
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY c_custkey""".stripMargin,
+    "w1_lag" ->
+      """SELECT event_id,
+        |  lag(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "w2_running_sum" ->
+      """SELECT event_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "w3_group_count" ->
+      """SELECT event_id,
+        |  count(*) OVER (PARTITION BY user_id, event_type) AS n
+        |FROM events ORDER BY event_id""".stripMargin,
+    "w4_lag_diff" ->
+      """SELECT event_id,
+        |  round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS dvalue
+        |FROM events ORDER BY event_id""".stripMargin,
+    "a1_count" ->
+      "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "a2_max" ->
+      """SELECT l_returnflag, max(l_quantity) AS max_qty, max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a3_stddev" ->
+      """SELECT l_returnflag, round(stddev_samp(l_quantity) * 100, 6) AS sd_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a4_avg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a5_corr" ->
+      """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a6_autocorr" ->
+      """WITH w AS (
+        |  SELECT user_id, value,
+        |         lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |  FROM events)
+        |SELECT user_id, round(corr(value, prev_value), 6) AS acf_value
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a7_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "a8_count_distinct" ->
+      """SELECT o_custkey, count(*) AS n_priorities
+        |FROM (SELECT DISTINCT o_custkey, o_orderpriority FROM orders)
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "a9_post_agg_ratio" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, sum_price, sum_qty, sum_price / sum_qty AS price_per_qty
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+    "f1_scalar_fns" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_discount - 0.05) AS abs_disc,
+        |  CAST(ceil(l_quantity) AS BIGINT) AS ceil_qty,
+        |  CAST(floor(l_quantity) AS BIGINT) AS floor_qty,
+        |  CAST(l_quantity AS INT) AS int_qty,
+        |  l_returnflag || '-' || l_linestatus AS flag_status,
+        |  upper(l_returnflag) AS uflag,
+        |  substring(l_linestatus, 1, 1) AS ls1,
+        |  coalesce(l_returnflag, '?') AS flag_nn,
+        |  round(sqrt(l_extendedprice), 6) AS sqrt_price
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "k1_quad_detrend" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, value,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS t
+        |  FROM events WHERE value IS NOT NULL
+        |), m AS (
+        |  SELECT user_id, avg(t) AS tbar, count(*) AS n FROM base GROUP BY user_id
+        |), u AS (
+        |  SELECT b.event_id, b.user_id, b.value, b.t - m.tbar AS u, m.n
+        |  FROM base b JOIN m USING (user_id)
+        |), sums AS (
+        |  SELECT user_id, CAST(count(*) AS DOUBLE) AS s0,
+        |    sum(u) AS s1, sum(u*u) AS s2, sum(u*u*u) AS s3, sum(u*u*u*u) AS s4,
+        |    sum(value) AS sy, sum(u*value) AS s1y, sum(u*u*value) AS s2y
+        |  FROM u GROUP BY user_id
+        |), coefs AS (
+        |  SELECT user_id,
+        |    (s0*(s2*s4-s3*s3) - s1*(s1*s4-s3*s2) + s2*(s1*s3-s2*s2)) AS det,
+        |    (sy*(s2*s4-s3*s3) - s1*(s1y*s4-s3*s2y) + s2*(s1y*s3-s2*s2y)) AS det0,
+        |    (s0*(s1y*s4-s3*s2y) - sy*(s1*s4-s3*s2) + s2*(s1*s2y-s1y*s2)) AS det1,
+        |    (s0*(s2*s2y-s3*s1y) - s1*(s1*s2y-s1y*s2) + sy*(s1*s3-s2*s2)) AS det2
+        |  FROM sums)
+        |SELECT u.event_id,
+        |  CASE WHEN u.n >= 3
+        |       THEN round(u.value - (det0/det + (det1/det)*u.u + (det2/det)*u.u*u.u), 4)
+        |       ELSE NULL END AS resid
+        |FROM u JOIN coefs USING (user_id)
+        |ORDER BY u.event_id""".stripMargin,
+    "k3_dlog" ->
+      """SELECT event_id,
+        |  round(CASE WHEN value > 0
+        |         AND lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 0
+        |        THEN ln(value) - ln(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |        ELSE NULL END, 6) AS dlog_value
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}
