@@ -1,0 +1,61 @@
+package graft.wdi
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The four reference pipelines end-to-end: front half → detrend variant →
+  * the seven moment-statistics outputs each variant writes
+  * (detrendandstat_quad.R, dtrendandstat_HP100.R, dtrendandstat_HP625.R,
+  * dtrendandstat_dlog.R).
+  */
+object WdiPipelines {
+
+  /** Output column names for the per-country volatility block, in golden
+    * header order (dlog names its sd columns differently). */
+  case class Variant(
+      key: String,
+      goldenSuffix: String,
+      sdNames: Seq[(String, String)],
+      makeCycles: DataFrame => DataFrame)
+
+  val quad = Variant("quad", "logquad",
+    Seq("Y_cyc" -> "sd_Y", "C_cyc" -> "sd_C", "I_cyc" -> "sd_I", "TB_cyc" -> "sd_TB"),
+    WdiCycles.quad)
+  val hp100 = Variant("hp100", "hp",
+    Seq("Y_cyc" -> "sd_Y", "C_cyc" -> "sd_C", "I_cyc" -> "sd_I", "TB_cyc" -> "sd_TB"),
+    WdiCycles.hp(_, lambda = 100.0))
+  val hp625 = Variant("hp625", "hp625",
+    Seq("Y_cyc" -> "sd_Y", "C_cyc" -> "sd_C", "I_cyc" -> "sd_I", "TB_cyc" -> "sd_TB"),
+    WdiCycles.hp(_, lambda = 6.25))
+  val dlog = Variant("dlog", "dlog",
+    Seq("Y_cyc" -> "sd_dlogY", "C_cyc" -> "sd_dlogC", "I_cyc" -> "sd_dlogI",
+      "TB_cyc" -> "sd_TB"),
+    WdiCycles.dlog)
+
+  val variants: Seq[Variant] = Seq(quad, hp100, hp625, dlog)
+
+  val corrCols: Seq[String] =
+    Seq("corr_Y_C", "corr_Y_I", "corr_Y_TB", "corr_C_I", "corr_C_TB", "corr_I_TB")
+  val acfCols: Seq[String] = Seq("acf_Y", "acf_C", "acf_I", "acf_TB")
+  val ratioCols: Seq[String] = Seq("sdC_over_sdY", "sdI_over_sdY")
+
+  def cycles(spark: SparkSession, dir: String, v: Variant): DataFrame =
+    v.makeCycles(WdiEtl.frontHalf(spark, dir))
+
+  /** All seven outputs of one variant, keyed by golden file stem. */
+  def outputs(spark: SparkSession, dir: String, v: Variant): Map[String, DataFrame] = {
+    val cyc = cycles(spark, dir, v)
+    val sdCountry = WdiStats.sdByCountry(cyc, v.sdNames)
+    val corrCountry = WdiStats.corrByCountry(cyc)
+    val acfCountry = WdiStats.acfByCountry(cyc)
+    Map(
+      s"sd_by_country_${v.goldenSuffix}" -> sdCountry,
+      s"sd_by_region_${v.goldenSuffix}" ->
+        WdiStats.byRegion(sdCountry, v.sdNames.map(_._2)),
+      s"sd_ratio_by_region_${v.goldenSuffix}" ->
+        WdiStats.byRegion(sdCountry, ratioCols),
+      s"corr_by_country_${v.goldenSuffix}" -> corrCountry,
+      s"corr_by_region_${v.goldenSuffix}" -> WdiStats.byRegion(corrCountry, corrCols),
+      s"acf_by_country_${v.goldenSuffix}" -> acfCountry,
+      s"acf_by_region_${v.goldenSuffix}" -> WdiStats.byRegion(acfCountry, acfCols))
+  }
+}

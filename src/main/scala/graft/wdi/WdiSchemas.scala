@@ -34,7 +34,12 @@ object WdiSchemas {
 
   val variables: Seq[String] = Seq("Y", "Cper", "Iper", "Xper", "Mper")
 
-  /** Minimum consecutive valid years (detrendandstat_quad.R:97) and minimum
-    * finite observations per detrend kernel (detrendandstat_quad.R:135). */
-  val MinRun = 30
+  /** Minimum consecutive valid years for a run to survive cleaning
+    * (detrendandstat_quad.R:97). Coincidentally equal to [[MinDetrendObs]];
+    * kept separate so the thresholds can diverge safely. */
+  val MinConsecutiveRun = 30
+
+  /** Minimum finite observations for a detrend kernel to fit
+    * (detrendandstat_quad.R:135, dtrendandstat_HP100.R:139). */
+  val MinDetrendObs = 30
 }
