@@ -47,33 +47,43 @@ object VectorOps {
         .orderBy("qid", "rnk")
     }),
 
-    // ---- approximate ANN: sign-LSH bucketing, compare within bucket ----
-    // No SQL oracle (hyperplanes live in code); recall vs the brute-force
-    // baseline is pinned in VectorOpsSpec.
+    // ---- approximate ANN: multi-table sign-LSH, compare within buckets ----
+    // Standard OR-amplification: L tables of k hyperplane sign bits each; a
+    // pair is a candidate if it collides in ANY table (recall ~1-(1-p^k)^L).
+    // The signature table carries only (id, table, bucket) — candidate
+    // generation shuffles ids, never embeddings. No SQL oracle (hyperplanes
+    // live in code); recall vs brute force is pinned in VectorOpsSpec.
     "ann_lsh_topk" -> ((s, d) => {
       val spark = s
       import spark.implicits._
-      val planes = hyperplanes(nPlanes = 8, dim = 64, seed = 42L)
+      val kBits = 4
+      val nTables = 16
+      val planes = hyperplanes(kBits * nTables, dim = 64, seed = 42L)
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-        .as[(Long, Array[Double])]
-      val bucketed = emb.map { case (id, e) =>
-        var b = 0
-        var p = 0
-        while (p < planes.length) {
-          var acc = 0.0
-          val pl = planes(p)
-          var i = 0
-          while (i < e.length && i < pl.length) { acc += e(i) * pl(i); i += 1 }
-          if (acc > 0) b |= (1 << p)
-          p += 1
+      val sigs = emb.as[(Long, Array[Double])].flatMap { case (id, e) =>
+        (0 until nTables).map { tbl =>
+          var b = 0
+          var p = 0
+          while (p < kBits) {
+            var acc = 0.0
+            val pl = planes(tbl * kBits + p)
+            var i = 0
+            while (i < e.length && i < pl.length) { acc += e(i) * pl(i); i += 1 }
+            if (acc > 0) b |= (1 << p)
+            p += 1
+          }
+          (id, tbl, b)
         }
-        (id, b, e)
-      }.toDF("vec_id", "bucket", "e")
-      val a = bucketed.select(col("vec_id").as("qid"), col("bucket"), col("e").as("qe"))
-      val b = bucketed.select(col("vec_id").as("nid"), col("bucket"), col("e"))
+      }.toDF("vec_id", "tbl", "bucket")
+      val cand = sigs.as("x").join(sigs.as("y"), Seq("tbl", "bucket"))
+        .filter(col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("qid"), col("y.vec_id").as("nid"))
+        .distinct()
+      val q = emb.select(col("vec_id").as("qid"), col("e").as("qe"))
+      val n = emb.select(col("vec_id").as("nid"), col("e"))
       val w = Window.partitionBy("qid").orderBy(col("c").desc, col("nid"))
-      a.join(b, Seq("bucket")).filter(col("qid") =!= col("nid"))
+      cand.join(q, "qid").join(n, "nid")
         .select(col("qid"), col("nid"), cosine(col("qe"), col("e")).as("c"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
