@@ -15,7 +15,15 @@ import graft.Tables
 object LlmText {
 
   private val StopWords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
-  private def stopList = StopWords.map(w => s"'$w'").mkString("(", ", ", ")")
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+  private def stopList = inList(StopWords)
+
+  /** Distinctive function words per language for the langid heuristic. */
+  private[queries] val LangStops: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "on", "for", "with", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "es" -> Seq("el", "los", "y", "es", "no", "para", "una", "del", "por", "como"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "pour", "dans", "une", "du"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact dedup: hash-groupBy on content digest ----
@@ -107,6 +115,29 @@ object LlmText {
         .orderBy("event_id")
     }),
 
+    // ---- language ID: per-language stopword-hit scoring ----
+    // Deterministic n-gram-free heuristic: count hits against small
+    // distinctive function-word lists, argmax with a fixed tie-break order,
+    // 'und' (undetermined) when nothing matches. Real corpora would swap in
+    // char-n-gram profiles; the operator shape (per-row scoring over a
+    // tokenized column, fully codegen'd) is the deliverable.
+    "text_langid" -> ((s, d) => {
+      def score(words: Seq[String]) =
+        size(expr(s"filter(split(text, ' '), x -> x IN ${inList(words)})"))
+      val sDe = score(LangStops("de"))
+      val sEn = score(LangStops("en"))
+      val sEs = score(LangStops("es"))
+      val sFr = score(LangStops("fr"))
+      val g = greatest(sDe, sEn, sEs, sFr)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang").as("meta_lang"),
+          when(g === 0, "und")
+            .when(sDe === g, "de").when(sEn === g, "en")
+            .when(sEs === g, "es").otherwise("fr").as("lang_id"),
+          g.cast("long").as("hits"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal plumbing: opaque binary column + typed metadata ----
     // Decode itself is stubbed (no codec libs in env); the Spark-side schema,
     // binary handling, and deterministic metadata extraction are real.
@@ -175,6 +206,23 @@ object LlmText {
         |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |FROM f ORDER BY event_id""".stripMargin,
+    "text_langid" -> {
+      def sc(l: String) =
+        s"len(list_filter(string_split(text, ' '), x -> x IN ${inList(LangStops(l))}))"
+      s"""WITH t AS (
+         |  SELECT doc_id, lang AS meta_lang,
+         |    ${sc("de")} AS s_de, ${sc("en")} AS s_en,
+         |    ${sc("es")} AS s_es, ${sc("fr")} AS s_fr
+         |  FROM documents)
+         |SELECT doc_id, meta_lang,
+         |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+         |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+         |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+         |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+         |       ELSE 'fr' END AS lang_id,
+         |  greatest(s_de, s_en, s_es, s_fr) AS hits
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
     "mm_binary_meta" ->
       """SELECT doc_id,
         |  octet_length(encode(text)) AS n_bytes,

@@ -50,6 +50,50 @@ object VectorOps {
     Array.fill(nPlanes, dim)(if (rng.nextBoolean()) 1.0 else -1.0)
   }
 
+  /** Multi-table sign-LSH signatures: one (id, table, bucket) row per table. */
+  private def lshSignatures(
+      spark: SparkSession,
+      emb: DataFrame,
+      kBits: Int,
+      nTables: Int,
+      seed: Long): DataFrame = {
+    import spark.implicits._
+    val planes = hyperplanes(kBits * nTables, dim = 64, seed)
+    emb.as[(Long, Array[Double])].flatMap { case (id, e) =>
+      (0 until nTables).map { tbl =>
+        var b = 0
+        var p = 0
+        while (p < kBits) {
+          var acc = 0.0
+          val pl = planes(tbl * kBits + p)
+          var i = 0
+          while (i < e.length && i < pl.length) { acc += e(i) * pl(i); i += 1 }
+          if (acc > 0) b |= (1 << p)
+          p += 1
+        }
+        (id, tbl, b)
+      }
+    }.toDF("vec_id", "tbl", "bucket")
+  }
+
+  /** Banded near-duplicate pairs with exact-cosine verification.
+    * `emb` must have columns (vec_id: long, e: array<double>). */
+  private[queries] def embedCosineDedup(
+      s: SparkSession, emb: DataFrame, threshold: Double): DataFrame = {
+    val sigs = lshSignatures(s, emb, kBits = 6, nTables = 24, seed = 7L)
+    val cand = sigs.as("x").join(sigs.as("y"), Seq("tbl", "bucket"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+    val ea = emb.select(col("vec_id").as("id_a"), col("e").as("ea"))
+    val eb = emb.select(col("vec_id").as("id_b"), col("e").as("eb"))
+    cand.join(ea, "id_a").join(eb, "id_b")
+      .withColumn("c", cosine(col("ea"), col("eb")))
+      .filter(col("c") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("c"), 6).as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact ANN baseline: brute-force cosine top-3 for sampled queries ----
     "sim_cosine_topk" -> ((s, d) => {
@@ -73,28 +117,9 @@ object VectorOps {
     // generation shuffles ids, never embeddings. No SQL oracle (hyperplanes
     // live in code); recall vs brute force is pinned in VectorOpsSpec.
     "ann_lsh_topk" -> ((s, d) => {
-      val spark = s
-      import spark.implicits._
-      val kBits = 5
-      val nTables = 24
-      val planes = hyperplanes(kBits * nTables, dim = 64, seed = 42L)
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      val sigs = emb.as[(Long, Array[Double])].flatMap { case (id, e) =>
-        (0 until nTables).map { tbl =>
-          var b = 0
-          var p = 0
-          while (p < kBits) {
-            var acc = 0.0
-            val pl = planes(tbl * kBits + p)
-            var i = 0
-            while (i < e.length && i < pl.length) { acc += e(i) * pl(i); i += 1 }
-            if (acc > 0) b |= (1 << p)
-            p += 1
-          }
-          (id, tbl, b)
-        }
-      }.toDF("vec_id", "tbl", "bucket")
+      val sigs = lshSignatures(s, emb, kBits = 5, nTables = 24, seed = 42L)
       // Same query set as the brute-force baseline; LSH prunes the corpus
       // side to bucket collisions instead of scanning all n per query.
       val qSigs = sigs.filter(col("vec_id") % 50 === 0)
@@ -167,6 +192,17 @@ object VectorOps {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- embedding-cosine near-dup: sign-LSH banding + exact verify ----
+    // k=6 bits x L=24 tables: a pair at cosine 0.9 (theta 25.8deg) collides
+    // per-table with p=(1-theta/180)^6=0.39, so the miss probability is
+    // (1-p)^24 ~ 6e-6 — candidates stay sparse while the exact cosine filter
+    // on candidates reproduces the all-pairs oracle. Only (id, table,
+    // bucket) rows shuffle during candidate generation.
+    "dedup_embed_cosine" -> ((s, d) =>
+      embedCosineDedup(s, Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e")),
+        threshold = 0.9)),
+
     // ---- SimHash near-dup: 64-bit signature, 4x16-bit segment blocking ----
     // Hamming <= 3 guarantees at least one of the 4 segments is equal, so
     // segment-equality grouping finds every qualifying pair without an
@@ -219,6 +255,17 @@ object VectorOps {
         |        row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rnk
         |      FROM p)
         |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    "dedup_embed_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_sum(list_transform(list_zip(a.emb, b.emb), s -> s[1]*s[2])) /
+        |    (sqrt(list_sum(list_transform(a.emb, x -> x*x))) *
+        |     sqrt(list_sum(list_transform(b.emb, x -> x*x)))), 6) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(list_zip(a.emb, b.emb), s -> s[1]*s[2])) /
+        |    (sqrt(list_sum(list_transform(a.emb, x -> x*x))) *
+        |     sqrt(list_sum(list_transform(b.emb, x -> x*x)))) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
     "dedup_minhash_lsh" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -24,6 +24,38 @@ class VectorOpsSpec extends SparkSpec {
       s"LSH top-1 recall ${hits.toDouble / exact.size} of ${exact.size} queries")
   }
 
+  test("embed-cosine dedup finds planted near-dup vectors and nothing else") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    // 200 random unit vectors (pairwise cosine ~ N(0, 1/8): far below 0.9)
+    // plus 5 planted near-dup pairs at cosine ~0.99.
+    val base = (0L until 200L).map(i => (i, unit()))
+    val planted = (0 until 5).map { k =>
+      val (_, v) = base(k * 10)
+      val noisy = v.map(x => x + 0.05 * rng.nextGaussian())
+      val n = math.sqrt(noisy.map(x => x * x).sum)
+      (1000L + k, noisy.map(_ / n))
+    }
+    val all = base ++ planted
+    val emb = all.toDF("vec_id", "e")
+    val pairs = VectorOps.embedCosineDedup(spark, emb, threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // exact ground truth in-driver (all unit vectors: cosine = dot)
+    val want = (for {
+      (ia, va) <- all
+      (ib, vb) <- all
+      if ia < ib
+      if va.zip(vb).map { case (x, y) => x * y }.sum >= 0.9
+    } yield (ia, ib)).toSet
+    assert(want.nonEmpty, "test setup: no planted pair reached cosine 0.9")
+    assert(pairs == want, s"missed ${want -- pairs}, extra ${pairs -- want}")
+  }
+
   test("simhash near-dup pairs are hamming<=3 and include exact duplicates") {
     val pairs = VectorOps.queries("dedup_simhash")(spark, Sf).collect()
     assert(pairs.nonEmpty)
