@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` schema.
+  *
+  * The reference is batch-only (SURVEY.md §2.10), so this module is the
+  * engine's forward-looking streaming capability: the same event-time
+  * semantics as the batch operators, expressed as incremental plans —
+  * `readStream → transform → writeStream` with watermarks for state bounds.
+  * At scale, state is partitioned by the grouping key across executors and
+  * bounded by the watermark delay; nothing here accumulates unbounded state.
+  */
+case class Event(event_id: Long, user_id: Long, ts: Timestamp,
+    event_type: String, value: Double)
+
+case class Session(user_id: Long, session_start: Timestamp,
+    session_end: Timestamp, n_events: Long, total_value: Double)
+
+case class OpenSession(start: Long, last: Long, n: Long, total: Double)
+
+object EventStreams {
+
+  /** Tumbling event-time window counts per event type; late data beyond the
+    * watermark is dropped, so state per (window, type) is finite. */
+  def windowedTypeCounts(events: DataFrame,
+      windowLen: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Gap-based sessionization (same semantics as the batch
+    * `events_sessionize` query): a session closes after `gapMinutes` of
+    * per-user inactivity in event time. Sessions are emitted when the
+    * watermark passes their close time (append mode), via per-user state in
+    * flatMapGroupsWithState with an event-time timeout.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+      watermark: String = "1 hour"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, batch: Iterator[Event], state: GroupState[OpenSession]) => {
+          if (batch.isEmpty && state.hasTimedOut) {
+            // watermark passed last event + gap: the open session is final
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total))
+          } else {
+            val sorted = batch.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var open = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.last <= gapMs =>
+                  open = Some(OpenSession(s.start, math.max(s.last, t), s.n + 1,
+                    s.total + e.value))
+                case Some(s) =>
+                  closed += Session(userId, new Timestamp(s.start),
+                    new Timestamp(s.last), s.n, s.total)
+                  open = Some(OpenSession(t, t, 1, e.value))
+                case None =>
+                  open = Some(OpenSession(t, t, 1, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.iterator
+          }
+        })
+  }
+
+  /** Batch view of the events parquet as the streaming Event dataset. */
+  def batchEvents(spark: SparkSession, sfDir: String): Dataset[Event] = {
+    import spark.implicits._
+    graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        (col("ts") / 1000000L).cast("timestamp").as("ts"),
+        col("event_type"), col("value"))
+      .as[Event]
+  }
+}

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class EventStreamsSpec extends SparkSpec {
+  import EventStreams._
+  import graft.streaming.{Event, Session}
+
+  private def ev(id: Long, user: Long, minute: Long, typ: String = "click",
+      value: Double = 1.0): Event =
+    Event(id, user, new Timestamp(minute * 60000L), typ, value)
+
+  test("windowed counts aggregate by event-time window and drop late data") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = windowedTypeCounts(in.toDF(), "10 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, 1, 1), ev(2, 1, 5), ev(3, 2, 12))
+      q.processAllAvailable()
+      // advance watermark far past the first windows to finalize them
+      in.addData(ev(4, 1, 600))
+      q.processAllAvailable()
+      // an event far behind the watermark must be dropped
+      in.addData(ev(5, 9, 2))
+      q.processAllAvailable()
+      in.addData(ev(6, 1, 1200))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select("window_start", "n").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getLong(1))).toMap
+      assert(rows(0L) == 2)  // minutes 1 and 5, user 9's late event dropped
+      assert(rows(10L) == 1) // minute 12
+    } finally q.stop()
+  }
+
+  test("streaming sessionize emits gap-separated sessions as watermark advances") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = sessionize(in.toDS(), gapMinutes = 30, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // base offset keeps event times clear of the initial (epoch) watermark
+      val b = 10000L
+      // user 1: events at +0, +10 (one session), then +100 (new session)
+      in.addData(ev(1, 1, b + 0), ev(2, 1, b + 10))
+      q.processAllAvailable()
+      in.addData(ev(3, 1, b + 100))
+      q.processAllAvailable()
+      // push watermark beyond +100 + 30 gap to close the second session
+      in.addData(ev(4, 2, b + 200))
+      q.processAllAvailable()
+      in.addData(ev(5, 2, b + 400))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000 - b,
+          r.getTimestamp(2).getTime / 60000 - b, r.getLong(3)))
+        .toSet
+      assert(sessions.contains((1L, 0L, 10L, 2L)), s"got $sessions")
+      assert(sessions.contains((1L, 100L, 100L, 1L)), s"got $sessions")
+    } finally q.stop()
+  }
+
+  test("streaming sessionize agrees with the batch events_sessionize oracle query") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    // batch ground truth: session count per user from the oracle-checked query
+    val batch = graft.queries.LlmText.queries("events_sessionize")(spark, sf)
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.max("session_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // streaming pipeline over the same data, forced complete by a far-future
+    // sentinel event per user (so every open session times out)
+    implicit val sq = spark.sqlContext
+    val events = EventStreams.batchEvents(spark, sf).collect().toSeq
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val maxT = events.map(_.ts.getTime).max
+    val in = MemoryStream[Event]
+    val q = sessionize(in.toDS(), gapMinutes = 30, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions_full")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(events)
+      q.processAllAvailable()
+      in.addData(ev(999999, -1, maxT / 60000 + 100000))
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_full")
+        .filter($"user_id" >= 0)
+        .groupBy("user_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == batch,
+        s"mismatch: ${streamed.toSet.diff(batch.toSet).take(5)} vs ${batch.toSet.diff(streamed.toSet).take(5)}")
+    } finally q.stop()
+  }
+}
