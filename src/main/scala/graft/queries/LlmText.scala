@@ -48,6 +48,7 @@ object LlmText {
     // pairs that cannot reach 0.8 (|A|/|B| must lie in [0.8, 1.25]) before
     // the set intersection runs.
     "dedup_blocked_jaccard" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
       val t = Tables.documents(s, d).select(
         col("doc_id"), (col("n_chars") / 100).cast("long").as("bkt"),
         array_sort(array_distinct(transform(split(col("text"), " "),
@@ -57,9 +58,9 @@ object LlmText {
       a.join(b, Seq("bkt")).filter(col("id_a") < col("id_b"))
         .filter(size(col("wa")) * 5 >= size(col("wb")) * 4 &&
           size(col("wb")) * 5 >= size(col("wa")) * 4)
-        .withColumn("jac",
-          size(array_intersect(col("wa"), col("wb"))).cast("double") /
-            size(array_union(col("wa"), col("wb"))))
+        .withColumn("inter", expr("sorted_intersect_size(wa, wb)"))
+        .withColumn("jac", col("inter").cast("double") /
+          (size(col("wa")) + size(col("wb")) - col("inter")))
         .filter(col("jac") >= 0.8)
         .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
         .orderBy("id_a", "id_b")
