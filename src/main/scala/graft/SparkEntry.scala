@@ -33,11 +33,13 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.LlmText.queries ++
       graft.queries.VectorOps.queries ++
+      graft.queries.MultimodalQueries.queries ++
       graft.queries.WdiQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.LlmText.oracles ++
       graft.queries.VectorOps.oracles ++
+      graft.queries.MultimodalQueries.oracles ++
       graft.queries.WdiQueries.oracles
 }

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.multimodal.Multimodal
+
+/** Driver-checkable multimodal plumbing queries (documents stand in for a
+  * media corpus; see [[graft.multimodal.Multimodal]] for the stub contract). */
+object MultimodalQueries {
+
+  private def media(s: SparkSession, d: String) =
+    Multimodal.asMediaTable(Tables.documents(s, d))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // batched feature extraction: 16-bin byte histogram per payload
+    "mm_features" -> ((s, d) => {
+      val feats = Multimodal.extractFeatures(media(s, d))
+      val bins = (0 until 16).map(b =>
+        round(element_at(col("features"), b + 1), 6).as(s"bin_$b"))
+      feats.select(col("media_id") +: bins: _*).orderBy("media_id")
+    }),
+
+    // deterministic frame sampling from "video" payloads
+    "mm_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(media(s, d), stride = 4)
+        .select(col("media_id"), col("frame_idx"), col("container"),
+          length(col("frame_bytes")).as("frame_len"))
+        .orderBy("media_id", "frame_idx")),
+
+    // metadata-level resize with aspect-preserving scale
+    "mm_resize" -> ((s, d) =>
+      Multimodal.resizeMeta(media(s, d), maxW = 320, maxH = 240)
+        .select(col("media_id"), col("meta.width").as("width"),
+          col("meta.height").as("height"), col("scale"))
+        .orderBy("media_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mm_features" -> {
+      val bins = (0 until 16).map(b =>
+        s"round(len(list_filter(chars, c -> ascii(c) // 16 = $b))::DOUBLE / greatest(len(text), 1), 6) AS bin_$b")
+        .mkString(",\n  ")
+      s"""WITH t AS (
+         |  SELECT doc_id AS media_id, text,
+         |         string_split(text, '') AS chars
+         |  FROM documents)
+         |SELECT media_id,
+         |  $bins
+         |FROM t ORDER BY media_id""".stripMargin
+    },
+    "mm_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, encode(text) AS payload,
+        |         CAST(n_chars % 16 + 1 AS INT) AS nf
+        |  FROM documents),
+        |f AS (
+        |  SELECT media_id, payload, nf,
+        |         unnest(range(0, nf)) AS frame_idx
+        |  FROM m)
+        |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  'fake' AS container,
+        |  CAST(octet_length(payload) // nf AS BIGINT) AS frame_len
+        |FROM f WHERE frame_idx % 4 = 0
+        |ORDER BY media_id, frame_idx""".stripMargin,
+    "mm_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(n_chars % 640 + 1 AS INT) AS width,
+        |         CAST((n_chars * 7) % 480 + 1 AS INT) AS height
+        |  FROM documents),
+        |s AS (
+        |  SELECT media_id, width, height,
+        |         least(1.0, 320 / CAST(width AS DOUBLE),
+        |                    240 / CAST(height AS DOUBLE)) AS scale
+        |  FROM m)
+        |SELECT media_id,
+        |  CAST(ceil(width * scale) AS INT) AS width,
+        |  CAST(ceil(height * scale) AS INT) AS height,
+        |  round(scale, 6) AS scale
+        |FROM s ORDER BY media_id""".stripMargin
+  )
+}
