@@ -150,6 +150,34 @@ object Relational {
         .orderBy("c_custkey")
     }),
 
+    // ---- J3: left outer join (general capability, SURVEY §2.5) ----
+    "j3_left_join" -> ((s, d) => {
+      val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      Tables.customer(s, d)
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("o_totalprice"))
+        .orderBy("c_custkey", "o_orderkey")
+    }),
+
+    // ---- J4: anti join (general capability, SURVEY §2.5) ----
+    "j4_anti_join" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      Tables.customer(s, d)
+        .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // ---- O1: global sort + top-k (TakeOrderedAndProject) ----
+    "o1_topk" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
+        .orderBy(col("price").desc, col("o_orderkey"))
+        .limit(25)),
+
     // ---- W1: lag with default (reference: detrendandstat_quad.R:73) ----
     "w1_lag" -> ((s, d) =>
       Tables.events(s, d)
@@ -363,6 +391,22 @@ object Relational {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |ORDER BY c_custkey""".stripMargin,
+    "j3_left_join" ->
+      """SELECT c_custkey, o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+        |FROM customer
+        |LEFT JOIN (SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |           WHERE o_totalprice > 400000.0) o ON c_custkey = o.o_custkey
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
+    "j4_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "o1_topk" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM orders
+        |ORDER BY price DESC, o_orderkey LIMIT 25""".stripMargin,
     "w1_lag" ->
       """SELECT event_id,
         |  lag(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value

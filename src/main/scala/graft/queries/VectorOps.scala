@@ -76,6 +76,69 @@ object VectorOps {
     }.toDF("vec_id", "tbl", "bucket")
   }
 
+  /** IVF top-k: k-means codebook + inverted-file probe.
+    * `emb` must have columns (vec_id: long, e: array<double>); queries are
+    * the `vec_id % 50 == 0` sample, like the brute-force baseline. */
+  private[queries] def annIvfTopK(s: SparkSession, emb: DataFrame,
+      k: Int, nProbe: Int, topK: Int): DataFrame = {
+    // Codebook from a bounded driver-side sample (like any large-scale IVF
+    // build: the codebook is k tiny vectors, trained on a sample, then
+    // broadcast for distributed assignment — the full corpus never leaves
+    // executors).
+    val sample = emb.orderBy("vec_id").limit(4096)
+      .select("e").collect().map(_.getSeq[Double](0).toArray)
+    val centers = lloyd(sample, k, iters = 10)
+    val assignU = udf((e: Seq[Double]) => nearestCells(centers, e.toArray, 1).head)
+    val inverted = emb.withColumn("cell", assignU(col("e")))
+      .select(col("vec_id"), col("cell"), col("e"))
+    val probe = udf((qe: Seq[Double]) => nearestCells(centers, qe.toArray, nProbe))
+    val queries = inverted.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+      .withColumn("cell", explode(probe(col("qe"))))
+    val w = Window.partitionBy("qid").orderBy(col("c").desc, col("nid"))
+    queries.join(inverted.select(col("vec_id").as("nid"), col("cell"), col("e")),
+        Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine(col("qe"), col("e")).as("c"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("rnk"), col("nid"), round(col("c"), 6).as("cos"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Deterministic Lloyd's k-means over an in-memory sample. */
+  private def lloyd(sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    val dim = sample.head.length
+    val step = math.max(1, sample.length / k)
+    var centers = Array.tabulate(k)(i => sample((i * step) % sample.length).clone())
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        val c = nearestCells(centers, v, 1).head
+        counts(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += v(j); j += 1 }
+      }
+      centers = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centers(c)
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    centers
+  }
+
+  private def nearestCells(centers: Array[Array[Double]], v: Array[Double],
+      n: Int): Seq[Int] =
+    centers.zipWithIndex.map { case (c, i) =>
+      var dist = 0.0
+      var j = 0
+      while (j < v.length && j < c.length) {
+        val dd = v(j) - c(j); dist += dd * dd; j += 1
+      }
+      (dist, i)
+    }.sortBy(_._1).take(n).map(_._2).toSeq
+
   /** Banded near-duplicate pairs with exact-cosine verification.
     * `emb` must have columns (vec_id: long, e: array<double>). */
   private[queries] def embedCosineDedup(
@@ -190,6 +253,18 @@ object VectorOps {
         .filter(col("jac") >= 0.9)
         .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // ---- IVF ANN: coarse k-means quantizer, probe nearest cells ----
+    // The cluster-index scale path: train a small codebook, assign every
+    // vector to its nearest centroid (the inverted file), then answer each
+    // query by exact cosine over only the nProbe nearest cells (~nProbe/k
+    // of the corpus scanned). No SQL oracle (trained codebook); recall vs
+    // brute force is pinned in VectorOpsSpec.
+    "ann_ivf_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      annIvfTopK(s, emb, k = 16, nProbe = 4, topK = 3)
     }),
 
     // ---- embedding-cosine near-dup: sign-LSH banding + exact verify ----
