@@ -1,0 +1,62 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import graft.ts.Kernels
+import graft.wdi.RCsv
+
+/** ScalaCheck property suites (sbt's scalacheck framework runs these). */
+object KernelProps extends Properties("Kernels") {
+
+  private val series: Gen[Array[Double]] = for {
+    n <- Gen.choose(30, 60)
+    xs <- Gen.listOfN(n, Gen.choose(-1e3, 1e3))
+  } yield xs.toArray
+
+  property("hp trend + cycle reconstructs input") = Prop.forAll(series) { x =>
+    val trend = Kernels.hpTrend(x, 100.0)
+    val cyc = Kernels.hpCycle(x, 100.0, 30)
+    x.indices.forall { i =>
+      math.abs(trend(i) + cyc(i) - x(i)) <=
+        1e-9 * math.max(1.0, math.abs(x(i)))
+    }
+  }
+
+  property("quad residuals orthogonal to constant basis") = Prop.forAll(series) { x =>
+    val t = Array.tabulate(x.length)(i => (i + 1).toDouble)
+    val r = Kernels.quadResiduals(t, x, 30)
+    math.abs(r.sum) <= 1e-6 * math.max(1.0, x.map(math.abs).max)
+  }
+
+  property("dlog of exponential series is constant") = Prop.forAll(
+    Gen.choose(-0.2, 0.2), Gen.choose(30, 60)) { (g, n) =>
+    val x = Array.tabulate(n)(i => 100.0 * math.exp(g * i))
+    val dl = (1 until n).map(i => math.log(x(i)) - math.log(x(i - 1)))
+    dl.forall(v => math.abs(v - g) < 1e-9)
+  }
+}
+
+object RCsvProps extends Properties("RCsv") {
+
+  /** Doubles across the full range, including subnormals and extremes. */
+  private val anyFinite: Gen[Double] = Gen.oneOf(
+    Gen.choose(-1e6, 1e6),
+    Gen.choose(-1.0, 1.0),
+    Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      .map(bits => java.lang.Double.longBitsToDouble(bits))
+      .suchThat(d => !d.isNaN && !d.isInfinite))
+
+  property("formatDouble round-trips every finite double") =
+    Prop.forAll(anyFinite) { d =>
+      val s = RCsv.formatDouble(d)
+      val back = java.lang.Double.parseDouble(
+        if (s == "NA") "NaN" else s)
+      back == d || (d == 0.0 && back == 0.0)
+    }
+
+  property("formatDouble emits no padded exponents or trailing .0") =
+    Prop.forAll(anyFinite) { d =>
+      val s = RCsv.formatDouble(d)
+      !s.contains("e-0") && !s.contains("e+0") && !s.endsWith(".0") &&
+        !s.contains("E")
+    }
+}

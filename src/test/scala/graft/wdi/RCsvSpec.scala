@@ -45,6 +45,23 @@ class RCsvSpec extends SparkSpec {
     assert(RCsv.formatDouble(100.25) == "100.25")
   }
 
+  test("formatDouble round-trips 1M random bit patterns (incl. subnormals)") {
+    val rng = new java.util.SplittableRandom(123)
+    var i = 0
+    var checked = 0
+    while (i < 1000000) {
+      val d = java.lang.Double.longBitsToDouble(rng.nextLong())
+      if (!d.isNaN && !d.isInfinite) {
+        val s = RCsv.formatDouble(d)
+        val back = java.lang.Double.parseDouble(s)
+        assert(back == d, s"$d -> $s -> $back")
+        checked += 1
+      }
+      i += 1
+    }
+    assert(checked > 900000)
+  }
+
   test("end-to-end sink: sd_by_country_dlog file matches golden shape and values") {
     val out = WdiPipelines
       .outputs(spark, RefDir, WdiPipelines.dlog)("sd_by_country_dlog")
