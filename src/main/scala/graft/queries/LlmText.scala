@@ -71,8 +71,8 @@ object LlmText {
       Tables.documents(s, d)
         .withColumn("w", split(col("text"), " "))
         .select(col("doc_id"),
-          size(col("w")).as("n_tokens"),
-          size(array_distinct(col("w"))).as("n_types"),
+          size(col("w")).cast("long").as("n_tokens"),
+          size(array_distinct(col("w"))).cast("long").as("n_types"),
           (aggregate(transform(col("w"), t => length(t)), lit(0), (acc, x) => acc + x)
             .cast("double") / size(col("w"))).as("avg_token_len"),
           (size(expr(s"filter(w, x -> x IN $stopList)")).cast("double") /
@@ -85,8 +85,8 @@ object LlmText {
     "text_token_count" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
-          size(split(col("text"), " ")).as("ws_tokens"),
-          expr("regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')").as("re_tokens"))
+          size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+          expr("regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')").cast("long").as("re_tokens"))
         .orderBy("doc_id")),
 
     // ---- document fingerprinting: content digest + min rolling 8-gram digest ----
@@ -112,7 +112,7 @@ object LlmText {
         .select(col("event_id"), col("user_id"),
           sum(col("new_session")).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .as("session_id"))
+            .cast("long").as("session_id"))
         .orderBy("event_id")
     }),
 
@@ -146,7 +146,7 @@ object LlmText {
       Tables.documents(s, d)
         .withColumn("payload", encode(col("text"), "UTF-8"))
         .select(col("doc_id"),
-          length(col("payload")).as("n_bytes"),
+          length(col("payload")).cast("long").as("n_bytes"),
           (col("n_chars") % 640).as("fake_width"),
           ((col("n_chars") * 7) % 480).as("fake_height"),
           ascii(substring(col("text"), 1, 1)).as("first_byte"))
@@ -204,8 +204,8 @@ object LlmText {
         |         THEN 1 ELSE 0 END AS new_session
         |  FROM w)
         |SELECT event_id, user_id,
-        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM f ORDER BY event_id""".stripMargin,
     "text_langid" -> {
       def sc(l: String) =

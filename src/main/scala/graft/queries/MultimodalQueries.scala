@@ -25,7 +25,7 @@ object MultimodalQueries {
     "mm_frame_sample" -> ((s, d) =>
       Multimodal.sampleFrames(media(s, d), stride = 4)
         .select(col("media_id"), col("frame_idx"), col("container"),
-          length(col("frame_bytes")).as("frame_len"))
+          length(col("frame_bytes")).cast("long").as("frame_len"))
         .orderBy("media_id", "frame_idx")),
 
     // metadata-level resize with aspect-preserving scale

@@ -156,8 +156,10 @@ object Relational {
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
       Tables.customer(s, d)
         .join(bigOrders, col("c_custkey") === col("o_custkey"), "left")
-        .select(col("c_custkey"), col("o_orderkey"),
-          col("o_totalprice").cast("decimal(18,2)").cast("double").as("o_totalprice"))
+        .select(col("c_custkey"),
+          coalesce(col("o_orderkey"), lit(-1L)).as("o_orderkey"),
+          coalesce(col("o_totalprice").cast("decimal(18,2)").cast("double"),
+            lit(0.0)).as("o_totalprice"))
         .orderBy("c_custkey", "o_orderkey")
     }),
 
@@ -392,8 +394,8 @@ object Relational {
         |JOIN region ON n_regionkey = r_regionkey
         |ORDER BY c_custkey""".stripMargin,
     "j3_left_join" ->
-      """SELECT c_custkey, o_orderkey,
-        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+      """SELECT c_custkey, coalesce(o_orderkey, -1) AS o_orderkey,
+        |  coalesce(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 0.0) AS o_totalprice
         |FROM customer
         |LEFT JOIN (SELECT o_custkey, o_orderkey, o_totalprice FROM orders
         |           WHERE o_totalprice > 400000.0) o ON c_custkey = o.o_custkey

@@ -102,7 +102,7 @@ object VectorOps {
       .select(col("qid"), col("nid"), cosine(col("qe"), col("e")).as("c"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)
-      .select(col("qid"), col("rnk"), col("nid"), round(col("c"), 6).as("cos"))
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nid"), round(col("c"), 6).as("cos"))
       .orderBy("qid", "rnk")
   }
 
@@ -169,7 +169,7 @@ object VectorOps {
       val w = Window.partitionBy("qid").orderBy(col("c").desc, col("nid"))
       scored.withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
-        .select(col("qid"), col("rnk"), col("nid"), round(col("c"), 6).as("cos"))
+        .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nid"), round(col("c"), 6).as("cos"))
         .orderBy("qid", "rnk")
     }),
 
@@ -197,7 +197,7 @@ object VectorOps {
         .select(col("qid"), col("nid"), cosine(col("qe"), col("e")).as("c"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
-        .select(col("qid"), col("rnk"), col("nid"), round(col("c"), 6).as("cos"))
+        .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nid"), round(col("c"), 6).as("cos"))
         .orderBy("qid", "rnk")
     }),
 

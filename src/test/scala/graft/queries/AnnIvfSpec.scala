@@ -10,7 +10,7 @@ class AnnIvfSpec extends SparkSpec {
 
   test("IVF top-k contains the brute-force top-1 for most queries") {
     val exact = VectorOps.queries("sim_cosine_topk")(spark, Sf)
-      .collect().filter(_.getAs[Int]("rnk") == 1)
+      .collect().filter(_.getAs[Long]("rnk") == 1L)
       .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("nid")).toMap
     val ivf = VectorOps.queries("ann_ivf_topk")(spark, Sf)
       .collect().groupBy(_.getAs[Long]("qid"))

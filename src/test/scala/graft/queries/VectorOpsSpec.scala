@@ -11,7 +11,7 @@ class VectorOpsSpec extends SparkSpec {
 
   test("sign-LSH top-k finds the brute-force top-1 for most queries") {
     val exact = VectorOps.queries("sim_cosine_topk")(spark, Sf)
-      .collect().filter(_.getAs[Int]("rnk") == 1)
+      .collect().filter(_.getAs[Long]("rnk") == 1L)
       .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("nid")).toMap
     val approx = VectorOps.queries("ann_lsh_topk")(spark, Sf)
       .collect().groupBy(_.getAs[Long]("qid"))
