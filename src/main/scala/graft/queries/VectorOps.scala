@@ -59,7 +59,8 @@ object VectorOps {
       seed: Long): DataFrame = {
     import spark.implicits._
     val planes = hyperplanes(kBits * nTables, dim = 64, seed)
-    emb.as[(Long, Array[Double])].flatMap { case (id, e) =>
+    emb.repartition(col("vec_id")) // parallelize the CPU-bound signature pass
+      .as[(Long, Array[Double])].flatMap { case (id, e) =>
       (0 until nTables).map { tbl =>
         var b = 0
         var p = 0
@@ -218,7 +219,9 @@ object VectorOps {
       val rows = nHash / nBands
       val seeds = Hashing.seeds(nHash, seed = 42L)
       val bands = Tables.documents(s, d)
-        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .select(col("doc_id"), col("text"))
+        .repartition(col("doc_id")) // parallelize the CPU-bound signature pass
+        .as[(Long, String)]
         .flatMap { case (id, text) =>
           val mins = Array.fill(nHash)(Long.MaxValue)
           shingles3(text).foreach { sh =>
@@ -288,7 +291,9 @@ object VectorOps {
       val spark = s
       import spark.implicits._
       val segs = Tables.documents(s, d)
-        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .select(col("doc_id"), col("text"))
+        .repartition(col("doc_id")) // parallelize the CPU-bound signature pass
+        .as[(Long, String)]
         .flatMap { case (id, text) =>
           val counts = new Array[Int](64)
           text.split(' ').foreach { tok =>
