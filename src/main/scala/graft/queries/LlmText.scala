@@ -139,6 +139,43 @@ object LlmText {
         .orderBy("doc_id")
     }),
 
+    // ---- deterministic hash sampling: reproducible corpus subsets ----
+    // Content-hash bucketing (md5 leading byte) instead of RNG sampling:
+    // the same document always lands in the same split, independent of
+    // partitioning, cluster size, or run order — the property training-data
+    // pipelines need for stable held-out sets.
+    "sample_hash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(substring(md5(col("text")), 1, 2) < "1a") // hex-lex == numeric
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")),
+
+    // ---- stratified top-n: per-language quota selection ----
+    "strat_topn" -> ((s, d) => {
+      val w = Window.partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("lang", "rk")
+    }),
+
+    // ---- sequence packing: greedy context-window assignment ----
+    // Documents stream in doc_id order; a running token total assigns each
+    // to a training context ("bin") of budget 2048 tokens. One window pass
+    // per shard key (lang) — the standard pre-tokenization packing shape.
+    "pack_sequences" -> ((s, d) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          floor((col("cum_tokens") - 1) / 2048).cast("long").as("bin_id"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal plumbing: opaque binary column + typed metadata ----
     // Decode itself is stubbed (no codec libs in env); the Spark-side schema,
     // binary handling, and deterministic metadata extraction are real.
@@ -224,6 +261,30 @@ object LlmText {
          |  greatest(s_de, s_en, s_es, s_fr) AS hits
          |FROM t ORDER BY doc_id""".stripMargin
     },
+    "sample_hash" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substring(md5(text), 1, 2) < '1a' 
+        |ORDER BY doc_id""".stripMargin,
+    "strat_topn" ->
+      """SELECT doc_id, lang, n_chars, rk FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST((cum_tokens - 1) // 2048 AS BIGINT) AS bin_id
+        |FROM c ORDER BY doc_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id,
         |  octet_length(encode(text)) AS n_bytes,
