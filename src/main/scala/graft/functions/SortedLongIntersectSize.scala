@@ -43,11 +43,15 @@ case class SortedLongIntersectSize(left: Expression, right: Expression)
     val n1 = x.numElements()
     val n2 = y.numElements()
     while (i < n1 && j < n2) {
-      val xv = x.getLong(i)
-      val yv = y.getLong(j)
-      if (xv == yv) { c += 1; i += 1; j += 1 }
-      else if (xv < yv) i += 1
-      else j += 1
+      if (x.isNullAt(i)) i += 1 // null elements never match
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val xv = x.getLong(i)
+        val yv = y.getLong(j)
+        if (xv == yv) { c += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -63,11 +67,15 @@ case class SortedLongIntersectSize(left: Expression, right: Expression)
          |int $i = 0, $j = 0, $c = 0;
          |int n1$c = $a.numElements(), n2$c = $b.numElements();
          |while ($i < n1$c && $j < n2$c) {
-         |  long $xv = $a.getLong($i);
-         |  long $yv = $b.getLong($j);
-         |  if ($xv == $yv) { $c++; $i++; $j++; }
-         |  else if ($xv < $yv) $i++;
-         |  else $j++;
+         |  if ($a.isNullAt($i)) { $i++; }
+         |  else if ($b.isNullAt($j)) { $j++; }
+         |  else {
+         |    long $xv = $a.getLong($i);
+         |    long $yv = $b.getLong($j);
+         |    if ($xv == $yv) { $c++; $i++; $j++; }
+         |    else if ($xv < $yv) $i++;
+         |    else $j++;
+         |  }
          |}
          |${ev.value} = $c;
        """.stripMargin

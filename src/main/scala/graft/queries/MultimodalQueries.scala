@@ -38,12 +38,15 @@ object MultimodalQueries {
 
   val oracles: Map[String, String] = Map(
     "mm_features" -> {
-      val bins = (0 until 16).map(b =>
-        s"round(len(list_filter(chars, c -> ascii(c) // 16 = $b))::DOUBLE / greatest(len(text), 1), 6) AS bin_$b")
-        .mkString(",\n  ")
+      // byte-exact: histogram the UTF-8 payload's high nibbles via the hex
+      // encoding (odd positions = high nibble chars), like the Spark side
+      val bins = (0 until 16).map { b =>
+        val nib = Integer.toHexString(b).toUpperCase
+        s"round(len(list_filter(range(0, n), i -> substring(hx, 2*i + 1, 1) = '$nib'))::DOUBLE / greatest(n, 1), 6) AS bin_$b"
+      }.mkString(",\n  ")
       s"""WITH t AS (
-         |  SELECT doc_id AS media_id, text,
-         |         string_split(text, '') AS chars
+         |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         |         octet_length(encode(text)) AS n
          |  FROM documents)
          |SELECT media_id,
          |  $bins

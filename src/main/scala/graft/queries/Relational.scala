@@ -43,6 +43,9 @@ object Relational {
       val agg = Tables.lineitem(s, d).groupBy("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
       val tmp = java.nio.file.Files.createTempDirectory("graft_s2").toString
+      sys.addShutdownHook { // the lazy re-read needs the files until exit
+        new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+      }
       agg.coalesce(1).write.mode("overwrite").option("header", true).csv(tmp)
       s.read.option("header", true)
         .schema("l_returnflag STRING, l_linestatus STRING, n BIGINT, sum_price DOUBLE")
@@ -468,7 +471,7 @@ object Relational {
         |  abs(l_discount - 0.05) AS abs_disc,
         |  CAST(ceil(l_quantity) AS BIGINT) AS ceil_qty,
         |  CAST(floor(l_quantity) AS BIGINT) AS floor_qty,
-        |  CAST(l_quantity AS INT) AS int_qty,
+        |  CAST(trunc(l_quantity) AS INT) AS int_qty,
         |  l_returnflag || '-' || l_linestatus AS flag_status,
         |  upper(l_returnflag) AS uflag,
         |  substring(l_linestatus, 1, 1) AS ls1,

@@ -27,7 +27,7 @@ object VectorOps {
 
   /** Distinct word 3-gram shingles; whole text when shorter than 3 tokens. */
   private[queries] def shingles3(text: String): Array[String] = {
-    val toks = text.split(' ')
+    val toks = text.split(" ", -1) // keep trailing empties: Spark/DuckDB split semantics
     if (toks.length < 3) Array(text)
     else (0 to toks.length - 3)
       .map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").distinct.toArray

@@ -139,7 +139,7 @@ object WdiQueries {
        |  FROM wide
        |)
        |SELECT d.*, r.region
-       |FROM derived d JOIN (VALUES $regionValues) r(code, region)
+       |FROM derived d LEFT JOIN (VALUES $regionValues) r(code, region)
        |  ON d.country_code = r.code
        |ORDER BY country_code, year""".stripMargin
   }

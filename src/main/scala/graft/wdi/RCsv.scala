@@ -6,8 +6,9 @@ import org.apache.spark.sql.types.DoubleType
 
 /** CSV sink with R `readr::write_csv` numeric formatting (S2,
   * detrendandstat_quad.R:214-216): shortest round-trip digits, fixed vs
-  * scientific chosen by width (ties → fixed, matching the golden files,
-  * e.g. `-0.0010895572142160998` fixed vs `-6.060884346639502e-4` sci),
+  * scientific chosen by exponent range (fixed for 1e-3 <= |v| < 1e15 —
+  * the boundary the golden files pin, e.g. `-0.0010895572142160998`
+  * fixed vs `-6.060884346639502e-4` sci),
   * unpadded exponent, integers without a trailing `.0`, nulls as `NA`.
   */
 object RCsv {
@@ -68,5 +69,6 @@ object RCsv {
     if (target.getParent != null) java.nio.file.Files.createDirectories(target.getParent)
     java.nio.file.Files.move(part.toPath, target,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
   }
 }

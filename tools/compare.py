@@ -28,6 +28,10 @@ def main(sf_dir: str, out_dir: str) -> None:
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(f"{out_dir}/{d}"))
     n_pass = n_fail = n_noracle = 0
+    missing = sorted(set(oracle) - set(names))
+    for name in missing:
+        n_fail += 1
+        print(f"{name:28s} MISSING (query crashed in Verify?)")
     for name in names:
         spark_df = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
         if name not in oracle:
