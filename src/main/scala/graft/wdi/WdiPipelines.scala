@@ -45,10 +45,17 @@ object WdiPipelines {
   private val cycleCache =
     scala.collection.concurrent.TrieMap[(String, String, String), DataFrame]()
 
+  /** The cleaned wide table is variant-independent: cache it once per
+    * (session, dir) so the four detrend variants share one front-half run. */
+  private def frontHalfCached(spark: SparkSession, dir: String): DataFrame =
+    cycleCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir, "__wide__"),
+      WdiEtl.frontHalf(spark, dir).persist())
+
   def cycles(spark: SparkSession, dir: String, v: Variant): DataFrame =
     cycleCache.getOrElseUpdate(
       (spark.sparkContext.applicationId, dir, v.key),
-      v.makeCycles(WdiEtl.frontHalf(spark, dir)).persist())
+      v.makeCycles(frontHalfCached(spark, dir)).persist())
 
   /** All seven outputs of one variant, keyed by golden file stem. */
   def outputs(spark: SparkSession, dir: String, v: Variant): Map[String, DataFrame] = {
