@@ -1,0 +1,27 @@
+package graft
+
+/** Plan-shape regression net over every registered query: no query may plan
+  * a cartesian product, and nested-loop joins are allowed only where they
+  * are the intended shape (a broadcast query-sample joined on a non-equi
+  * condition). This is the failure mode that silently turns a banded join
+  * into all-pairs when join keys stop resolving.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  // non-equi broadcast joins by design (tiny broadcast side)
+  private val nestedLoopAllowed = Set("sim_cosine_topk", "ann_lsh_topk", "ann_ivf_topk")
+
+  test("no registered query plans a cartesian product") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, Sf).queryExecution.executedPlan.toString
+      val cartesian = plan.contains("CartesianProduct")
+      val bnlj = plan.contains("BroadcastNestedLoopJoin") &&
+        !nestedLoopAllowed.contains(name)
+      if (cartesian || bnlj) Some(s"$name: ${if (cartesian) "CartesianProduct" else "BroadcastNestedLoopJoin"}")
+      else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+}
