@@ -41,7 +41,8 @@ object LlmText {
         .agg(count(lit(1)).as("dup_count"), min(col("doc_id")).as("keep_id"))
         .orderBy("fp")),
 
-    // ---- blocked n-gram jaccard similarity join (same length-bucket only) ----
+    // ---- blocked token-set jaccard similarity join (same length-bucket only;
+    //      n-gram/shingle jaccard is the minhash query's verify step) ----
     // Token sets are 64-bit-hashed once per doc (long compares beat string
     // compares in the intersect; injective modulo ~2^-64 collisions, so the
     // jaccard values are the oracle's), and a size-ratio prefilter discards
