@@ -132,6 +132,49 @@ object Relational {
       a.unionByName(b).orderBy("n_nationkey")
     }),
 
+    // ---- U2/U3: intersect / except (general set-op capability) ----
+    "u2_intersect" -> ((s, d) => {
+      val a = Tables.orders(s, d).filter(col("o_totalprice") > 100000.0)
+        .select("o_custkey")
+      val b = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey")
+      a.intersect(b).orderBy("o_custkey")
+    }),
+    "u3_except" -> ((s, d) => {
+      val a = Tables.part(s, d).select("p_partkey")
+      val b = Tables.lineitem(s, d).filter(col("l_quantity") > 45)
+        .select(col("l_partkey").as("p_partkey"))
+      a.except(b).orderBy("p_partkey")
+    }),
+
+    // ---- S3: JSONL sink + scan roundtrip (training-data interchange) ----
+    "s3_jsonl_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s3").toString
+      sys.addShutdownHook {
+        new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+      }
+      docs.write.mode("overwrite").json(tmp)
+      s.read.schema("doc_id BIGINT, lang STRING, n_chars BIGINT").json(tmp)
+        .orderBy("doc_id")
+    }),
+
+    // ---- X1: skew-safe two-stage (salted) aggregation ----
+    // The 100 TB pattern for hot keys: partial-aggregate on (key, salt),
+    // then final-aggregate on key — results identical to a plain groupBy,
+    // shuffle pressure spread across `salt` reducers per hot key.
+    "x1_salted_agg" -> ((s, d) => {
+      val partial = Tables.events(s, d)
+        .withColumn("salt", pmod(col("event_id"), lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(count(lit(1)).as("pn"),
+          sum(col("value").cast("decimal(18,6)")).as("pv"))
+      partial.groupBy("event_type")
+        .agg(sum(col("pn")).as("n"),
+          sum(col("pv")).cast("double").as("total_value"))
+        .orderBy("event_type")
+    }),
+
     // ---- J1: semi-join (reference: detrendandstat_quad.R:103-110) ----
     "j1_semi_join" -> ((s, d) => {
       val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 100000.0)
@@ -385,6 +428,26 @@ object Relational {
         |UNION ALL
         |SELECT n_nationkey, n_name FROM nation WHERE n_regionkey >= 2
         |ORDER BY n_nationkey""".stripMargin,
+    "u2_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_custkey""".stripMargin,
+    "u3_except" ->
+      """SELECT p_partkey FROM part
+        |EXCEPT
+        |SELECT l_partkey FROM lineitem WHERE l_quantity > 45
+        |ORDER BY p_partkey""".stripMargin,
+    "s3_jsonl_roundtrip" ->
+      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+    "x1_salted_agg" ->
+      """WITH p AS (
+        |  SELECT event_type, event_id % 16 AS salt, count(*) AS pn,
+        |         sum(CAST(value AS DECIMAL(18,6))) AS pv
+        |  FROM events GROUP BY event_type, event_id % 16)
+        |SELECT event_type, CAST(sum(pn) AS BIGINT) AS n,
+        |       CAST(sum(pv) AS DOUBLE) AS total_value
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
     "j1_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
