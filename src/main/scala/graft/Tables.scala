@@ -21,9 +21,13 @@ object Tables {
   /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
     * rejects; read nanos as long and normalize to epoch micros (the data has
     * no sub-microsecond component, so this matches DuckDB's TIMESTAMP view
-    * value- and order-wise). */
+    * value- and order-wise). Requires `spark.sql.legacy.parquet.nanosAsLong`
+    * =true, set once at session construction (Bench/Verify/Smoke/SparkSpec
+    * builders) — a loader must not mutate session-global conf as a side
+    * effect of building a query. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session build to read events.parquet")
     table(s, d, "events").withColumn("ts", org.apache.spark.sql.functions.expr("ts div 1000"))
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")

@@ -197,9 +197,12 @@ object Grisu2 {
   }
 
   /** `%.17g` fallback: 17 correctly-rounded significant digits, trailing
-    * zeros stripped (exact via BigDecimal on the binary value). */
+    * zeros stripped (exact via BigDecimal on the binary value). Rounding is
+    * HALF_EVEN to match C's %g (and hence R's formatter) on exact-tie
+    * digits; MathContext's default HALF_UP would diverge on those ties. */
   private def fallback17(v: Double): (String, Int) = {
-    val bd = new java.math.BigDecimal(v).round(new java.math.MathContext(17))
+    val bd = new java.math.BigDecimal(v).round(
+      new java.math.MathContext(17, java.math.RoundingMode.HALF_EVEN))
     val unscaled = bd.unscaledValue.toString
     val exp10 = unscaled.length - 1 - bd.scale
     val stripped = unscaled.reverse.dropWhile(_ == '0').reverse
