@@ -9,8 +9,19 @@ import org.apache.spark.sql.SparkSession
   * evaluated, nothing collected to the driver) — `.count()` would let
   * Catalyst prune the projection and under-measure. Failures are recorded as
   * negative time plus an "errors" map instead of being swallowed.
+  *
+  * Per query the reported time is the MEDIAN of SPARK_GRAFT_BENCH_RUNS
+  * (default 3) back-to-back materializations: a long 32-way session
+  * accumulates GC/scheduler contention that can inflate a single reading
+  * ~3x over the query's isolated cost (round 2 measured 28.8 s for an
+  * 8.5 s query), and the median of three is robust to one such spike.
   */
 object Bench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.length / 2) // odd run counts: exact middle; even: upper middle
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -29,18 +40,24 @@ object Bench {
       .format("noop").mode("overwrite").save()
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch {
+      val times = scala.collection.mutable.ArrayBuffer[Double]()
+      var r = 0
+      while (r < runs && !errors.contains(name)) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          times += (System.nanoTime() - t0) / 1e9
+        } catch {
           case e: Throwable =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-            false
+            times += (System.nanoTime() - t0) / 1e9
         }
-      val dt = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) dt else -dt)
+        r += 1
+      }
+      name -> (if (errors.contains(name)) -times.last else median(times.toSeq))
     }
     def jstr(s: String): String = Json.str(s)
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
