@@ -92,18 +92,29 @@ case class SortedLongIntersectSize(left: Expression, right: Expression)
 object GraftFunctions {
   val info = new ExpressionInfo(
     classOf[SortedLongIntersectSize].getName, "sorted_intersect_size")
+  val mrhInfo = new ExpressionInfo(
+    classOf[MinRollingHash].getName, "min_rolling_hash")
 
   def builder(args: Seq[Expression]): Expression =
     SortedLongIntersectSize(args(0), args(1))
+  def mrhBuilder(args: Seq[Expression]): Expression =
+    MinRollingHash(args(0))
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_size", builder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "min_rolling_hash", mrhBuilder, "scala_udf")
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (FunctionIdentifier("sorted_intersect_size"), GraftFunctions.info,
         GraftFunctions.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("min_rolling_hash"), GraftFunctions.mrhInfo,
+        GraftFunctions.mrhBuilder))
+  }
 }

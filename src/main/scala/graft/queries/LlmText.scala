@@ -90,16 +90,18 @@ object LlmText {
           expr("regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')").cast("long").as("re_tokens"))
         .orderBy("doc_id")),
 
-    // ---- document fingerprinting: content digest + min rolling 8-gram digest ----
-    "text_fingerprint" -> ((s, d) =>
+    // ---- document fingerprinting: content digest + min rolling 8-gram hash ----
+    // One O(n) Rabin-Karp pass per document (native codegen expression,
+    // graft.functions.MinRollingHash) instead of one md5 per character;
+    // the oracle mirrors the same polynomial as a nested SQL expression.
+    "text_fingerprint" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
       Tables.documents(s, d)
         .select(col("doc_id"),
           md5(col("text")).as("content_md5"),
-          when(length(col("text")) >= 8,
-            array_min(expr(
-              "transform(sequence(1, length(text) - 7), i -> md5(substring(text, i, 8)))")))
-            .otherwise(md5(col("text"))).as("min_shingle_md5"))
-        .orderBy("doc_id")),
+          expr("min_rolling_hash(text)").as("min_shingle_hash"))
+        .orderBy("doc_id")
+    }),
 
     // ---- sessionization: 30-min-gap sessions per user (events table) ----
     "events_sessionize" -> ((s, d) => {
@@ -224,13 +226,25 @@ object LlmText {
         |  len(string_split(text, ' ')) AS ws_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS re_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "text_fingerprint" ->
-      """SELECT doc_id, md5(text) AS content_md5,
-        |  CASE WHEN len(text) >= 8
-        |    THEN list_aggregate(list_transform(range(1, len(text) - 7 + 1),
-        |                                       i -> md5(substring(text, i, 8))), 'min')
-        |    ELSE md5(text) END AS min_shingle_md5
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" -> {
+      // Same polynomial as MinRollingHash: B=257, M=1e9+7, 8-codepoint
+      // windows, reduced into [0, M) at every step so values are identical.
+      def u(off: Int) =
+        if (off == 0) "unicode(substring(text, i, 1))::BIGINT"
+        else s"unicode(substring(text, i + $off, 1))::BIGINT"
+      val poly8 = (1 until 8).foldLeft(u(0)) { (acc, j) =>
+        s"(($acc) * 257 + ${u(j)}) % 1000000007"
+      }
+      s"""SELECT doc_id, md5(text) AS content_md5,
+         |  CASE WHEN len(text) >= 8
+         |    THEN list_aggregate(list_transform(range(1, len(text) - 7 + 1),
+         |                                       i -> $poly8), 'min')
+         |    ELSE list_reduce(list_transform(range(1, len(text) + 1),
+         |                                    i -> ${u(0)}),
+         |                     (acc, x) -> (acc * 257 + x) % 1000000007)
+         |  END AS min_shingle_hash
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "events_sessionize" ->
       """WITH w AS (
         |  SELECT event_id, user_id, ts,

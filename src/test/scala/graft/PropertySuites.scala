@@ -60,3 +60,27 @@ object RCsvProps extends Properties("RCsv") {
         !s.contains("E")
     }
 }
+
+object MinRollingHashProps extends Properties("MinRollingHash") {
+  import graft.functions.RollingHash.{B, M, W, eval}
+
+  /** Naive O(n*w) reference: polynomial hash of every window, then min. */
+  private def naive(s: String): Long = {
+    val cps = s.codePoints().toArray
+    def poly(from: Int, len: Int): Long =
+      (from until from + len).foldLeft(0L)((h, i) => (h * B + cps(i)) % M)
+    if (cps.length <= W) poly(0, cps.length)
+    else (0 to cps.length - W).map(poly(_, W)).min
+  }
+
+  private val text: Gen[String] = Gen.oneOf(
+    Gen.listOf(Gen.alphaNumChar).map(_.mkString),
+    Gen.listOf(Gen.oneOf('a', 'b', ' ')).map(_.mkString), // low-entropy
+    Gen.listOf(Gen.choose(32.toChar, 0x2FFF.toChar)).map(_.mkString))
+
+  property("rolling eval equals naive windowed polynomial") =
+    Prop.forAll(text) { s => eval(s) == naive(s) }
+
+  property("values lie in [0, M)") =
+    Prop.forAll(text) { s => val h = eval(s); h >= 0 && h < M }
+}
