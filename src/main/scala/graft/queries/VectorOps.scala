@@ -50,6 +50,42 @@ object VectorOps {
     Array.fill(nPlanes, dim)(if (rng.nextBoolean()) 1.0 else -1.0)
   }
 
+  /** embeddings as (vec_id, e: array<double>). */
+  private def embOf(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+
+  /** Exact brute-force cosine top-k: broadcast the (small) query sample,
+    * scan the corpus once. Linear in corpus size — the exact baseline. */
+  private[queries] def bruteForceTopK(emb: DataFrame, topK: Int): DataFrame = {
+    val q = broadcast(emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("e").as("qe")))
+    val scored = emb.join(q, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), cosine(col("qe"), col("e")).as("c"))
+    val w = Window.partitionBy("qid").orderBy(col("c").desc, col("nid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nid"),
+        round(col("c"), 6).as("cos"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** One-row recall certificate: fraction of query points whose exact top-1
+    * neighbor appears in the approximate top-k, gated at `floor`. The DuckDB
+    * oracle states the expected outcome from the data alone (`n_queries` =
+    * size of the query sample, `recall_ok` = true), so a recall regression in
+    * the approximate path flips the boolean and fails the driver's hash
+    * compare — converting the test-only recall pin into a driver-green row. */
+  private def recallGate(exact: DataFrame, approx: DataFrame, floor: Double): DataFrame = {
+    val top1 = exact.filter(col("rnk") === 1).select(col("qid"), col("nid").as("top1"))
+    val perQuery = top1.join(approx.select(col("qid"), col("nid")), Seq("qid"), "left")
+      .groupBy("qid")
+      .agg(max(when(col("nid") === col("top1"), 1).otherwise(0)).as("hit"))
+    perQuery.agg(
+      count(lit(1)).cast("long").as("n_queries"),
+      (sum("hit").cast("double") / count(lit(1)) >= floor).as("recall_ok"))
+  }
+
   /** Multi-table sign-LSH signatures: one (id, table, bucket) row per table. */
   private def lshSignatures(
       spark: SparkSession,
@@ -75,6 +111,73 @@ object VectorOps {
         (id, tbl, b)
       }
     }.toDF("vec_id", "tbl", "bucket")
+  }
+
+  /** Approximate sign-LSH top-k over the `vec_id % 50 == 0` query sample:
+    * candidates from bucket collisions in any of 24 tables, exact cosine +
+    * rank on candidates only. */
+  private[queries] def annLshTopK(s: SparkSession, emb: DataFrame): DataFrame = {
+    val sigs = lshSignatures(s, emb, kBits = 5, nTables = 24, seed = 42L)
+    // Same query set as the brute-force baseline; LSH prunes the corpus
+    // side to bucket collisions instead of scanning all n per query.
+    val qSigs = sigs.filter(col("vec_id") % 50 === 0)
+    val cand = qSigs.as("x").join(sigs.as("y"), Seq("tbl", "bucket"))
+      .filter(col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("qid"), col("y.vec_id").as("nid"))
+      .distinct()
+    val q = emb.select(col("vec_id").as("qid"), col("e").as("qe"))
+    val n = emb.select(col("vec_id").as("nid"), col("e"))
+    val w = Window.partitionBy("qid").orderBy(col("c").desc, col("nid"))
+    cand.join(q, "qid").join(n, "nid")
+      .select(col("qid"), col("nid"), cosine(col("qe"), col("e")).as("c"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nid"),
+        round(col("c"), 6).as("cos"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** 64-bit Charikar SimHash of whitespace tokens (one pass per document). */
+  private def simhash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    text.split(' ').foreach { tok =>
+      val h = Hashing.hash64(tok)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** Per-document SimHash signatures: one (doc_id, simhash) row per doc. */
+  private[queries] def simhashDocSigs(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .repartition(col("doc_id")) // parallelize the CPU-bound signature pass
+      .as[(Long, String)]
+      .map { case (id, text) => (id, simhash64(text)) }
+      .toDF("doc_id", "simhash")
+  }
+
+  /** Blocked hamming<=3 pairs: 4x16-bit segment-equality grouping (lossless
+    * by pigeonhole — hamming<=3 leaves at least one of 4 segments intact). */
+  private[queries] def simhashBlockedPairs(sigs: DataFrame): DataFrame = {
+    val segs = sigs.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("seg_id"))
+      .withColumn("seg_val", expr("shiftrightunsigned(simhash, seg_id * 16) & 65535"))
+    segs.as("x").join(segs.as("y"),
+        col("x.seg_id") === col("y.seg_id") && col("x.seg_val") === col("y.seg_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
   }
 
   /** IVF top-k: k-means codebook + inverted-file probe.
@@ -160,46 +263,24 @@ object VectorOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact ANN baseline: brute-force cosine top-3 for sampled queries ----
-    "sim_cosine_topk" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      val q = broadcast(emb.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("e").as("qe")))
-      val scored = emb.join(q, col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("nid"), cosine(col("qe"), col("e")).as("c"))
-      val w = Window.partitionBy("qid").orderBy(col("c").desc, col("nid"))
-      scored.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
-        .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nid"), round(col("c"), 6).as("cos"))
-        .orderBy("qid", "rnk")
-    }),
+    "sim_cosine_topk" -> ((s, d) => bruteForceTopK(embOf(s, d), topK = 3)),
 
     // ---- approximate ANN: multi-table sign-LSH, compare within buckets ----
     // Standard OR-amplification: L tables of k hyperplane sign bits each; a
     // pair is a candidate if it collides in ANY table (recall ~1-(1-p^k)^L).
     // The signature table carries only (id, table, bucket) — candidate
     // generation shuffles ids, never embeddings. No SQL oracle (hyperplanes
-    // live in code); recall vs brute force is pinned in VectorOpsSpec.
-    "ann_lsh_topk" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      val sigs = lshSignatures(s, emb, kBits = 5, nTables = 24, seed = 42L)
-      // Same query set as the brute-force baseline; LSH prunes the corpus
-      // side to bucket collisions instead of scanning all n per query.
-      val qSigs = sigs.filter(col("vec_id") % 50 === 0)
-      val cand = qSigs.as("x").join(sigs.as("y"), Seq("tbl", "bucket"))
-        .filter(col("x.vec_id") =!= col("y.vec_id"))
-        .select(col("x.vec_id").as("qid"), col("y.vec_id").as("nid"))
-        .distinct()
-      val q = emb.select(col("vec_id").as("qid"), col("e").as("qe"))
-      val n = emb.select(col("vec_id").as("nid"), col("e"))
-      val w = Window.partitionBy("qid").orderBy(col("c").desc, col("nid"))
-      cand.join(q, "qid").join(n, "nid")
-        .select(col("qid"), col("nid"), cosine(col("qe"), col("e")).as("c"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
-        .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nid"), round(col("c"), 6).as("cos"))
-        .orderBy("qid", "rnk")
+    // live in code); recall vs brute force is driver-checked by
+    // ann_lsh_recall_gate and pinned in VectorOpsSpec.
+    "ann_lsh_topk" -> ((s, d) => annLshTopK(s, embOf(s, d))),
+
+    // ---- driver-green recall gate for ann_lsh_topk ----
+    // Exact top-1 (brute force, in-Spark) joined against the approximate
+    // top-3; emits (n_queries, recall_ok). Oracle knows both values from the
+    // data alone, so the hash compare certifies recall >= 0.6 every round.
+    "ann_lsh_recall_gate" -> ((s, d) => {
+      val emb = embOf(s, d)
+      recallGate(bruteForceTopK(emb, 1), annLshTopK(s, emb), floor = 0.6)
     }),
 
     // ---- MinHash-LSH near-dup: 3-gram shingles, 128 hashes, 32 bands x 4 ----
@@ -264,10 +345,14 @@ object VectorOps {
     // query by exact cosine over only the nProbe nearest cells (~nProbe/k
     // of the corpus scanned). No SQL oracle (trained codebook); recall vs
     // brute force is pinned in VectorOpsSpec.
-    "ann_ivf_topk" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      annIvfTopK(s, emb, k = 16, nProbe = 4, topK = 3)
+    "ann_ivf_topk" -> ((s, d) =>
+      annIvfTopK(s, embOf(s, d), k = 16, nProbe = 4, topK = 3)),
+
+    // ---- driver-green recall gate for ann_ivf_topk (floor 0.5) ----
+    "ann_ivf_recall_gate" -> ((s, d) => {
+      val emb = embOf(s, d)
+      recallGate(bruteForceTopK(emb, 1),
+        annIvfTopK(s, emb, k = 16, nProbe = 4, topK = 3), floor = 0.5)
     }),
 
     // ---- embedding-cosine near-dup: sign-LSH banding + exact verify ----
@@ -286,41 +371,57 @@ object VectorOps {
     // segment-equality grouping finds every qualifying pair without an
     // all-pairs scan. Signature built in one pass per document (token
     // occurrences weighted, like the classic Charikar construction). No SQL
-    // oracle (hash family lives in code); pinned in VectorOpsSpec.
-    "dedup_simhash" -> ((s, d) => {
-      val spark = s
-      import spark.implicits._
-      val segs = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"))
-        .repartition(col("doc_id")) // parallelize the CPU-bound signature pass
-        .as[(Long, String)]
-        .flatMap { case (id, text) =>
-          val counts = new Array[Int](64)
-          text.split(' ').foreach { tok =>
-            val h = Hashing.hash64(tok)
-            var b = 0
-            while (b < 64) {
-              if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-              b += 1
-            }
-          }
-          var sig = 0L
-          var b = 0
-          while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
-          (0 until 4).map(k => (id, sig, k, (sig >>> (k * 16)) & 0xffffL))
-        }.toDF("doc_id", "simhash", "seg_id", "seg_val")
-      segs.as("x").join(segs.as("y"),
-          col("x.seg_id") === col("y.seg_id") && col("x.seg_val") === col("y.seg_val") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-          expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 3)
-        .orderBy("id_a", "id_b")
+    // oracle (hash family lives in code); driver-checked by
+    // dedup_simhash_exact_gate and pinned in VectorOpsSpec.
+    "dedup_simhash" -> ((s, d) =>
+      simhashBlockedPairs(simhashDocSigs(s, d)).orderBy("id_a", "id_b")),
+
+    // ---- driver-green exactness gate for dedup_simhash ----
+    // Segment blocking is lossless at hamming<=3 by pigeonhole, so the
+    // blocked pair set must EQUAL an independent all-pairs scan over the
+    // 8-byte signatures. The all-pairs join is test-scale verification only
+    // (it is the shape the blocked path exists to avoid at 100 TB); the
+    // oracle states the only acceptable outcome — zero set difference —
+    // plus n_docs as a data-dependent anchor.
+    "dedup_simhash_exact_gate" -> ((s, d) => {
+      val sigs = simhashDocSigs(s, d)
+      val blocked = simhashBlockedPairs(sigs)
+        .select("id_a", "id_b").withColumn("in_b", lit(1))
+      val exact = sigs.as("x")
+        .join(broadcast(sigs.as("y")), col("x.doc_id") < col("y.doc_id"))
+        .filter(expr("bit_count(x.simhash ^ y.simhash)") <= 3)
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .withColumn("in_e", lit(1))
+      val diff = blocked.join(exact, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("in_e").isNull, 1).otherwise(0)), lit(0))
+            .cast("long").as("n_only_blocked"),
+          coalesce(sum(when(col("in_b").isNull, 1).otherwise(0)), lit(0))
+            .cast("long").as("n_only_exact"))
+        .withColumn("sets_equal",
+          col("n_only_blocked") === 0 && col("n_only_exact") === 0)
+      val nDocs = sigs.agg(count(lit(1)).cast("long").as("n_docs"))
+        .withColumn("k", lit(1))
+      diff.withColumn("k", lit(1)).join(broadcast(nDocs), "k")
+        .select("n_docs", "n_only_blocked", "n_only_exact", "sets_equal")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // Gate oracles: the expected certificate is fully determined by the data
+    // (query-sample size / doc count) plus the contract that the gate holds
+    // (recall_ok / sets_equal = true). A quality regression flips the
+    // boolean on the Spark side and fails the hash compare.
+    "ann_lsh_recall_gate" ->
+      """SELECT count(*) AS n_queries, true AS recall_ok
+        |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+    "ann_ivf_recall_gate" ->
+      """SELECT count(*) AS n_queries, true AS recall_ok
+        |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+    "dedup_simhash_exact_gate" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |  0::BIGINT AS n_only_blocked, 0::BIGINT AS n_only_exact,
+        |  true AS sets_equal""".stripMargin,
     "sim_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id % 50 = 0),
