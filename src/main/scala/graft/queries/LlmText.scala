@@ -7,10 +7,15 @@ import graft.Tables
 
 /** Training-data-pipeline text operators over the `documents` table.
   *
-  * All shapes are 100 TB-safe: per-row expression work (whole-stage codegen)
-  * plus hash-grouped shuffles; near-dup joins are blocked/banded, never
-  * all-pairs. The all-pairs forms only appear in DuckDB oracle SQL (small SF)
-  * as ground truth for the banded Spark implementations.
+  * Scale shapes: per-row expression work (whole-stage codegen) plus
+  * hash-grouped shuffles; packing is a sharded two-phase prefix sum; near-dup
+  * joins are blocked/banded with a per-bucket cardinality guard, never
+  * unbounded all-pairs. The all-pairs forms only appear in DuckDB oracle SQL
+  * (small SF) as ground truth for the banded Spark implementations. Known
+  * residual: dedup_blocked_jaccard is quadratic WITHIN a length bucket by
+  * design (verification-scale semantics) — the guard turns a hot bucket into
+  * an explicit error instead of a silent O(m^2) stage; discovery-scale
+  * near-dup belongs to the MinHash/SimHash paths.
   */
 object LlmText {
 
@@ -24,6 +29,86 @@ object LlmText {
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
     "es" -> Seq("el", "los", "y", "es", "no", "para", "una", "del", "por", "como"),
     "fr" -> Seq("le", "la", "les", "et", "est", "pas", "pour", "dans", "une", "du"))
+
+  /** Greedy sequence packing as a distributed two-phase prefix sum.
+    *
+    * Semantics are EXACTLY a per-lang running token sum in doc_id order
+    * (bin_id = floor((cum-1)/budget)) — the same result a single
+    * `Window.partitionBy("lang")` would give, but that shape funnels each
+    * language's entire corpus through one reducer. Instead:
+    *
+    *  1. range-shard on doc_id (`shard = doc_id / shardSize`) — order-
+    *     preserving, so (shard, doc_id) sorts identically to doc_id;
+    *  2. local running sums per (lang, shard) window — parallel across
+    *     n_lang x n_shards partitions;
+    *  3. per-(lang, shard) token totals (one tiny row per shard) rolled
+    *     into per-lang EXCLUSIVE prefix offsets — a window over the small
+    *     shard-summary frame, not the data;
+    *  4. broadcast the offsets back; global cum = shard offset + local cum.
+    *
+    * `shardSize` bounds rows per window partition (pick ~1M at 100 TB so
+    * the offsets frame stays thousands of rows; 1024 here so small SFs
+    * exercise multiple shards per language).
+    */
+  private[queries] def packSequences(docs: DataFrame, budget: Long, shardSize: Long): DataFrame = {
+    val t = docs
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("shard", floor(col("doc_id") / shardSize))
+    val localW = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offW = Window.partitionBy("lang").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy("lang", "shard")
+      .agg(sum("n_tokens").as("shard_tokens"))
+      .withColumn("offset", coalesce(sum("shard_tokens").over(offW), lit(0L)))
+      .select("lang", "shard", "offset")
+    t.withColumn("local_cum", sum("n_tokens").over(localW))
+      .join(broadcast(offsets), Seq("lang", "shard"))
+      .withColumn("cum_tokens", col("offset") + col("local_cum"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        floor((col("cum_tokens") - 1) / budget).cast("long").as("bin_id"))
+  }
+
+  /** Blocked token-set jaccard with an enforced per-bucket cardinality cap.
+    *
+    * Token sets are 64-bit-hashed once per doc (long compares beat string
+    * compares in the intersect; injective modulo ~2^-64 collisions, so the
+    * jaccard values are the oracle's), and a size-ratio prefilter discards
+    * pairs that cannot reach 0.8 before the merge-intersect runs.
+    *
+    * The within-bucket self-join is quadratic BY DESIGN — this operator is
+    * candidate verification, not discovery. The guard makes that scoping
+    * enforceable: per-bucket doc counts ride a broadcast join, and any
+    * bucket over `maxBucketDocs` fails the job (in-plan `assert_true`, so
+    * the check needs no eager driver-side action) with a message pointing
+    * at the MinHash/SimHash discovery paths. */
+  private[queries] def blockedJaccard(s: SparkSession, docs: DataFrame,
+      maxBucketDocs: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = docs.select(
+      col("doc_id"), (col("n_chars") / 100).cast("long").as("bkt"),
+      array_sort(array_distinct(transform(split(col("text"), " "),
+        x => xxhash64(x)))).as("w"))
+    val counts = t.groupBy("bkt").agg(count(lit(1)).as("bkt_docs"))
+    val guarded = t.join(broadcast(counts), "bkt")
+      .filter(assert_true(col("bkt_docs") <= maxBucketDocs,
+        concat(lit("dedup_blocked_jaccard: length bucket "), col("bkt"),
+          lit(" holds "), col("bkt_docs"),
+          lit(s" docs (cap $maxBucketDocs); quadratic verification is not"),
+          lit(" meant for buckets this hot — use dedup_minhash_lsh or"),
+          lit(" dedup_simhash for discovery-scale near-dup"))).isNull)
+      .select(col("doc_id"), col("bkt"), col("w"))
+    val a = guarded.select(col("doc_id").as("id_a"), col("bkt"), col("w").as("wa"))
+    val b = guarded.select(col("doc_id").as("id_b"), col("bkt"), col("w").as("wb"))
+    a.join(b, Seq("bkt")).filter(col("id_a") < col("id_b"))
+      .filter(size(col("wa")) * 5 >= size(col("wb")) * 4 &&
+        size(col("wb")) * 5 >= size(col("wa")) * 4)
+      .withColumn("inter", expr("sorted_intersect_size(wa, wb)"))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("wa")) + size(col("wb")) - col("inter")))
+      .filter(col("jac") >= 0.8)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact dedup: hash-groupBy on content digest ----
@@ -41,31 +126,12 @@ object LlmText {
         .agg(count(lit(1)).as("dup_count"), min(col("doc_id")).as("keep_id"))
         .orderBy("fp")),
 
-    // ---- blocked token-set jaccard similarity join (same length-bucket only;
-    //      n-gram/shingle jaccard is the minhash query's verify step) ----
-    // Token sets are 64-bit-hashed once per doc (long compares beat string
-    // compares in the intersect; injective modulo ~2^-64 collisions, so the
-    // jaccard values are the oracle's), and a size-ratio prefilter discards
-    // pairs that cannot reach 0.8 (|A|/|B| must lie in [0.8, 1.25]) before
-    // the set intersection runs.
-    "dedup_blocked_jaccard" -> ((s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      val t = Tables.documents(s, d).select(
-        col("doc_id"), (col("n_chars") / 100).cast("long").as("bkt"),
-        array_sort(array_distinct(transform(split(col("text"), " "),
-          x => xxhash64(x)))).as("w"))
-      val a = t.select(col("doc_id").as("id_a"), col("bkt"), col("w").as("wa"))
-      val b = t.select(col("doc_id").as("id_b"), col("bkt"), col("w").as("wb"))
-      a.join(b, Seq("bkt")).filter(col("id_a") < col("id_b"))
-        .filter(size(col("wa")) * 5 >= size(col("wb")) * 4 &&
-          size(col("wb")) * 5 >= size(col("wa")) * 4)
-        .withColumn("inter", expr("sorted_intersect_size(wa, wb)"))
-        .withColumn("jac", col("inter").cast("double") /
-          (size(col("wa")) + size(col("wb")) - col("inter")))
-        .filter(col("jac") >= 0.8)
-        .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
-        .orderBy("id_a", "id_b")
-    }),
+    // ---- blocked token-set jaccard similarity join (same length-bucket
+    //      only; n-gram/shingle jaccard is the minhash query's verify step;
+    //      guarded against hot buckets — see blockedJaccard) ----
+    "dedup_blocked_jaccard" -> ((s, d) =>
+      blockedJaccard(s, Tables.documents(s, d), maxBucketDocs = 4096L)
+        .orderBy("id_a", "id_b")),
 
     // ---- quality scoring: length / stopword / alpha ratios ----
     "text_quality" -> ((s, d) =>
@@ -166,18 +232,12 @@ object LlmText {
 
     // ---- sequence packing: greedy context-window assignment ----
     // Documents stream in doc_id order; a running token total assigns each
-    // to a training context ("bin") of budget 2048 tokens. One window pass
-    // per shard key (lang) — the standard pre-tokenization packing shape.
-    "pack_sequences" -> ((s, d) => {
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
-        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-        .select(col("doc_id"), col("lang"), col("n_tokens"),
-          floor((col("cum_tokens") - 1) / 2048).cast("long").as("bin_id"))
-        .orderBy("doc_id")
-    }),
+    // to a training context ("bin") of budget 2048 tokens. Distributed
+    // two-phase prefix sum (see packSequences) — identical semantics to a
+    // single per-lang running sum, without its one-reducer-per-language skew.
+    "pack_sequences" -> ((s, d) =>
+      packSequences(Tables.documents(s, d), budget = 2048L, shardSize = 1024L)
+        .orderBy("doc_id")),
 
     // ---- multimodal plumbing: opaque binary column + typed metadata ----
     // Decode itself is stubbed (no codec libs in env); the Spark-side schema,

@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.SparkException
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-shape checks for the LLM-pipeline curation operators:
+  *  - packSequences' sharded two-phase prefix sum must equal the naive
+  *    single-window-per-language form on millions of rows while actually
+  *    spreading each language over many window partitions;
+  *  - blockedJaccard's bucket-cardinality guard must fail loudly on a hot
+  *    bucket and stay invisible on a cold one. */
+class LlmScaleSpec extends SparkSpec {
+
+  test("packSequences: sharded prefix sum == naive per-lang window on 5M rows") {
+    val n = 5000000L
+    // deterministic synthetic corpus: 4 languages interleaved by doc_id,
+    // token counts varying 1..7 so bin boundaries land irregularly
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      element_at(array(lit("en"), lit("de"), lit("es"), lit("fr")),
+        (col("id") % 4 + 1).cast("int")).as("lang"),
+      concat_ws(" ", expr("array_repeat('tok', cast(id % 7 + 1 as int))"))
+        .as("text"))
+
+    val sharded = LlmText.packSequences(docs, budget = 2048L, shardSize = 1024L)
+
+    // shard key fans each language out over many window partitions
+    val shardsPerLang = docs
+      .groupBy(col("lang"), floor(col("doc_id") / 1024).as("shard"))
+      .count().groupBy("lang").count().agg(min("count")).head().getLong(0)
+    assert(shardsPerLang > 1000, s"expected thousands of shards per lang, got $shardsPerLang")
+
+    val naiveW = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = docs
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(naiveW))
+      .select(col("doc_id"),
+        floor((col("cum_tokens") - 1) / 2048).cast("long").as("naive_bin"))
+
+    val mismatches = sharded.join(naive, "doc_id")
+      .filter(col("bin_id") =!= col("naive_bin")).count()
+    assert(mismatches == 0L, s"$mismatches docs binned differently")
+    assert(sharded.count() == n)
+  }
+
+  test("blockedJaccard: hot bucket fails with a routing message, cold bucket works") {
+    // 50 docs in one length bucket (n_chars=100 -> bkt 1), two exact dups
+    val docs = spark.range(50).select(
+      col("id").as("doc_id"),
+      lit(100L).as("n_chars"),
+      when(col("id") < 2, lit("alpha beta gamma delta"))
+        .otherwise(concat(lit("doc "), col("id"), lit(" unique words here")))
+        .as("text"))
+
+    // cold: cap above bucket size -> runs, finds exactly the planted dup pair
+    val pairs = LlmText.blockedJaccard(spark, docs, maxBucketDocs = 100L)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)),
+      s"expected only the planted (0,1) dup, got ${pairs.mkString(",")}")
+
+    // hot: cap below bucket size -> the in-plan guard must abort the job
+    val e = intercept[SparkException] {
+      LlmText.blockedJaccard(spark, docs, maxBucketDocs = 20L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m =>
+      m != null && m.contains("dedup_blocked_jaccard: length bucket")),
+      s"guard message missing from: ${messages(e).mkString(" | ")}")
+  }
+}
