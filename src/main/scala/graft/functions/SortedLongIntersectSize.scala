@@ -94,17 +94,23 @@ object GraftFunctions {
     classOf[SortedLongIntersectSize].getName, "sorted_intersect_size")
   val mrhInfo = new ExpressionInfo(
     classOf[MinRollingHash].getName, "min_rolling_hash")
+  val bpeInfo = new ExpressionInfo(
+    classOf[BpeTokenCount].getName, "bpe_token_count")
 
   def builder(args: Seq[Expression]): Expression =
     SortedLongIntersectSize(args(0), args(1))
   def mrhBuilder(args: Seq[Expression]): Expression =
     MinRollingHash(args(0))
+  def bpeBuilder(args: Seq[Expression]): Expression =
+    BpeTokenCount(args(0))
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_size", builder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "min_rolling_hash", mrhBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_token_count", bpeBuilder, "scala_udf")
   }
 }
 
@@ -116,5 +122,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("min_rolling_hash"), GraftFunctions.mrhInfo,
         GraftFunctions.mrhBuilder))
+    ext.injectFunction(
+      (FunctionIdentifier("bpe_token_count"), GraftFunctions.bpeInfo,
+        GraftFunctions.bpeBuilder))
   }
 }

@@ -50,9 +50,11 @@ object LlmText {
     * the offsets frame stays thousands of rows; 1024 here so small SFs
     * exercise multiple shards per language).
     */
-  private[queries] def packSequences(docs: DataFrame, budget: Long, shardSize: Long): DataFrame = {
+  private[queries] def packSequences(docs: DataFrame, budget: Long, shardSize: Long,
+      tokenCounter: org.apache.spark.sql.Column =
+        size(split(col("text"), " ")).cast("long")): DataFrame = {
     val t = docs
-      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_tokens", tokenCounter)
       .withColumn("shard", floor(col("doc_id") / shardSize))
     val localW = Window.partitionBy("lang", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -239,6 +241,32 @@ object LlmText {
       packSequences(Tables.documents(s, d), budget = 2048L, shardSize = 1024L)
         .orderBy("doc_id")),
 
+    // ---- sequence packing budgeted on the BPE subword tokenizer ----
+    // Same sharded prefix-sum shape, but bins on what a training pipeline
+    // actually bins by: learned-subword token counts (bpe_token_count),
+    // not whitespace words.
+    "pack_sequences_bpe" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      packSequences(Tables.documents(s, d), budget = 2048L, shardSize = 1024L,
+        tokenCounter = expr("bpe_token_count(text)"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- subword token counting: BPE-trained vocab, longest-match ----
+    // The vocabulary is trained (classic BPE) at class-init from an
+    // embedded seed corpus; segmentation is greedy longest-match, which is
+    // exactly expressible in the DuckDB oracle as regexp_extract_all over
+    // the vocab ordered longest-first — a real hash-checked oracle for a
+    // learned tokenizer. See graft.functions.BpeVocab.
+    "text_bpe_count" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("bpe_token_count(text)").as("bpe_tokens"),
+          size(split(col("text"), " ")).cast("long").as("ws_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal plumbing: opaque binary column + typed metadata ----
     // Decode itself is stubbed (no codec libs in env); the Spark-side schema,
     // binary handling, and deterministic metadata extraction are real.
@@ -360,6 +388,24 @@ object LlmText {
         |SELECT doc_id, lang, n_tokens,
         |  CAST((cum_tokens - 1) // 2048 AS BIGINT) AS bin_id
         |FROM c ORDER BY doc_id""".stripMargin,
+    "text_bpe_count" ->
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '${graft.functions.BpeVocab.oracleRegex}')) AS bpe_tokens,
+         |  len(string_split(text, ' ')) AS ws_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "pack_sequences_bpe" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    len(regexp_extract_all(text, '${graft.functions.BpeVocab.oracleRegex}')) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, lang, n_tokens,
+         |  CAST((cum_tokens - 1) // 2048 AS BIGINT) AS bin_id
+         |FROM c ORDER BY doc_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id,
         |  octet_length(encode(text)) AS n_bytes,

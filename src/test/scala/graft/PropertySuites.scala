@@ -61,6 +61,44 @@ object RCsvProps extends Properties("RCsv") {
     }
 }
 
+object BpeProps extends Properties("Bpe") {
+  import graft.functions.{Bpe, BpeVocab}
+
+  /** The oracle's semantics, executed by Java's regex engine: same pattern,
+    * leftmost-first alternation, longest-first ordering => maximal munch.
+    * If Bpe.count agrees with this on arbitrary text, it agrees with the
+    * DuckDB regexp_extract_all oracle. */
+  private lazy val pattern = java.util.regex.Pattern.compile(
+    BpeVocab.oracleRegex.replace("(?s)", ""), java.util.regex.Pattern.DOTALL)
+
+  private def regexCount(s: String): Long = {
+    val m = pattern.matcher(s)
+    var n = 0L
+    while (m.find()) n += 1
+    n
+  }
+
+  private val text: Gen[String] = Gen.oneOf(
+    Gen.listOf(Gen.oneOf(Gen.alphaLowerChar, Gen.const(' '))).map(_.mkString),
+    Gen.listOf(Gen.oneOf(
+      "the", "scan", "der", "merge", "para", "dans", "zz", " ", "7", "\n"))
+      .map(_.mkString),
+    Gen.listOf(Gen.choose(32.toChar, 0x2FFF.toChar)).map(_.mkString))
+
+  property("greedy longest-match count equals the oracle regex segmentation") =
+    Prop.forAll(text) { s => Bpe.count(s) == regexCount(s) }
+
+  property("count bounds: 1..codepoints for nonempty text") =
+    Prop.forAll(text) { s =>
+      val c = Bpe.count(s)
+      if (s.isEmpty) c == 0
+      else c >= 1 && c <= s.codePointCount(0, s.length)
+    }
+
+  property("training learned whole common words") =
+    Prop(Seq("the", "scan", "merge", "der", "les").forall(BpeVocab.vocab.contains))
+}
+
 object MinRollingHashProps extends Properties("MinRollingHash") {
   import graft.functions.RollingHash.{B, M, W, eval}
 
