@@ -39,6 +39,8 @@ object Relational {
     }),
 
     // ---- S2: CSV sink round-trip (reference: detrendandstat_quad.R:214) ----
+    // EAGER BY DESIGN: the sink write runs at construction; the returned
+    // plan is the lazy re-read (what the driver hash-checks).
     "s2_csv_sink" -> ((s, d) => {
       val agg = Tables.lineitem(s, d).groupBy("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
@@ -148,6 +150,7 @@ object Relational {
     }),
 
     // ---- S3: JSONL sink + scan roundtrip (training-data interchange) ----
+    // EAGER BY DESIGN: write at construction, lazy re-read returned (as S2).
     "s3_jsonl_roundtrip" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
       val tmp = java.nio.file.Files.createTempDirectory("graft_s3").toString

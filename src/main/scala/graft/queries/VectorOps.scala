@@ -188,7 +188,9 @@ object VectorOps {
     // Codebook from a bounded driver-side sample (like any large-scale IVF
     // build: the codebook is k tiny vectors, trained on a sample, then
     // broadcast for distributed assignment — the full corpus never leaves
-    // executors).
+    // executors). EAGER BY DESIGN: constructing this query runs the ~2 MB
+    // sample job — the ANN index-build phase. Bench constructs outside its
+    // timed region, so reported times are query execution only.
     val sample = emb.orderBy("vec_id").limit(4096)
       .select("e").collect().map(_.getSeq[Double](0).toArray)
     val centers = lloyd(sample, k, iters = 10)
