@@ -158,6 +158,27 @@ object LlmText {
           expr("regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')").cast("long").as("re_tokens"))
         .orderBy("doc_id")),
 
+    // ---- repetition scoring: duplicate word-3-gram fraction ----
+    // The standard boilerplate/spam signal (high for templated or looping
+    // text): 1 - distinct/total over the document's word 3-grams. Pure
+    // per-row expression work, codegen'd, no shuffle.
+    "text_repetition" -> ((s, d) => {
+      val grams = expr(
+        """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+          |  i -> concat_ws(' ', element_at(split(text, ' '), i),
+          |                      element_at(split(text, ' '), i + 1),
+          |                      element_at(split(text, ' '), i + 2)))""".stripMargin)
+      Tables.documents(s, d)
+        .withColumn("g", grams)
+        .select(col("doc_id"),
+          size(col("g")).cast("long").as("n_grams"),
+          size(array_distinct(col("g"))).cast("long").as("n_distinct"),
+          round(lit(1.0) -
+            size(array_distinct(col("g"))).cast("double") / size(col("g")), 6)
+            .as("rep_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // ---- document fingerprinting: content digest + min rolling 8-gram hash ----
     // One O(n) Rabin-Karp pass per document (native codegen expression,
     // graft.functions.MinRollingHash) instead of one md5 per character;
@@ -388,6 +409,17 @@ object LlmText {
         |SELECT doc_id, lang, n_tokens,
         |  CAST((cum_tokens - 1) // 2048 AS BIGINT) AS bin_id
         |FROM c ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_transform(
+        |    range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+        |    i -> concat_ws(' ', string_split(text, ' ')[i],
+        |                        string_split(text, ' ')[i + 1],
+        |                        string_split(text, ' ')[i + 2])) AS g
+        |  FROM documents)
+        |SELECT doc_id, len(g) AS n_grams, len(list_distinct(g)) AS n_distinct,
+        |  round(1.0 - len(list_distinct(g))::DOUBLE / len(g), 6) AS rep_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
     "text_bpe_count" ->
       s"""SELECT doc_id,
          |  len(regexp_extract_all(text, '${graft.functions.BpeVocab.oracleRegex}')) AS bpe_tokens,

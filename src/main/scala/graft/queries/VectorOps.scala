@@ -341,6 +341,46 @@ object VectorOps {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- n-gram jaccard near-dup: prefix-filter (AllPairs) set-similarity
+    //      join over word 3-gram shingle sets ----
+    // The third discovery-scale candidate strategy next to MinHash banding
+    // and SimHash blocking: sort each doc's hashed shingle set in a global
+    // total order (the 64-bit hash order), emit only the first
+    // |A| - ceil(t|A|) + 1 tokens (the "prefix"); two sets with
+    // jaccard >= t MUST share a prefix token (Bayardo et al., WWW 2007,
+    // "Scaling Up All Pairs Similarity Search"), so the token-equality join
+    // over prefixes is a lossless candidate generator. Only (token, id)
+    // prefix rows shuffle; exact jaccard (codegen merge-intersect) runs on
+    // candidates only. Production note: ordering by ascending global token
+    // frequency tightens prefixes further; hash order keeps the plan
+    // join-free upstream and is correct for any order.
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val t = Tables.documents(s, d).select(col("doc_id"),
+        array_sort(array_distinct(transform(shingleCol(col("text")),
+          x => xxhash64(x)))).as("w"))
+      // exact integer prefix length for t = 0.8 = 4/5: n - ceil(4n/5) + 1
+      val pref = t.select(col("doc_id"), col("w"),
+          explode(expr("slice(w, 1, size(w) - (4 * size(w) + 4) div 5 + 1)"))
+            .as("tok"))
+        .select(col("doc_id"), col("tok"))
+      val cand = pref.as("x").join(pref.as("y"),
+          col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+      val wa = t.select(col("doc_id").as("id_a"), col("w").as("wa"))
+      val wb = t.select(col("doc_id").as("id_b"), col("w").as("wb"))
+      cand.join(wa, "id_a").join(wb, "id_b")
+        .filter(size(col("wa")) * 5 >= size(col("wb")) * 4 &&
+          size(col("wb")) * 5 >= size(col("wa")) * 4) // size filter: t|A|<=|B|<=|A|/t
+        .withColumn("inter", expr("sorted_intersect_size(wa, wb)"))
+        .withColumn("jac", col("inter").cast("double") /
+          (size(col("wa")) + size(col("wb")) - col("inter")))
+        .filter(col("jac") >= 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- IVF ANN: coarse k-means quantizer, probe nearest cells ----
     // The cluster-index scale path: train a small codebook, assign every
     // vector to its nearest centroid (the inverted file), then answer each
@@ -448,6 +488,22 @@ object VectorOps {
         |WHERE list_sum(list_transform(list_zip(a.emb, b.emb), s -> s[1]*s[2])) /
         |    (sqrt(list_sum(list_transform(a.emb, x -> x*x))) *
         |     sqrt(list_sum(list_transform(b.emb, x -> x*x)))) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+        |         ELSE list_distinct(list_transform(
+        |            range(1, len(string_split(text, ' ')) - 1),
+        |            i -> string_split(text, ' ')[i] || ' ' ||
+        |                 string_split(text, ' ')[i + 1] || ' ' ||
+        |                 string_split(text, ' ')[i + 2]))
+        |    END AS w
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.w, b.w))::DOUBLE / len(list_distinct(a.w || b.w)), 6) AS jac
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.w, b.w))::DOUBLE / len(list_distinct(a.w || b.w)) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
     "dedup_minhash_lsh" ->
       """WITH t AS (
