@@ -163,18 +163,20 @@ object LlmText {
     // text): 1 - distinct/total over the document's word 3-grams. Pure
     // per-row expression work, codegen'd, no shuffle.
     "text_repetition" -> ((s, d) => {
+      // tokens materialized as a column first: a split(text) INSIDE the
+      // transform lambda is re-evaluated per element (O(n^2) per doc)
       val grams = expr(
-        """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
-          |  i -> concat_ws(' ', element_at(split(text, ' '), i),
-          |                      element_at(split(text, ' '), i + 1),
-          |                      element_at(split(text, ' '), i + 2)))""".stripMargin)
+        """transform(sequence(1, greatest(size(toks) - 2, 1)),
+          |  i -> concat_ws(' ', element_at(toks, i),
+          |                      element_at(toks, i + 1),
+          |                      element_at(toks, i + 2)))""".stripMargin)
       Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
         .withColumn("g", grams)
-        .select(col("doc_id"),
-          size(col("g")).cast("long").as("n_grams"),
-          size(array_distinct(col("g"))).cast("long").as("n_distinct"),
-          round(lit(1.0) -
-            size(array_distinct(col("g"))).cast("double") / size(col("g")), 6)
+        .withColumn("n_grams", size(col("g")).cast("long"))
+        .withColumn("n_distinct", size(array_distinct(col("g"))).cast("long"))
+        .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6)
             .as("rep_ratio"))
         .orderBy("doc_id")
     }),

@@ -33,15 +33,19 @@ object VectorOps {
       .map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").distinct.toArray
   }
 
-  /** Column form of [[shingles3]], matching the DuckDB oracle expression. */
-  private[queries] def shingleCol(text: org.apache.spark.sql.Column) = {
-    val w = split(text, " ")
-    when(size(w) < 3, array(text)).otherwise(
+  /** Column form of [[shingles3]], matching the DuckDB oracle expression.
+    * `toks` must be a materialized `split(text, " ")` column named in the
+    * plan (NOT re-derived inside the lambda: Catalyst re-evaluates lambda
+    * subexpressions per element, turning the shingle pass O(n_tokens ×
+    * n_chars) — measured as the dominant cost of the shingle queries). */
+  private[queries] def shingleCol(text: Column, toksName: String): Column = {
+    val toks = col(toksName)
+    when(size(toks) < 3, array(text)).otherwise(
       array_distinct(expr(
-        """transform(sequence(1, size(split(text, ' ')) - 2),
-          |  i -> concat_ws(' ', element_at(split(text, ' '), i),
-          |                      element_at(split(text, ' '), i + 1),
-          |                      element_at(split(text, ' '), i + 2)))""".stripMargin)))
+        s"""transform(sequence(1, size($toksName) - 2),
+           |  i -> concat_ws(' ', element_at($toksName, i),
+           |                      element_at($toksName, i + 1),
+           |                      element_at($toksName, i + 2)))""".stripMargin)))
   }
 
   /** Deterministic random hyperplanes for sign-LSH (seeded, code not data). */
@@ -329,7 +333,8 @@ object VectorOps {
         .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
         .distinct()
       val docs = Tables.documents(s, d)
-        .select(col("doc_id"), shingleCol(col("text")).as("w"))
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), shingleCol(col("text"), "toks").as("w"))
       val wa = docs.select(col("doc_id").as("id_a"), col("w").as("wa"))
       val wb = docs.select(col("doc_id").as("id_b"), col("w").as("wb"))
       cand.join(wa, "id_a").join(wb, "id_b")
@@ -344,25 +349,34 @@ object VectorOps {
     // ---- n-gram jaccard near-dup: prefix-filter (AllPairs) set-similarity
     //      join over word 3-gram shingle sets ----
     // The third discovery-scale candidate strategy next to MinHash banding
-    // and SimHash blocking: sort each doc's hashed shingle set in a global
-    // total order (the 64-bit hash order), emit only the first
-    // |A| - ceil(t|A|) + 1 tokens (the "prefix"); two sets with
-    // jaccard >= t MUST share a prefix token (Bayardo et al., WWW 2007,
-    // "Scaling Up All Pairs Similarity Search"), so the token-equality join
-    // over prefixes is a lossless candidate generator. Only (token, id)
-    // prefix rows shuffle; exact jaccard (codegen merge-intersect) runs on
-    // candidates only. Production note: ordering by ascending global token
-    // frequency tightens prefixes further; hash order keeps the plan
-    // join-free upstream and is correct for any order.
+    // and SimHash blocking: order each doc's hashed shingle set by a global
+    // total order, emit only the first |A| - ceil(t|A|) + 1 tokens (the
+    // "prefix"); two sets with jaccard >= t MUST share a prefix token
+    // (Bayardo et al., WWW 2007, "Scaling Up All Pairs Similarity Search"),
+    // so the token-equality join over prefixes is a lossless candidate
+    // generator. The order used is ASCENDING GLOBAL DOCUMENT FREQUENCY —
+    // the paper's key trick: prefixes then hold each doc's rarest shingles,
+    // so prefix-token posting lists (and hence candidate pairs) stay tiny
+    // even on dense corpora (hash order on this 31-word-vocabulary corpus
+    // produced ~8x more candidates). df is one shuffle agg on the token;
+    // per-doc ordering is a window over the high-cardinality doc_id. Exact
+    // jaccard (codegen merge-intersect) runs on candidates only.
     "dedup_ngram_jaccard" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      val t = Tables.documents(s, d).select(col("doc_id"),
-        array_sort(array_distinct(transform(shingleCol(col("text")),
-          x => xxhash64(x)))).as("w"))
+      val t = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          array_sort(array_distinct(transform(shingleCol(col("text"), "toks"),
+            x => xxhash64(x)))).as("w"))
+      val dfTbl = t.select(explode(col("w")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
       // exact integer prefix length for t = 0.8 = 4/5: n - ceil(4n/5) + 1
-      val pref = t.select(col("doc_id"), col("w"),
-          explode(expr("slice(w, 1, size(w) - (4 * size(w) + 4) div 5 + 1)"))
-            .as("tok"))
+      val rnW = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
+      val pref = t.select(col("doc_id"), size(col("w")).as("n"),
+          explode(col("w")).as("tok"))
+        .join(dfTbl, "tok")
+        .withColumn("rn", row_number().over(rnW))
+        .filter(col("rn") <= expr("n - (4 * n + 4) div 5 + 1"))
         .select(col("doc_id"), col("tok"))
       val cand = pref.as("x").join(pref.as("y"),
           col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id"))
