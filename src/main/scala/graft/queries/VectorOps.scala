@@ -59,13 +59,22 @@ object VectorOps {
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
 
+  /** (vec_id, e, nrm): norms precomputed once per vector so every pair
+    * scoring downstream is one dot-product pass, not dot + two norms.
+    * sqrt(dot(e,e)) is the identical expression the inline cosine would
+    * evaluate — values, and hence oracle hashes, are bit-identical. */
+  private def withNorm(emb: DataFrame): DataFrame =
+    emb.withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+
   /** Exact brute-force cosine top-k: broadcast the (small) query sample,
     * scan the corpus once. Linear in corpus size — the exact baseline. */
   private[queries] def bruteForceTopK(emb: DataFrame, topK: Int): DataFrame = {
-    val q = broadcast(emb.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("qid"), col("e").as("qe")))
-    val scored = emb.join(q, col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"), cosine(col("qe"), col("e")).as("c"))
+    val en = withNorm(emb)
+    val q = broadcast(en.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn")))
+    val scored = en.join(q, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("c"))
     val w = Window.partitionBy("qid").orderBy(col("c").desc, col("nid"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)
@@ -129,11 +138,13 @@ object VectorOps {
       .filter(col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("qid"), col("y.vec_id").as("nid"))
       .distinct()
-    val q = emb.select(col("vec_id").as("qid"), col("e").as("qe"))
-    val n = emb.select(col("vec_id").as("nid"), col("e"))
+    val en = withNorm(emb)
+    val q = en.select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    val n = en.select(col("vec_id").as("nid"), col("e"), col("nrm"))
     val w = Window.partitionBy("qid").orderBy(col("c").desc, col("nid"))
     cand.join(q, "qid").join(n, "nid")
-      .select(col("qid"), col("nid"), cosine(col("qe"), col("e")).as("c"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("c"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nid"),
@@ -199,17 +210,19 @@ object VectorOps {
       .select("e").collect().map(_.getSeq[Double](0).toArray)
     val centers = lloyd(sample, k, iters = 10)
     val assignU = udf((e: Seq[Double]) => nearestCells(centers, e.toArray, 1).head)
-    val inverted = emb.withColumn("cell", assignU(col("e")))
-      .select(col("vec_id"), col("cell"), col("e"))
+    val inverted = withNorm(emb).withColumn("cell", assignU(col("e")))
+      .select(col("vec_id"), col("cell"), col("e"), col("nrm"))
     val probe = udf((qe: Seq[Double]) => nearestCells(centers, qe.toArray, nProbe))
     val queries = inverted.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("qid"), col("e").as("qe"))
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
       .withColumn("cell", explode(probe(col("qe"))))
     val w = Window.partitionBy("qid").orderBy(col("c").desc, col("nid"))
-    queries.join(inverted.select(col("vec_id").as("nid"), col("cell"), col("e")),
+    queries.join(
+        inverted.select(col("vec_id").as("nid"), col("cell"), col("e"), col("nrm")),
         Seq("cell"))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), cosine(col("qe"), col("e")).as("c"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("c"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)
       .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nid"), round(col("c"), 6).as("cos"))
