@@ -37,6 +37,19 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming ingest deduplication — the training-data front-door shape:
+    * drop events whose dedup key was already seen, with state bounded by
+    * the watermark (an event older than the watermark can no longer
+    * collide, so its key is dropped from state). Exactly-once per key
+    * within the watermark horizon; state is hash-partitioned on the key
+    * across executors. */
+  def dedupStream(events: DataFrame,
+      watermark: String = "30 minutes",
+      keys: Seq[String] = Seq("event_id")): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Gap-based sessionization (same semantics as the batch
     * `events_sessionize` query): a session closes after `gapMinutes` of
     * per-user inactivity in event time. Sessions are emitted when the

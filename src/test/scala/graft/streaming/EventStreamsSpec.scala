@@ -40,6 +40,26 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated keys within the watermark horizon") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = dedupStream(in.toDF(), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val b = 10000L
+      in.addData(ev(1, 1, b), ev(2, 1, b + 1), ev(1, 1, b + 2)) // dup id 1
+      q.processAllAvailable()
+      in.addData(ev(1, 7, b + 3)) // still within watermark: dropped
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted == Seq(1L, 2L), s"got $ids")
+      assert(ids.size == 2, "duplicate event_id leaked through")
+    } finally q.stop()
+  }
+
   test("streaming sessionize emits gap-separated sessions as watermark advances") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
