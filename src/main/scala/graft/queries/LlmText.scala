@@ -210,6 +210,30 @@ object LlmText {
         .orderBy("event_id")
     }),
 
+    // ---- as-of join: each click joined to the most recent preceding
+    //      purchase of the same user ----
+    // The canonical time-series join, composed Spark-first instead of via a
+    // custom physical operator: tag purchase rows, one window pass ordered
+    // by event time with last(_, ignoreNulls) carrying the latest purchase
+    // forward, then keep the click rows. ONE shuffle on the high-cardinality
+    // user_id and O(1) running state per row — the same cost profile a
+    // dedicated as-of merge join would have. Oracle: DuckDB's native
+    // ASOF LEFT JOIN (semantics coincide; (user_id, ts) is collision-free
+    // in this data and the window orders (ts, event_id) deterministically).
+    "events_asof" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("p_id", when(col("event_type") === "purchase", col("event_id")))
+        .withColumn("p_val", when(col("event_type") === "purchase", col("value")))
+        .withColumn("asof_event_id", last(col("p_id"), ignoreNulls = true).over(w))
+        .withColumn("asof_value", last(col("p_val"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          col("asof_event_id"), col("asof_value"))
+        .orderBy("event_id")
+    }),
+
     // ---- language ID: per-language stopword-hit scoring ----
     // Deterministic n-gram-free heuristic: count hits against small
     // distinctive function-word lists, argmax with a fixed tie-break order,
@@ -370,6 +394,15 @@ object LlmText {
         |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM f ORDER BY event_id""".stripMargin,
+    "events_asof" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT event_id AS asof_event_id, user_id, ts, value AS asof_value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, p.asof_event_id, p.asof_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
     "text_langid" -> {
       def sc(l: String) =
         s"len(list_filter(string_split(text, ' '), x -> x IN ${inList(LangStops(l))}))"

@@ -15,11 +15,17 @@ object ProfileQuery {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = graft.SparkEntry.queries(name)(spark, sfDir)
-    df.explain("formatted")
-    val t0 = System.nanoTime()
-    df.write.format("noop").mode("overwrite").save()
-    println(f"ELAPSED ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // comma-separated names run sequentially in ONE session (twice each),
+    // exposing warm-cache / shared-materialization behavior Bench sees
+    name.split(',').foreach { n =>
+      val df = graft.SparkEntry.queries(n)(spark, sfDir)
+      if (!name.contains(',')) df.explain("formatted")
+      (1 to 2).foreach { run =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        println(f"ELAPSED $n run$run ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
     spark.stop()
   }
 }
