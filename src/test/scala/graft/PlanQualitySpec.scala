@@ -17,6 +17,30 @@ class PlanQualitySpec extends SparkSpec {
     "sim_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     "ann_lsh_recall_gate", "ann_ivf_recall_gate", "dedup_simhash_exact_gate")
 
+  test("filters are pushed into the parquet scan") {
+    val plan = SparkEntry.queries("p2_filter_in")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(l_returnflag"),
+      s"IN-list not pushed to scan:\n$plan")
+  }
+
+  test("projections prune the scan schema to referenced columns only") {
+    // 2-3 column projections over wide tables: the scan must not read the
+    // full row (the brief's canonical anti-pattern)
+    val cases = Seq(
+      ("p1_project", Set("l_orderkey", "l_linenumber", "l_quantity")),
+      ("text_quality", Set("doc_id", "text")),
+      ("sample_hash", Set("doc_id", "lang", "n_chars", "text")))
+    cases.foreach { case (name, want) =>
+      val plan = SparkEntry.queries(name)(spark, Sf)
+        .queryExecution.executedPlan.toString
+      val got = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan)
+        .map(_.group(1).split(",").map(_.split(":")(0)).toSet)
+        .getOrElse(Set.empty[String])
+      assert(got == want, s"$name scan reads $got, expected $want")
+    }
+  }
+
   test("no registered query plans a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, Sf).queryExecution.executedPlan.toString
