@@ -309,20 +309,22 @@ object VectorOps {
       recallGate(bruteForceTopK(emb, 1), annLshTopK(s, emb), floor = 0.6)
     }),
 
-    // ---- MinHash-LSH near-dup: 3-gram shingles, 128 hashes, 32 bands x 4 ----
+    // ---- MinHash-LSH near-dup: 3-gram shingles, 64 hashes, 16 bands x 4 ----
     // Shingling (word 3-grams) is the standard near-verbatim-dedup feature:
     // order-sensitive and discriminative even over a tiny vocabulary, where
     // bag-of-words jaccard saturates (this corpus: 31-word vocab, average
     // token-set jaccard 0.63 — banding token sets degenerates to all-pairs).
-    // Miss probability at jaccard 0.9 is (1 - 0.9^4)^32 ~ 1.5e-15, so banded
-    // candidates + exact shingle-jaccard verify reproduce the oracle's
-    // all-pairs scan without materializing all pairs. Signatures are one
-    // tight pass per document; only (doc_id, band, sig) rows shuffle.
+    // Miss probability at jaccard 0.9 is (1 - 0.9^4)^16 ~ 4e-8 — still
+    // negligible at half the signature CPU and band rows of the earlier
+    // 128x32 config — so banded candidates + exact shingle-jaccard verify
+    // reproduce the oracle's all-pairs scan without materializing all
+    // pairs. Signatures are one tight pass per document; only
+    // (doc_id, band, sig) rows shuffle.
     "dedup_minhash_lsh" -> ((s, d) => {
       val spark = s
       import spark.implicits._
-      val nHash = 128
-      val nBands = 32
+      val nHash = 64
+      val nBands = 16
       val rows = nHash / nBands
       val seeds = Hashing.seeds(nHash, seed = 42L)
       val bands = Tables.documents(s, d)
