@@ -41,6 +41,20 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("ranked quota selection pushes the group limit below the shuffle") {
+    val plan = SparkEntry.queries("strat_topn")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rk<=10 not pushed to per-partition top-k:\n$plan")
+  }
+
+  test("dimension lookups broadcast instead of shuffling the fact side") {
+    val plan = SparkEntry.queries("j2_lookup_join")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"region dimension not broadcast:\n$plan")
+  }
+
   test("no registered query plans a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, Sf).queryExecution.executedPlan.toString
