@@ -9,10 +9,15 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side machinery — schema, partition-level batching (the JVM
   * equivalent of `mapInPandas` batch shape), fixed-dim feature output,
-  * deterministic frame sampling — is real and tested. The codec itself is a
-  * STUB: this container ships no image/audio libraries, so `decodeStub`
-  * derives deterministic fake pixels from the payload bytes. Swapping in a
-  * real decoder changes only that one function.
+  * deterministic frame sampling — is real and tested. Decode is REAL for
+  * image formats the JDK ships codecs for (PNG/JPEG/BMP/GIF via
+  * `javax.imageio`, zero external dependencies): [[Multimodal.decode]]
+  * returns decoded luminance pixels plus true dimensions, and
+  * `mm_real_decode` drives an encode→decode round-trip through it on every
+  * executor with a DuckDB-checkable result. Payloads no JDK codec accepts
+  * (the fake text corpus, and codec-bound formats like video containers —
+  * this container ships no such libraries) fall back to a deterministic
+  * byte passthrough.
   */
 object Multimodal {
 
@@ -25,9 +30,63 @@ object Multimodal {
       StructField("height", IntegerType),
       StructField("n_frames", IntegerType))))))
 
-  /** STUB decode: deterministic fake "pixels" from payload bytes. A real
-    * implementation would call an image codec here. */
-  private[multimodal] def decodeStub(payload: Array[Byte]): Array[Byte] = payload
+  /** Decoded payload: luminance bytes + dimensions when a real codec
+    * accepted the payload; raw byte passthrough (width/height -1) when not. */
+  private[multimodal] case class Decoded(
+      bytes: Array[Byte], width: Int, height: Int, isImage: Boolean)
+
+  javax.imageio.ImageIO.setUseCache(false) // no executor-local disk cache
+
+  /** REAL decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF) with integer
+    * BT.601 luminance ((299R + 587G + 114B) / 1000 — exact for gray pixels);
+    * deterministic passthrough for payloads no JDK codec accepts. */
+  private[multimodal] def decode(payload: Array[Byte]): Decoded = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Throwable => null }
+    if (img == null) Decoded(payload, -1, -1, isImage = false)
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Byte](w * h)
+      var y = 0
+      var i = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          out(i) = (((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000).toByte
+          i += 1
+          x += 1
+        }
+        y += 1
+      }
+      Decoded(out, w, h, isImage = true)
+    }
+  }
+
+  /** Gray PNG encode through the JDK codec (the inverse of [[decode]] for
+    * synthetic fixtures and the round-trip certificate query). */
+  private[multimodal] def encodeGrayPng(w: Int, h: Int, v: Int => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = v(i) & 0xff
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        i += 1
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 
   /** Wrap a text corpus as a media table (payload = UTF-8 bytes, synthetic
     * metadata) — the stand-in for reading real image/video files. */
@@ -55,7 +114,7 @@ object Multimodal {
         // batch-shaped: decode the whole batch before emitting (a real
         // decoder would amortize codec setup across the batch)
         val decoded = batch.map { r =>
-          (r, decodeStub(r.getAs[Array[Byte]]("payload")))
+          (r, decode(r.getAs[Array[Byte]]("payload")).bytes)
         }
         decoded.iterator.map { case (r, bytes) =>
           val hist = new Array[Double](16)
@@ -85,6 +144,36 @@ object Multimodal {
         expr("""substring(payload,
                 frame_idx * CAST(octet_length(payload) / meta.n_frames AS INT) + 1,
                 CAST(octet_length(payload) / meta.n_frames AS INT))""").as("frame_bytes"))
+
+  /** Real-codec round-trip certificate: per document, synthesize a 16x16
+    * gray PNG whose pixel i is (7·media_id + i²) mod 256, push it through
+    * the REAL ImageIO encode→decode on the executors, and histogram the
+    * decoded luminance. PNG is lossless and BT.601 luma of gray is exact,
+    * so the DuckDB oracle predicts every histogram from the pixel formula
+    * alone — no codec needed on the oracle side. A codec regression (wrong
+    * dims, lossy pixels, failed decode) breaks the hash compare. */
+  def realDecodeRoundtrip(documents: DataFrame): DataFrame = {
+    val outSchema = StructType(
+      Seq(StructField("media_id", LongType, nullable = false),
+        StructField("width", LongType),
+        StructField("height", LongType),
+        StructField("decoded", BooleanType)) ++
+        (0 until 16).map(b => StructField(s"bin_$b", DoubleType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    documents.select(col("doc_id").as("media_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getAs[Long]("media_id")
+        val png = encodeGrayPng(16, 16, i => ((7L * id + i.toLong * i) % 256).toInt)
+        val d = decode(png)
+        val hist = new Array[Double](16)
+        d.bytes.foreach(b => hist((b & 0xff) >> 4) += 1)
+        val n = math.max(1, d.bytes.length).toDouble
+        val vals = Seq[Any](id, d.width.toLong, d.height.toLong, d.isImage) ++
+          hist.map(_ / n)
+        Row(vals: _*)
+      }
+    }(enc)
+  }
 
   /** "Resize": recompute typed metadata (the real op would transform pixels;
     * the metadata contract is what downstream pipelines consume). */

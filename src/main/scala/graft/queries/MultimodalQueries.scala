@@ -28,6 +28,12 @@ object MultimodalQueries {
           length(col("frame_bytes")).cast("long").as("frame_len"))
         .orderBy("media_id", "frame_idx")),
 
+    // REAL codec round-trip: JDK ImageIO PNG encode -> decode on executors,
+    // luminance histogram checked against the pixel formula in pure SQL
+    "mm_real_decode" -> ((s, d) =>
+      Multimodal.realDecodeRoundtrip(Tables.documents(s, d))
+        .orderBy("media_id")),
+
     // metadata-level resize with aspect-preserving scale
     "mm_resize" -> ((s, d) =>
       Multimodal.resizeMeta(media(s, d), maxW = 320, maxH = 240)
@@ -66,6 +72,23 @@ object MultimodalQueries {
         |  CAST(octet_length(payload) // nf AS BIGINT) AS frame_len
         |FROM f WHERE frame_idx % 4 = 0
         |ORDER BY media_id, frame_idx""".stripMargin,
+    "mm_real_decode" -> {
+      // the same (7*id + i^2) mod 256 pixels the Spark side encodes; PNG is
+      // lossless and gray-pixel luma is exact, so counts/256 match bit-wise
+      val bins = (0 until 16).map(b =>
+        s"sum(CASE WHEN bin = $b THEN 1 ELSE 0 END)::DOUBLE / 256 AS bin_$b")
+        .mkString(",\n  ")
+      s"""WITH v AS (
+         |  SELECT doc_id AS media_id, unnest(range(0, 256)) AS i
+         |  FROM documents),
+         |b AS (
+         |  SELECT media_id, ((7 * media_id + i * i) % 256) // 16 AS bin
+         |  FROM v)
+         |SELECT media_id, 16::BIGINT AS width, 16::BIGINT AS height,
+         |  true AS decoded,
+         |  $bins
+         |FROM b GROUP BY media_id ORDER BY media_id""".stripMargin
+    },
     "mm_resize" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,

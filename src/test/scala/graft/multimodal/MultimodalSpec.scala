@@ -1,0 +1,27 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The real-codec path: ImageIO decode of genuine image bytes must recover
+  * exact dimensions and (for gray pixels, where BT.601 luma is exact) the
+  * original pixel values; non-image payloads must fall back to passthrough. */
+class MultimodalSpec extends AnyFunSuite {
+
+  test("decode recovers exact pixels and dims from a real PNG") {
+    val v = (i: Int) => (i * 37 + 11) % 256
+    val png = Multimodal.encodeGrayPng(8, 5, v)
+    // PNG magic bytes prove this is a real container, not a passthrough
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val d = Multimodal.decode(png)
+    assert(d.isImage && d.width == 8 && d.height == 5)
+    assert(d.bytes.length == 40)
+    (0 until 40).foreach(i => assert((d.bytes(i) & 0xff) == v(i), s"pixel $i"))
+  }
+
+  test("decode falls back to byte passthrough for non-image payloads") {
+    val raw = "definitely not an image".getBytes("UTF-8")
+    val d = Multimodal.decode(raw)
+    assert(!d.isImage && d.width == -1 && d.height == -1)
+    assert(d.bytes.sameElements(raw))
+  }
+}
