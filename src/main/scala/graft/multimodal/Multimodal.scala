@@ -175,6 +175,54 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL pixel resize: decode (JDK codec) → nearest-neighbor resample
+    * (own loop: out(x,y) = in(x·sw, y·sh) with integer truncation — exact,
+    * engine-independent semantics) → re-encode as gray PNG. Returns None
+    * for payloads no codec accepts. */
+  private[multimodal] def resizePixels(
+      payload: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] = {
+    val d = decode(payload)
+    if (!d.isImage) None
+    else {
+      val pix = (j: Int) => {
+        val x = (j % outW) * d.width / outW
+        val y = (j / outW) * d.height / outH
+        d.bytes(y * d.width + x) & 0xff
+      }
+      Some(encodeGrayPng(outW, outH, pix))
+    }
+  }
+
+  /** Second codec certificate: synthesize the same 16x16 gray PNG as
+    * [[realDecodeRoundtrip]], REAL-resize it to 8x8 (decode → nearest-
+    * neighbor → re-encode), decode the resized PNG again, and histogram.
+    * Nearest-neighbor at integer factor 2 keeps exactly the even-(x,y)
+    * source pixels, so the oracle predicts the result from the pixel
+    * formula — two full encode→decode passes certified per row. */
+  def realResizeRoundtrip(documents: DataFrame): DataFrame = {
+    val outSchema = StructType(
+      Seq(StructField("media_id", LongType, nullable = false),
+        StructField("width", LongType),
+        StructField("height", LongType),
+        StructField("resized", BooleanType)) ++
+        (0 until 16).map(b => StructField(s"bin_$b", DoubleType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    documents.select(col("doc_id").as("media_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getAs[Long]("media_id")
+        val png = encodeGrayPng(16, 16, i => ((7L * id + i.toLong * i) % 256).toInt)
+        val small = resizePixels(png, 8, 8)
+        val d = small.map(decode).getOrElse(Decoded(Array.emptyByteArray, -1, -1, false))
+        val hist = new Array[Double](16)
+        d.bytes.foreach(b => hist((b & 0xff) >> 4) += 1)
+        val n = math.max(1, d.bytes.length).toDouble
+        val vals = Seq[Any](id, d.width.toLong, d.height.toLong, d.isImage) ++
+          hist.map(_ / n)
+        Row(vals: _*)
+      }
+    }(enc)
+  }
+
   /** "Resize": recompute typed metadata (the real op would transform pixels;
     * the metadata contract is what downstream pipelines consume). */
   def resizeMeta(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {

@@ -34,6 +34,11 @@ object MultimodalQueries {
       Multimodal.realDecodeRoundtrip(Tables.documents(s, d))
         .orderBy("media_id")),
 
+    // REAL pixel resize round-trip: decode -> nearest-neighbor -> re-encode
+    "mm_real_resize" -> ((s, d) =>
+      Multimodal.realResizeRoundtrip(Tables.documents(s, d))
+        .orderBy("media_id")),
+
     // metadata-level resize with aspect-preserving scale
     "mm_resize" -> ((s, d) =>
       Multimodal.resizeMeta(media(s, d), maxW = 320, maxH = 240)
@@ -86,6 +91,24 @@ object MultimodalQueries {
          |  FROM v)
          |SELECT media_id, 16::BIGINT AS width, 16::BIGINT AS height,
          |  true AS decoded,
+         |  $bins
+         |FROM b GROUP BY media_id ORDER BY media_id""".stripMargin
+    },
+    "mm_real_resize" -> {
+      // nearest-neighbor 16->8 at factor 2 keeps source pixels i = 32y+2x
+      val src = "(32 * (j // 8) + 2 * (j % 8))"
+      val bins = (0 until 16).map(b =>
+        s"sum(CASE WHEN bin = $b THEN 1 ELSE 0 END)::DOUBLE / 64 AS bin_$b")
+        .mkString(",\n  ")
+      s"""WITH v AS (
+         |  SELECT doc_id AS media_id, unnest(range(0, 64)) AS j
+         |  FROM documents),
+         |b AS (
+         |  SELECT media_id,
+         |    ((7 * media_id + $src * $src) % 256) // 16 AS bin
+         |  FROM v)
+         |SELECT media_id, 8::BIGINT AS width, 8::BIGINT AS height,
+         |  true AS resized,
          |  $bins
          |FROM b GROUP BY media_id ORDER BY media_id""".stripMargin
     },

@@ -18,6 +18,19 @@ class MultimodalSpec extends AnyFunSuite {
     (0 until 40).foreach(i => assert((d.bytes(i) & 0xff) == v(i), s"pixel $i"))
   }
 
+  test("resizePixels keeps exactly the nearest-neighbor source pixels") {
+    val v = (i: Int) => (i * 53 + 5) % 256
+    val png = Multimodal.encodeGrayPng(16, 16, v)
+    val small = Multimodal.resizePixels(png, 8, 8).get
+    val d = Multimodal.decode(small)
+    assert(d.isImage && d.width == 8 && d.height == 8)
+    (0 until 64).foreach { j =>
+      val src = 32 * (j / 8) + 2 * (j % 8)
+      assert((d.bytes(j) & 0xff) == v(src), s"out pixel $j != source $src")
+    }
+    assert(Multimodal.resizePixels("not an image".getBytes, 8, 8).isEmpty)
+  }
+
   test("decode falls back to byte passthrough for non-image payloads") {
     val raw = "definitely not an image".getBytes("UTF-8")
     val d = Multimodal.decode(raw)
