@@ -223,6 +223,62 @@ object Multimodal {
     }(enc)
   }
 
+  /** Decoded audio: PCM sample bytes + stream parameters. */
+  private[multimodal] case class DecodedAudio(
+      samples: Array[Byte], sampleRate: Double, channels: Int)
+
+  /** REAL audio decode via the JDK's javax.sound.sampled (WAV/AIFF/AU —
+    * zero external dependencies). None for payloads no codec accepts. */
+  private[multimodal] def decodeAudio(payload: Array[Byte]): Option[DecodedAudio] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val f = in.getFormat
+      Some(DecodedAudio(in.readAllBytes(), f.getSampleRate.toDouble, f.getChannels))
+    } catch { case _: Throwable => None }
+
+  /** 8-bit unsigned mono PCM WAV encode through the JDK codec. */
+  private[multimodal] def encodeWav(samples: Array[Byte], rate: Float): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+      rate, 8, 1, 1, rate, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Audio codec certificate, same pattern as [[realDecodeRoundtrip]]:
+    * 256 synthetic 8-bit PCM samples ((7·media_id + i²) mod 256) encoded to
+    * WAV and decoded back through the real JDK codec per row; PCM is
+    * lossless so the oracle predicts sample count, rate, and histogram
+    * from the formula. */
+  def realAudioRoundtrip(documents: DataFrame): DataFrame = {
+    val outSchema = StructType(
+      Seq(StructField("media_id", LongType, nullable = false),
+        StructField("n_samples", LongType),
+        StructField("sample_rate", DoubleType),
+        StructField("decoded", BooleanType)) ++
+        (0 until 16).map(b => StructField(s"bin_$b", DoubleType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    documents.select(col("doc_id").as("media_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getAs[Long]("media_id")
+        val pcm = Array.tabulate[Byte](256)(i => ((7L * id + i.toLong * i) % 256).toByte)
+        val wav = encodeWav(pcm, 8000f)
+        val d = decodeAudio(wav).getOrElse(DecodedAudio(Array.emptyByteArray, -1.0, 0))
+        val hist = new Array[Double](16)
+        d.samples.foreach(b => hist((b & 0xff) >> 4) += 1)
+        val n = math.max(1, d.samples.length).toDouble
+        val vals = Seq[Any](id, d.samples.length.toLong, d.sampleRate,
+          d.samples.nonEmpty) ++ hist.map(_ / n)
+        Row(vals: _*)
+      }
+    }(enc)
+  }
+
   /** "Resize": recompute typed metadata (the real op would transform pixels;
     * the metadata contract is what downstream pipelines consume). */
   def resizeMeta(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {

@@ -34,6 +34,11 @@ object MultimodalQueries {
       Multimodal.realDecodeRoundtrip(Tables.documents(s, d))
         .orderBy("media_id")),
 
+    // REAL audio round-trip: PCM -> WAV encode -> JDK codec decode
+    "mm_real_audio" -> ((s, d) =>
+      Multimodal.realAudioRoundtrip(Tables.documents(s, d))
+        .orderBy("media_id")),
+
     // REAL pixel resize round-trip: decode -> nearest-neighbor -> re-encode
     "mm_real_resize" -> ((s, d) =>
       Multimodal.realResizeRoundtrip(Tables.documents(s, d))
@@ -90,6 +95,22 @@ object MultimodalQueries {
          |  SELECT media_id, ((7 * media_id + i * i) % 256) // 16 AS bin
          |  FROM v)
          |SELECT media_id, 16::BIGINT AS width, 16::BIGINT AS height,
+         |  true AS decoded,
+         |  $bins
+         |FROM b GROUP BY media_id ORDER BY media_id""".stripMargin
+    },
+    "mm_real_audio" -> {
+      // same (7*id + i^2) mod 256 samples; PCM is lossless
+      val bins = (0 until 16).map(b =>
+        s"sum(CASE WHEN bin = $b THEN 1 ELSE 0 END)::DOUBLE / 256 AS bin_$b")
+        .mkString(",\n  ")
+      s"""WITH v AS (
+         |  SELECT doc_id AS media_id, unnest(range(0, 256)) AS i
+         |  FROM documents),
+         |b AS (
+         |  SELECT media_id, ((7 * media_id + i * i) % 256) // 16 AS bin
+         |  FROM v)
+         |SELECT media_id, 256::BIGINT AS n_samples, 8000.0 AS sample_rate,
          |  true AS decoded,
          |  $bins
          |FROM b GROUP BY media_id ORDER BY media_id""".stripMargin

@@ -31,6 +31,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.resizePixels("not an image".getBytes, 8, 8).isEmpty)
   }
 
+  test("audio WAV round-trip recovers exact PCM samples and format") {
+    val pcm = Array.tabulate[Byte](100)(i => ((i * 29 + 3) % 256).toByte)
+    val wav = Multimodal.encodeWav(pcm, 8000f)
+    assert(new String(wav, 0, 4, "US-ASCII") == "RIFF") // real WAV container
+    val d = Multimodal.decodeAudio(wav).get
+    assert(d.sampleRate == 8000.0 && d.channels == 1)
+    assert(d.samples.sameElements(pcm))
+    assert(Multimodal.decodeAudio("not audio".getBytes).isEmpty)
+  }
+
   test("decode falls back to byte passthrough for non-image payloads") {
     val raw = "definitely not an image".getBytes("UTF-8")
     val d = Multimodal.decode(raw)
