@@ -40,30 +40,82 @@ object Multimodal {
   /** REAL decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF) with integer
     * BT.601 luminance ((299R + 587G + 114B) / 1000 — exact for gray pixels);
     * deterministic passthrough for payloads no JDK codec accepts. */
+  private def lumaOf(img: java.awt.image.BufferedImage): Decoded = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Byte](w * h)
+    var y = 0
+    var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        out(i) = (((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000).toByte
+        i += 1
+        x += 1
+      }
+      y += 1
+    }
+    Decoded(out, w, h, isImage = true)
+  }
+
   private[multimodal] def decode(payload: Array[Byte]): Decoded = {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       catch { case _: Throwable => null }
     if (img == null) Decoded(payload, -1, -1, isImage = false)
-    else {
-      val w = img.getWidth
-      val h = img.getHeight
-      val out = new Array[Byte](w * h)
-      var y = 0
-      var i = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          out(i) = (((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
-            (rgb & 0xff) * 114) / 1000).toByte
-          i += 1
-          x += 1
-        }
-        y += 1
+    else lumaOf(img)
+  }
+
+  /** REAL frame demux: every frame of a multi-frame container the JDK can
+    * read (animated GIF being the format it ships a demuxer for; a
+    * single-frame PNG/JPEG yields one frame). Empty for non-media. */
+  private[multimodal] def demuxFrames(payload: Array[Byte]): Seq[Decoded] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) Seq.empty
+      else {
+        val rd = readers.next()
+        rd.setInput(iis)
+        try (0 until rd.getNumImages(true)).map(f => lumaOf(rd.read(f)))
+        finally rd.dispose()
       }
-      Decoded(out, w, h, isImage = true)
+    } catch { case _: Throwable => Seq.empty }
+
+  /** Multi-frame gray GIF encode (explicit 256-gray palette, so pixels are
+    * exactly representable — verified lossless round-trip). */
+  private[multimodal] def encodeGrayGif(
+      w: Int, h: Int, frames: Int, v: (Int, Int) => Int): Array[Byte] = {
+    val gray = Array.tabulate[Byte](256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    // the JDK GIF writer defaults to interlaced output, whose de-interlace
+    // row order is unreliable for heights off the pass structure — write
+    // sequential rows
+    val param = wr.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    wr.prepareWriteSequence(null)
+    (0 until frames).foreach { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      val raster = img.getRaster
+      var i = 0
+      while (i < w * h) {
+        raster.setSample(i % w, i / w, 0, v(f, i) & 0xff)
+        i += 1
+      }
+      wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
     }
+    wr.endWriteSequence()
+    ios.close()
+    wr.dispose()
+    bos.toByteArray
   }
 
   /** Gray PNG encode through the JDK codec (the inverse of [[decode]] for
@@ -275,6 +327,36 @@ object Multimodal {
         val vals = Seq[Any](id, d.samples.length.toLong, d.sampleRate,
           d.samples.nonEmpty) ++ hist.map(_ / n)
         Row(vals: _*)
+      }
+    }(enc)
+  }
+
+  /** Frame-demux certificate: per document, a 4-frame 8x8 animated GIF
+    * with pixel (f, i) = (7·media_id + 11·f + i²) mod 256 is encoded and
+    * demuxed back through the REAL JDK GIF reader on the executors; the
+    * explicit gray palette makes the container lossless, so the oracle
+    * predicts every frame's histogram (and the frame ORDER — the 11·f term
+    * makes frames distinct) from the formula. One row per frame. */
+  def realFramesRoundtrip(documents: DataFrame): DataFrame = {
+    val outSchema = StructType(
+      Seq(StructField("media_id", LongType, nullable = false),
+        StructField("frame_idx", LongType),
+        StructField("width", LongType),
+        StructField("height", LongType)) ++
+        (0 until 16).map(b => StructField(s"bin_$b", DoubleType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    documents.select(col("doc_id").as("media_id")).mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getAs[Long]("media_id")
+        val gif = encodeGrayGif(8, 8, 4,
+          (f, i) => ((7L * id + 11L * f + i.toLong * i) % 256).toInt)
+        demuxFrames(gif).zipWithIndex.map { case (d, f) =>
+          val hist = new Array[Double](16)
+          d.bytes.foreach(b => hist((b & 0xff) >> 4) += 1)
+          val n = math.max(1, d.bytes.length).toDouble
+          Row(Seq[Any](id, f.toLong, d.width.toLong, d.height.toLong) ++
+            hist.map(_ / n): _*)
+        }
       }
     }(enc)
   }

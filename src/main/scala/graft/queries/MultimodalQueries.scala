@@ -34,6 +34,11 @@ object MultimodalQueries {
       Multimodal.realDecodeRoundtrip(Tables.documents(s, d))
         .orderBy("media_id")),
 
+    // REAL frame demux: animated GIF encode -> JDK demux, row per frame
+    "mm_real_frames" -> ((s, d) =>
+      Multimodal.realFramesRoundtrip(Tables.documents(s, d))
+        .orderBy("media_id", "frame_idx")),
+
     // REAL audio round-trip: PCM -> WAV encode -> JDK codec decode
     "mm_real_audio" -> ((s, d) =>
       Multimodal.realAudioRoundtrip(Tables.documents(s, d))
@@ -98,6 +103,28 @@ object MultimodalQueries {
          |  true AS decoded,
          |  $bins
          |FROM b GROUP BY media_id ORDER BY media_id""".stripMargin
+    },
+    "mm_real_frames" -> {
+      // (7*id + 11*f + i^2) mod 256 per frame f, pixel i; GIF with a full
+      // gray palette is lossless so frame order and pixels are exact
+      val bins = (0 until 16).map(b =>
+        s"sum(CASE WHEN bin = $b THEN 1 ELSE 0 END)::DOUBLE / 64 AS bin_$b")
+        .mkString(",\n  ")
+      s"""WITH f AS (
+         |  SELECT doc_id AS media_id, unnest(range(0, 4)) AS frame_idx
+         |  FROM documents),
+         |v AS (
+         |  SELECT media_id, frame_idx, unnest(range(0, 64)) AS i
+         |  FROM f),
+         |b AS (
+         |  SELECT media_id, frame_idx,
+         |    ((7 * media_id + 11 * frame_idx + i * i) % 256) // 16 AS bin
+         |  FROM v)
+         |SELECT media_id, frame_idx::BIGINT AS frame_idx,
+         |  8::BIGINT AS width, 8::BIGINT AS height,
+         |  $bins
+         |FROM b GROUP BY media_id, frame_idx
+         |ORDER BY media_id, frame_idx""".stripMargin
     },
     "mm_real_audio" -> {
       // same (7*id + i^2) mod 256 samples; PCM is lossless

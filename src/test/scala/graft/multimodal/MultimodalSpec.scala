@@ -31,6 +31,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.resizePixels("not an image".getBytes, 8, 8).isEmpty)
   }
 
+  test("animated GIF demux recovers every frame pixel-exactly, in order") {
+    val v = (f: Int, i: Int) => (f * 41 + i * 13 + 7) % 256
+    val gif = Multimodal.encodeGrayGif(6, 4, 3, v)
+    assert(new String(gif, 0, 3, "US-ASCII") == "GIF") // real container
+    val frames = Multimodal.demuxFrames(gif)
+    assert(frames.length == 3)
+    frames.zipWithIndex.foreach { case (d, f) =>
+      assert(d.width == 6 && d.height == 4)
+      (0 until 24).foreach(i =>
+        assert((d.bytes(i) & 0xff) == v(f, i), s"frame $f pixel $i"))
+    }
+    assert(Multimodal.demuxFrames("not media".getBytes).isEmpty)
+  }
+
   test("audio WAV round-trip recovers exact PCM samples and format") {
     val pcm = Array.tabulate[Byte](100)(i => ((i * 29 + 3) % 256).toByte)
     val wav = Multimodal.encodeWav(pcm, 8000f)
