@@ -49,10 +49,14 @@ object Bench {
     // cost. The timed loop measures plan execution only.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer[Double]()
+      val tBuild = System.nanoTime()
       val df =
         try Some(fn(spark, sfDir))
         catch { case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          // record the (strictly negative) construction time so the v<0
+          // failure convention holds even when no run ever happened
+          times += math.max((System.nanoTime() - tBuild) / 1e9, 1e-9)
           None
         }
       var r = 0
@@ -64,12 +68,11 @@ object Bench {
         } catch {
           case e: Throwable =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-            times += (System.nanoTime() - t0) / 1e9
+            times += math.max((System.nanoTime() - t0) / 1e9, 1e-9)
         }
         r += 1
       }
-      name -> (if (errors.contains(name) || times.isEmpty) -times.lastOption.getOrElse(0.0)
-               else median(times.toSeq))
+      name -> (if (errors.contains(name)) -times.last else median(times.toSeq))
     }
     def jstr(s: String): String = Json.str(s)
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")

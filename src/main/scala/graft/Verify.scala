@@ -29,10 +29,16 @@ object Verify {
         }
       }
     def q(s: String): String = Json.str(s)
-    val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A filtered run must not clobber a full run's oracle map in a shared
+    // outDir (the other queries' result dirs would silently lose their
+    // compare); only write the filtered subset into a fresh outDir.
+    val oraclePath = Paths.get(s"$outDir/oracle_sql.json")
+    if (only.isEmpty || !Files.exists(oraclePath)) {
+      val json = SparkEntry.oracleSql
+        .filter { case (k, _) => only.forall(_.contains(k)) }
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(oraclePath, json)
+    }
     spark.stop()
   }
 }

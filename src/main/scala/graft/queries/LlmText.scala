@@ -53,6 +53,12 @@ object LlmText {
   private[queries] def packSequences(docs: DataFrame, budget: Long, shardSize: Long,
       tokenCounter: org.apache.spark.sql.Column =
         size(split(col("text"), " ")).cast("long")): DataFrame = {
+    // Cost note: the shard-totals aggregate and the local window are two
+    // consumers of `t`, so Catalyst evaluates tokenCounter once per phase
+    // (twice total) — measured immaterial at bench scale (the scan
+    // dominates), and an explicit shared exchange did NOT get reused when
+    // tried. If the counter ever dominates at cluster scale, persist the
+    // narrow (doc_id, lang, shard, n_tokens) projection between phases.
     val t = docs
       .withColumn("n_tokens", tokenCounter)
       .withColumn("shard", floor(col("doc_id") / shardSize))
@@ -112,6 +118,18 @@ object LlmText {
       .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
   }
 
+  /** Word 3-grams over a materialized `toks` column (a split(text) INSIDE
+    * the transform lambda is re-evaluated per element — O(n^2) per doc).
+    * try_element_at: under-3-token docs index past the array end, which
+    * ANSI mode (Spark 4 default) turns into a job-killing error with plain
+    * element_at; try_element_at yields NULL, which concat_ws skips —
+    * exactly DuckDB's [i] + concat_ws semantics. */
+  private[queries] val repetitionGrams: org.apache.spark.sql.Column = expr(
+    """transform(sequence(1, greatest(size(toks) - 2, 1)),
+      |  i -> concat_ws(' ', try_element_at(toks, i),
+      |                      try_element_at(toks, i + 1),
+      |                      try_element_at(toks, i + 2)))""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact dedup: hash-groupBy on content digest ----
     "dedup_exact" -> ((s, d) =>
@@ -163,16 +181,9 @@ object LlmText {
     // text): 1 - distinct/total over the document's word 3-grams. Pure
     // per-row expression work, codegen'd, no shuffle.
     "text_repetition" -> ((s, d) => {
-      // tokens materialized as a column first: a split(text) INSIDE the
-      // transform lambda is re-evaluated per element (O(n^2) per doc)
-      val grams = expr(
-        """transform(sequence(1, greatest(size(toks) - 2, 1)),
-          |  i -> concat_ws(' ', element_at(toks, i),
-          |                      element_at(toks, i + 1),
-          |                      element_at(toks, i + 2)))""".stripMargin)
       Tables.documents(s, d)
         .withColumn("toks", split(col("text"), " "))
-        .withColumn("g", grams)
+        .withColumn("g", repetitionGrams)
         .withColumn("n_grams", size(col("g")).cast("long"))
         .withColumn("n_distinct", size(array_distinct(col("g"))).cast("long"))
         .select(col("doc_id"), col("n_grams"), col("n_distinct"),
@@ -371,7 +382,8 @@ object LlmText {
         s"(($acc) * 257 + ${u(j)}) % 1000000007"
       }
       s"""SELECT doc_id, md5(text) AS content_md5,
-         |  CASE WHEN len(text) >= 8
+         |  CASE WHEN len(text) = 0 THEN 0
+         |    WHEN len(text) >= 8
          |    THEN list_aggregate(list_transform(range(1, len(text) - 7 + 1),
          |                                       i -> $poly8), 'min')
          |    ELSE list_reduce(list_transform(range(1, len(text) + 1),

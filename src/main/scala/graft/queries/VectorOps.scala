@@ -22,9 +22,6 @@ object VectorOps {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-
   /** Distinct word 3-gram shingles; whole text when shorter than 3 tokens. */
   private[queries] def shingles3(text: String): Array[String] = {
     val toks = text.split(" ", -1) // keep trailing empties: Spark/DuckDB split semantics
@@ -272,13 +269,13 @@ object VectorOps {
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
       .distinct()
     // norms precomputed once per vector: per-pair work drops from three
-    // array passes (dot + both norms) to one dot. sqrt(dot(e,e)) here is
-    // the same expression the inline cosine evaluated, so values (and the
+    // array passes (dot + both norms) to one dot. sqrt(dot(e,e)) is the
+    // same expression an inline cosine would evaluate, so values (and the
     // oracle hash) are bit-identical.
-    val withNorm = emb.withColumn("nrm", sqrt(dot(col("e"), col("e"))))
-    val ea = withNorm.select(col("vec_id").as("id_a"), col("e").as("ea"),
+    val en = withNorm(emb)
+    val ea = en.select(col("vec_id").as("id_a"), col("e").as("ea"),
       col("nrm").as("na"))
-    val eb = withNorm.select(col("vec_id").as("id_b"), col("e").as("eb"),
+    val eb = en.select(col("vec_id").as("id_b"), col("e").as("eb"),
       col("nrm").as("nb"))
     cand.join(ea, "id_a").join(eb, "id_b")
       .withColumn("c", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
@@ -442,9 +439,7 @@ object VectorOps {
     // rows shuffle during candidate generation; the exact cosine filter on
     // candidates reproduces the all-pairs oracle.
     "dedup_embed_cosine" -> ((s, d) =>
-      embedCosineDedup(s, Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("e")),
-        threshold = 0.9)),
+      embedCosineDedup(s, embOf(s, d), threshold = 0.9)),
 
     // ---- SimHash near-dup: 64-bit signature, 4x16-bit segment blocking ----
     // Hamming <= 3 guarantees at least one of the 4 segments is equal, so

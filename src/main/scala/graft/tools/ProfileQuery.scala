@@ -25,6 +25,9 @@ object ProfileQuery {
         df.write.format("noop").mode("overwrite").save()
         println(f"ELAPSED $n run$run ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
+      // post-execution plan shows what AQE actually ran (exchange reuse etc.)
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN_FINAL"))
+        println(df.queryExecution.executedPlan)
     }
     spark.stop()
   }

@@ -46,6 +46,22 @@ class LlmScaleSpec extends SparkSpec {
     assert(sharded.count() == n)
   }
 
+  test("repetitionGrams survives ANSI mode on documents shorter than 3 tokens") {
+    // plain element_at would abort the job under Spark 4's default ANSI
+    // mode for 1- and 2-token docs; try_element_at + concat_ws must match
+    // DuckDB's [i] + concat_ws semantics instead
+    val docs = spark.createDataFrame(Seq(
+      (1L, "one"), (2L, "two words"), (3L, "three word doc"))).toDF("doc_id", "text")
+    val grams = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("g", LlmText.repetitionGrams)
+      .select("doc_id", "g")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(grams(1L) == Seq("one"))
+    assert(grams(2L) == Seq("two words"))
+    assert(grams(3L) == Seq("three word doc"))
+  }
+
   test("blockedJaccard: hot bucket fails with a routing message, cold bucket works") {
     // 50 docs in one length bucket (n_chars=100 -> bkt 1), two exact dups
     val docs = spark.range(50).select(
