@@ -130,6 +130,27 @@ object LlmText {
       |                      try_element_at(toks, i + 1),
       |                      try_element_at(toks, i + 2)))""".stripMargin)
 
+  /** PII patterns, restricted to the Java-regex ∩ RE2 common dialect so
+    * Spark and the DuckDB oracle apply literally identical expressions. */
+  private[queries] val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[queries] val PiiPhone = "\\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}"
+  private[queries] val PiiIpv4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** Redact emails / phone numbers / IPv4 addresses and count occurrences
+    * (PII-density filtering). Per-row regexp chain, codegen'd, no shuffle. */
+  private[queries] def piiScrub(docs: DataFrame): DataFrame =
+    // Column-API regexp_count, NOT expr(): interpolating a pattern into a
+    // SQL string literal re-processes backslash escapes ('\+' -> '+',
+    // '\.' -> '.'), silently diverging from the replace patterns and the
+    // DuckDB oracle (whose standard strings keep backslashes raw).
+    docs.select(col("doc_id"),
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        PiiEmail, "<EMAIL>"), PiiPhone, "<PHONE>"), PiiIpv4, "<IP>")
+        .as("scrubbed"),
+      regexp_count(col("text"), lit(PiiEmail)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(PiiPhone)).cast("long").as("n_phones"),
+      regexp_count(col("text"), lit(PiiIpv4)).cast("long").as("n_ips"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact dedup: hash-groupBy on content digest ----
     "dedup_exact" -> ((s, d) =>
@@ -204,6 +225,13 @@ object LlmText {
           expr("min_rolling_hash(text)").as("min_shingle_hash"))
         .orderBy("doc_id")
     }),
+
+    // ---- PII scrubbing: regex redaction of emails / phones / IPv4 ----
+    // The standard pre-training redaction pass: per-row regexp_replace
+    // chain (whole-stage codegen, no shuffle). Patterns stay inside the
+    // Java-regex ∩ RE2 common dialect so the DuckDB oracle applies the
+    // LITERAL same expressions; counts let curation filter on PII density.
+    "text_pii_scrub" -> ((s, d) => piiScrub(Tables.documents(s, d)).orderBy("doc_id")),
 
     // ---- sessionization: 30-min-gap sessions per user (events table) ----
     "events_sessionize" -> ((s, d) => {
@@ -392,6 +420,16 @@ object LlmText {
          |  END AS min_shingle_hash
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    "text_pii_scrub" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$PiiEmail', '<EMAIL>', 'g'),
+         |    '$PiiPhone', '<PHONE>', 'g'),
+         |    '$PiiIpv4', '<IP>', 'g') AS scrubbed,
+         |  len(regexp_extract_all(text, '$PiiEmail')) AS n_emails,
+         |  len(regexp_extract_all(text, '$PiiPhone')) AS n_phones,
+         |  len(regexp_extract_all(text, '$PiiIpv4')) AS n_ips
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "events_sessionize" ->
       """WITH w AS (
         |  SELECT event_id, user_id, ts,

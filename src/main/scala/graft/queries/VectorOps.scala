@@ -284,7 +284,7 @@ object VectorOps {
       .orderBy("id_a", "id_b")
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact ANN baseline: brute-force cosine top-3 for sampled queries ----
     "sim_cosine_topk" -> ((s, d) => bruteForceTopK(embOf(s, d), topK = 3)),
 
@@ -317,7 +317,39 @@ object VectorOps {
     // reproduce the oracle's all-pairs scan without materializing all
     // pairs. Signatures are one tight pass per document; only
     // (doc_id, band, sig) rows shuffle.
-    "dedup_minhash_lsh" -> ((s, d) => {
+    "dedup_minhash_lsh" -> ((s, d) => minhashPairs(s, d).orderBy("id_a", "id_b")),
+
+    // ---- near-dup cluster resolution: connected components over the
+    //      MinHash pair graph, keep the minimum doc_id as representative ----
+    // Distributed min-label propagation, built as EIGHT lazily-chained
+    // iterations (join edges -> min per node): each round propagates the
+    // component minimum one hop, so components of diameter <= 8 converge —
+    // near-dup clusters are near-cliques (every pair passes the jaccard
+    // verify), so real diameters are 1-2; the recursive-CTE oracle computes
+    // the TRUE fixpoint, so an under-converged component would fail the
+    // hash compare rather than pass silently. Only (id, label) rows
+    // shuffle; no collect, no driver-side loop state beyond plan building.
+    "dedup_resolve" -> ((s, d) => {
+      val pairs = minhashPairs(s, d).select("id_a", "id_b")
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id"))
+      (1 to 8).foreach { _ =>
+        labels = edges.join(labels, edges("dst") === labels("id"))
+          .select(col("src").as("id"), col("lbl"))
+          .union(labels.select("id", "lbl"))
+          .groupBy("id").agg(min("lbl").as("lbl"))
+      }
+      labels.select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
+        .orderBy("doc_id")
+    })
+  )
+
+  /** MinHash-LSH near-duplicate pairs (see the `dedup_minhash_lsh` entry
+    * comment for parameter rationale): banded signature self-join for
+    * candidates, exact shingle-jaccard >= 0.9 verification. */
+  private[queries] def minhashPairs(s: SparkSession, d: String): DataFrame = {
       val spark = s
       import spark.implicits._
       val nHash = 64
@@ -362,9 +394,9 @@ object VectorOps {
             size(array_union(col("wa"), col("wb"))))
         .filter(col("jac") >= 0.9)
         .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
-        .orderBy("id_a", "id_b")
-    }),
+  }
 
+  private val moreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- n-gram jaccard near-dup: prefix-filter (AllPairs) set-similarity
     //      join over word 3-gram shingle sets ----
     // The third discovery-scale candidate strategy next to MinHash banding
@@ -482,6 +514,9 @@ object VectorOps {
     })
   )
 
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ moreQueries
+
   val oracles: Map[String, String] = Map(
     // Gate oracles: the expected certificate is fully determined by the data
     // (query-sample size / doc count) plus the contract that the gate holds
@@ -538,6 +573,33 @@ object VectorOps {
         |FROM t a JOIN t b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.w, b.w))::DOUBLE / len(list_distinct(a.w || b.w)) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    // true connected-components fixpoint via recursive CTE over the same
+    // all-pairs >= 0.9 jaccard graph — an under-converged Spark label
+    // propagation would hash-mismatch
+    "dedup_resolve" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+        |         ELSE list_distinct(list_transform(
+        |            range(1, len(string_split(text, ' ')) - 1),
+        |            i -> string_split(text, ' ')[i] || ' ' ||
+        |                 string_split(text, ' ')[i + 1] || ' ' ||
+        |                 string_split(text, ' ')[i + 2]))
+        |    END AS w
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.w, b.w))::DOUBLE / len(list_distinct(a.w || b.w)) >= 0.9),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst)
+        |SELECT id AS doc_id, min(lbl) AS cluster_rep
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "dedup_minhash_lsh" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -62,6 +62,21 @@ class LlmScaleSpec extends SparkSpec {
     assert(grams(3L) == Seq("three word doc"))
   }
 
+  test("piiScrub redacts emails, phones, and IPs and counts them") {
+    // the corpus testdata carries no PII, so the driver hash-check alone
+    // would pass vacuously — this pins the patterns actually firing
+    val docs = spark.createDataFrame(Seq(
+      (1L, "contact bob.smith+x@example.co.uk or call +1 555 867-5309 now"),
+      (2L, "server at 192.168.0.1 and 10.0.0.255 mirrors a@b.io"),
+      (3L, "no pii here at all"))).toDF("doc_id", "text")
+    val out = LlmText.piiScrub(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out(1L) == (("contact <EMAIL> or call <PHONE> now", 1L, 1L, 0L)), out(1L))
+    assert(out(2L) == (("server at <IP> and <IP> mirrors <EMAIL>", 1L, 0L, 2L)), out(2L))
+    assert(out(3L) == (("no pii here at all", 0L, 0L, 0L)))
+  }
+
   test("blockedJaccard: hot bucket fails with a routing message, cold bucket works") {
     // 50 docs in one length bucket (n_chars=100 -> bkt 1), two exact dups
     val docs = spark.range(50).select(
