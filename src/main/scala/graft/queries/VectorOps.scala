@@ -330,9 +330,21 @@ object VectorOps {
     // hash compare rather than pass silently. Only (id, label) rows
     // shuffle; no collect, no driver-side loop state beyond plan building.
     "dedup_resolve" -> ((s, d) => {
+      // Iterative lineage MUST be cut each round: the next round references
+      // the previous labels twice (join + union), so an untruncated chain
+      // re-derives the MinHash subplan 2^rounds times (measured: 194 s at
+      // sf0.1 vs sub-second truncated). localCheckpoint (the standard
+      // Pregel/GraphX per-iteration materialization) truncates the plan
+      // without registering the exponentially-nested trees with the cache
+      // manager, whose plan canonicalization chokes on them. EAGER BY
+      // DESIGN like the IVF codebook: under AQE the checkpointed stages
+      // materialize during construction (graph iteration is inherently
+      // stage-by-stage); Bench times execution only. Checkpointed frames
+      // are (id, label) rows only.
       val pairs = minhashPairs(s, d).select("id_a", "id_b")
       val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .localCheckpoint(false)
       var labels = edges.select(col("src").as("id")).distinct()
         .withColumn("lbl", col("id"))
       (1 to 8).foreach { _ =>
@@ -340,6 +352,7 @@ object VectorOps {
           .select(col("src").as("id"), col("lbl"))
           .union(labels.select("id", "lbl"))
           .groupBy("id").agg(min("lbl").as("lbl"))
+          .localCheckpoint(false)
       }
       labels.select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
         .orderBy("doc_id")
