@@ -17,9 +17,24 @@ import org.apache.spark.sql.SparkSession
   * 8.5 s query), and the median of three is robust to one such spike.
   */
 object Bench {
-  private def median(xs: Seq[Double]): Double = {
-    val s = xs.sorted
-    s(s.length / 2) // odd run counts: exact middle; even: upper middle
+  private def median(xs: Seq[Double]): Double =
+    if (xs.isEmpty) 0.0
+    else {
+      val s = xs.sorted
+      s(s.length / 2) // odd run counts: exact middle; even: upper middle
+    }
+
+  /** Millisecond precision for the printed line. The driver captures only a
+    * bounded tail of the sbt log: round 3's line carried ~100 queries at
+    * full double precision (~7 KB), overflowed that buffer, and the round's
+    * bench was recorded as unparseable (BENCH_r03.json "parsed": null).
+    * 3 decimals keeps the full registry under ~3 KB; full precision goes to
+    * the bench_full.json sidecar. */
+  private def r3(v: Double): String = {
+    val s = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    if (s == 0 && v > 0) "0.001" // sub-ms success must not read as 0
+    else if (s == 0 && v < 0) "-0.001" // keep the v<0 failure convention
+    else s.bigDecimal.toPlainString
   }
 
   def main(args: Array[String]): Unit = {
@@ -40,7 +55,7 @@ object Bench {
       .format("noop").mode("overwrite").save()
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // Construct each DataFrame ONCE outside the timed region: a few entries
     // are eager by design at build time (the sink round-trips write their
@@ -75,11 +90,20 @@ object Bench {
       name -> (if (errors.contains(name)) -times.last else median(times.toSeq))
     }
     def jstr(s: String): String = Json.str(s)
-    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
+    val qsFull = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // Full-precision sidecar for local analysis (the printed line is rounded).
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_full.json"),
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errs,"sf":"$sfDir"}\n"""
+          .getBytes("UTF-8"))
+    } catch { case scala.util.control.NonFatal(_) => () }
+    println(line)
     spark.stop()
   }
 }

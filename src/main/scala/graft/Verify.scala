@@ -30,15 +30,28 @@ object Verify {
       }
     def q(s: String): String = Json.str(s)
     // A filtered run must not clobber a full run's oracle map in a shared
-    // outDir (the other queries' result dirs would silently lose their
-    // compare); only write the filtered subset into a fresh outDir.
+    // outDir, but it must still refresh its own subset's entries (a stale
+    // oracle for a just-changed query would compare fresh parquet against
+    // old SQL): read-modify-write the merge instead of skipping the write.
     val oraclePath = Paths.get(s"$outDir/oracle_sql.json")
-    if (only.isEmpty || !Files.exists(oraclePath)) {
-      val json = SparkEntry.oracleSql
-        .filter { case (k, _) => only.forall(_.contains(k)) }
-        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-      Files.writeString(oraclePath, json)
-    }
+    val fresh = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
+    val merged =
+      if (only.isEmpty) fresh // full run: fresh map is authoritative
+      else {
+        val existing: Map[String, String] =
+          if (Files.exists(oraclePath))
+            org.json4s.jackson.JsonMethods.parse(Files.readString(oraclePath)) match {
+              case org.json4s.JObject(fields) =>
+                fields.collect { case (k, org.json4s.JString(v)) => k -> v }.toMap
+              case _ => Map.empty
+            }
+          else Map.empty
+        existing ++ fresh
+      }
+    Files.writeString(
+      oraclePath,
+      merged.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

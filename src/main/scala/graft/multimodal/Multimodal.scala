@@ -63,7 +63,7 @@ object Multimodal {
   private[multimodal] def decode(payload: Array[Byte]): Decoded = {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: Throwable => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) Decoded(payload, -1, -1, isImage = false)
     else lumaOf(img)
   }
@@ -83,7 +83,7 @@ object Multimodal {
         try (0 until rd.getNumImages(true)).map(f => lumaOf(rd.read(f)))
         finally rd.dispose()
       }
-    } catch { case _: Throwable => Seq.empty }
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
 
   /** Multi-frame gray GIF encode (explicit 256-gray palette, so pixels are
     * exactly representable — verified lossless round-trip). */
@@ -287,7 +287,7 @@ object Multimodal {
         new java.io.ByteArrayInputStream(payload))
       val f = in.getFormat
       Some(DecodedAudio(in.readAllBytes(), f.getSampleRate.toDouble, f.getChannels))
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** 8-bit unsigned mono PCM WAV encode through the JDK codec. */
   private[multimodal] def encodeWav(samples: Array[Byte], rate: Float): Array[Byte] = {

@@ -77,6 +77,20 @@ class LlmScaleSpec extends SparkSpec {
     assert(out(3L) == (("no pii here at all", 0L, 0L, 0L)))
   }
 
+  test("events_asof tie assumption: (user_id, ts) is collision-free in testdata") {
+    // events_asof's hash parity with DuckDB's ASOF JOIN rests on no two
+    // events of a user sharing a timestamp (at a tie, Spark's (ts, event_id)
+    // window order and DuckDB's c.ts >= p.ts could legitimately differ).
+    // Pin that data property at the SFs the driver verifies at, so
+    // regenerated testdata flips this test instead of a silent hash mismatch.
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val dups = graft.Tables.events(spark, sf)
+        .groupBy("user_id", "ts").count().filter(col("count") > 1).count()
+      assert(dups == 0L, s"$sf has $dups (user_id, ts) collisions — " +
+        "events_asof's DuckDB-ASOF oracle parity is no longer guaranteed")
+    }
+  }
+
   test("blockedJaccard: hot bucket fails with a routing message, cold bucket works") {
     // 50 docs in one length bucket (n_chars=100 -> bkt 1), two exact dups
     val docs = spark.range(50).select(
