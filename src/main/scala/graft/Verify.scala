@@ -39,13 +39,18 @@ object Verify {
     val merged =
       if (only.isEmpty) fresh // full run: fresh map is authoritative
       else {
+        // A corrupt/truncated existing map (e.g. a previously killed run)
+        // must degrade to writing the fresh subset, not crash after all the
+        // query parquet has already been written.
         val existing: Map[String, String] =
           if (Files.exists(oraclePath))
-            org.json4s.jackson.JsonMethods.parse(Files.readString(oraclePath)) match {
-              case org.json4s.JObject(fields) =>
-                fields.collect { case (k, org.json4s.JString(v)) => k -> v }.toMap
-              case _ => Map.empty
-            }
+            scala.util.Try {
+              org.json4s.jackson.JsonMethods.parse(Files.readString(oraclePath)) match {
+                case org.json4s.JObject(fields) =>
+                  fields.collect { case (k, org.json4s.JString(v)) => k -> v }.toMap
+                case _ => Map.empty[String, String]
+              }
+            }.getOrElse(Map.empty)
           else Map.empty
         existing ++ fresh
       }

@@ -229,6 +229,19 @@ object Relational {
         .orderBy(col("price").desc, col("o_orderkey"))
         .limit(25)),
 
+    // ---- O2: global rank without a single-partition window ----
+    // row_number() over a global ORDER BY funnels everything through one
+    // task; Ranking.globalRank is the scale-safe two-phase shape (range
+    // exchange + per-partition offsets). (o_totalprice, o_orderkey) is a
+    // total order, so ranks are deterministic.
+    "o2_global_rank" -> ((s, d) =>
+      Ranking.globalRank(
+          Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), partitions = 32,
+          rankCol = "global_rank")
+        .select("o_orderkey", "global_rank")
+        .orderBy("o_orderkey")),
+
     // ---- W1: lag with default (reference: detrendandstat_quad.R:73) ----
     "w1_lag" -> ((s, d) =>
       Tables.events(s, d)
@@ -478,6 +491,10 @@ object Relational {
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
         |FROM orders
         |ORDER BY price DESC, o_orderkey LIMIT 25""".stripMargin,
+    "o2_global_rank" ->
+      """SELECT o_orderkey,
+        |  row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS global_rank
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "w1_lag" ->
       """SELECT event_id,
         |  lag(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
