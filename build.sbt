@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The per-round driver captures only the last ~2000 chars of the sbt log and
+// parses the benchmark's single JSON line out of it. sbt's default logged
+// output strategy prefixes every forked-process line with "[info] " (which
+// breaks a bare-JSON line parse) and appends a "[success] Total time..."
+// line after it. Pass forked output through verbatim and drop the success
+// banner so the JSON line is the unprefixed last line of the log.
+run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

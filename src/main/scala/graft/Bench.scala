@@ -90,12 +90,46 @@ object Bench {
       name -> (if (errors.contains(name)) -times.last else median(times.toSeq))
     }
     def jstr(s: String): String = Json.str(s)
-    val qs = results.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
     val qsFull = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+
+    // The driver keeps only the last ~2000 chars of the log, so the printed
+    // line must fit there WITH margin. The registry (100+ queries, long
+    // names) is ~2.6 KB as a flat map, so when over budget we fold query
+    // families into "<family>_total" sums — largest/least-interesting
+    // families first — until the line fits. Queries that FAILED are never
+    // folded (their negative time and errors entry must stay visible).
+    // Full per-query precision always goes to the bench_full.json sidecar.
+    val families: Seq[(String, String => Boolean)] = Seq(
+      "wdi_stats_total" -> (n => n.startsWith("wdi_") && n != "wdi_front_half"),
+      "relational_micro_total" -> (n => n.matches("^[a-z][0-9]_.*")),
+      "mm_total" -> (_.startsWith("mm_")),
+      "text_total" -> (_.startsWith("text_")),
+      "dedup_total" -> (_.startsWith("dedup_")),
+      "ann_sim_total" -> (n => n.startsWith("ann_") || n.startsWith("sim_")),
+    )
+    val budget = 1850 // chars; tail is 2000 and the line is printed after
+    // spark.stop() with the sbt success banner suppressed, so only a small
+    // margin for trailing noise is needed
+    def render(entries: Seq[(String, Double)]): String = {
+      val qs = entries.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size},"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    }
+    var entries: Seq[(String, Double)] = results
+    var line = render(entries)
+    val famIt = families.iterator
+    while (line.length > budget && famIt.hasNext) {
+      val (famKey, pred) = famIt.next()
+      val (in, out) = entries.partition { case (n, v) => pred(n) && v >= 0 }
+      if (in.nonEmpty) {
+        entries = out :+ (famKey -> in.map(_._2).sum)
+        line = render(entries)
+      }
+    }
+    if (line.length > budget) // last resort: totals only
+      line = render(Seq.empty)
+
     // Full-precision sidecar for local analysis (the printed line is rounded).
     try {
       java.nio.file.Files.write(
@@ -103,7 +137,10 @@ object Bench {
         s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errs,"sf":"$sfDir"}\n"""
           .getBytes("UTF-8"))
     } catch { case scala.util.control.NonFatal(_) => () }
-    println(line)
+    // Stop Spark BEFORE printing: nothing (not even a stray WARN from
+    // executor shutdown) may appear after the JSON line the driver parses.
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }
