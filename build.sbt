@@ -20,6 +20,8 @@ run / fork := true
 run / outputStrategy := Some(StdoutOutput)
 Compile / runMain / outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
+// Both keys are consumed by sbt commands, not settings — lint can't see that.
+Global / excludeLintKeys ++= Set(showSuccess, Compile / runMain / outputStrategy)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -55,6 +55,40 @@ class PlanQualitySpec extends SparkSpec {
       s"region dimension not broadcast:\n$plan")
   }
 
+  test("grouping lattices expand below the partial aggregation") {
+    // rollup/cube/grouping-sets must plan Expand + partial HashAggregate
+    // under the exchange: the shuffle carries group rows, not an
+    // |input| x |grouping sets| blowup.
+    Seq("a10_rollup", "a11_cube", "a12_grouping_sets").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, Sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Expand"), s"$name: no Expand in plan:\n$plan")
+      val expandIdx = plan.indexOf("Expand")
+      val exchangeIdx = plan.indexOf("Exchange")
+      assert(exchangeIdx >= 0 && exchangeIdx < expandIdx,
+        s"$name: Expand not below the exchange (partial agg missing)")
+    }
+  }
+
+  test("the banded range join plans as an equi-join on the bucket key") {
+    val plan = SparkEntry.queries("j5_range_join")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range join degenerated to nested-loop:\n$plan")
+    assert(plan.contains("Join") && plan.contains("bucket"),
+      s"bucket equi-join missing:\n$plan")
+  }
+
+  test("TPC-H star joins broadcast their dimension sides") {
+    Seq("tpch_q3", "tpch_q5").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, Sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name: no broadcast dimension join:\n$plan")
+    }
+  }
+
   test("no registered query plans a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, Sf).queryExecution.executedPlan.toString
