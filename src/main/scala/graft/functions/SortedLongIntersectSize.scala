@@ -125,5 +125,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("bpe_token_count"), GraftFunctions.bpeInfo,
         GraftFunctions.bpeBuilder))
+    // Custom optimizer rule: band inequality joins -> bucket equi-joins
+    // (see graft.plans.BandedRangeJoinRule for scope and proof sketch).
+    ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoinRule)
   }
 }

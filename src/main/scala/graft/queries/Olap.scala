@@ -125,6 +125,24 @@ object Olap {
         .orderBy("o_orderkey")
     }),
 
+    // ---- J6: the SAME band join written naively (raw inequality
+    // condition) — graft.plans.BandedRangeJoinRule (injected via
+    // spark.sql.extensions) rewrites it into the bucket equi-join of J5
+    // automatically. Without the rule this plans a BroadcastNestedLoopJoin;
+    // PlanQualitySpec pins the rewrite. ----
+    "j6_range_join_auto" -> ((s, d) => {
+      val probes = Tables.orders(s, d)
+        .where(col("o_orderkey") % 50 === 25)
+        .select(col("o_orderkey"), epochDay(col("o_orderdate")).as("oday"))
+      val facts = Tables.lineitem(s, d)
+        .select(epochDay(col("l_shipdate")).as("lday"))
+      facts.join(probes,
+          col("lday") >= col("oday") && col("lday") < col("oday") + lit(7L))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_li"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- TPC-H Q1 shape: scan-heavy multi-aggregate with derived
     // per-row expressions, the canonical columnar-engine headline ----
     "tpch_q1" -> ((s, d) => {
@@ -254,6 +272,13 @@ object Olap {
         |  ON l_shipdate >= o_orderdate
         | AND l_shipdate < o_orderdate + INTERVAL 7 DAY
         |WHERE o_orderkey % 50 = 0
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "j6_range_join_auto" ->
+      """SELECT o_orderkey, count(*) AS n_li
+        |FROM orders JOIN lineitem
+        |  ON l_shipdate >= o_orderdate
+        | AND l_shipdate < o_orderdate + INTERVAL 7 DAY
+        |WHERE o_orderkey % 50 = 25
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
     "tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,

@@ -100,6 +100,31 @@ object EventStreams {
         })
   }
 
+  /** Watermarked stream-stream interval join — the attribution shape: each
+    * `right` event (e.g. a purchase) joins the `left` events (e.g. clicks)
+    * of the SAME user whose timestamp falls in the `joinWindow` before it.
+    *
+    * Both sides carry a watermark and the join condition bounds `l.ts`
+    * relative to `r.ts` on both ends, so Spark derives a state-eviction
+    * bound for BOTH sides: a buffered row is dropped once the other side's
+    * watermark passes the last instant it could still match. State is
+    * hash-partitioned on `user_id`; nothing is unbounded.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      watermark: String = "30 minutes",
+      joinWindow: String = "15 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r,
+        col("l.user_id") === col("r.user_id") &&
+          col("l.ts") <= col("r.ts") &&
+          col("l.ts") >= col("r.ts") - expr(s"INTERVAL $joinWindow"))
+      .select(
+        col("l.user_id").as("user_id"),
+        col("l.event_id").as("left_id"), col("l.ts").as("left_ts"),
+        col("r.event_id").as("right_id"), col("r.ts").as("right_ts"))
+  }
+
   /** Batch view of the events parquet as the streaming Event dataset. */
   def batchEvents(spark: SparkSession, sfDir: String): Dataset[Event] = {
     import spark.implicits._

@@ -80,6 +80,16 @@ class PlanQualitySpec extends SparkSpec {
       s"bucket equi-join missing:\n$plan")
   }
 
+  test("the naive inequality band join is rewritten by the optimizer rule") {
+    val plan = SparkEntry.queries("j6_range_join_auto")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"BandedRangeJoinRule did not fire:\n$plan")
+    assert(plan.contains("__graft_band"),
+      s"band helper columns missing from plan:\n$plan")
+  }
+
   test("TPC-H star joins broadcast their dimension sides") {
     Seq("tpch_q3", "tpch_q5").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, Sf)

@@ -19,6 +19,7 @@ object SparkSpec {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .appName("graft-test")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

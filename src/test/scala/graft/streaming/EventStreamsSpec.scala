@@ -120,4 +120,31 @@ class EventStreamsSpec extends SparkSpec {
         s"mismatch: ${streamed.toSet.diff(batch.toSet).take(5)} vs ${batch.toSet.diff(streamed.toSet).take(5)}")
     } finally q.stop()
   }
+
+  test("stream-stream interval join attributes right events to in-window left events") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val q = intervalJoin(clicks.toDF(), buys.toDF(),
+        watermark = "30 minutes", joinWindow = "15 minutes")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val b = 10000L
+      // user 1: clicks at +0 and +10; purchase at +12 -> joins BOTH (window
+      // [-15, 0] relative to the purchase covers minutes -3 and +2 back).
+      // user 2: click at +0, purchase at +40 -> out of window, no match.
+      clicks.addData(ev(1, 1, b + 0), ev(2, 1, b + 10), ev(3, 2, b + 0))
+      buys.addData(ev(101, 1, b + 12), ev(102, 2, b + 40))
+      q.processAllAvailable()
+      // push both watermarks forward so all joinable state resolves
+      clicks.addData(ev(4, 9, b + 600))
+      buys.addData(ev(103, 9, b + 600 - 16)) // outside window of click 4
+      q.processAllAvailable()
+      val got = spark.table("attrib")
+        .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 101L), (2L, 101L)), s"got $got")
+    } finally q.stop()
+  }
 }
