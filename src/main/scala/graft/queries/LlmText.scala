@@ -353,6 +353,69 @@ object LlmText {
         .orderBy("doc_id")
     }),
 
+    // ---- corpus-level boilerplate detection: shared word-8-gram scrub ----
+    // The C4/RefinedWeb cleaning shape adapted to single-line documents:
+    // an 8-gram appearing in >= 2 DISTINCT docs marks duplicated/templated
+    // content; each doc reports how much of it is such boilerplate. Scale
+    // shape: grams leave the scan as 64-bit hashes (thin shuffle rows),
+    // the boilerplate set is a hash groupBy with partial aggregation, and
+    // the tag-back is an equi-join on the hash — nothing all-pairs, no
+    // driver-side state. (Grams are hashed only as join keys; the output
+    // carries counts, so xxhash64 collisions are the usual ~2^-64 caveat.)
+    "text_boilerplate" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("gs", when(size(col("toks")) >= 8, expr(
+          """transform(sequence(1, size(toks) - 7),
+            |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+            |                      element_at(toks, i + 2), element_at(toks, i + 3),
+            |                      element_at(toks, i + 4), element_at(toks, i + 5),
+            |                      element_at(toks, i + 6), element_at(toks, i + 7)))""".stripMargin))
+          .otherwise(array().cast("array<string>")))
+      val e = t.select(col("doc_id"), explode(col("gs")).as("gram"))
+        .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      val boiler = e.groupBy("gh").agg(countDistinct(col("doc_id")).as("ndocs"))
+        .filter(col("ndocs") >= 2).select("gh")
+      val nb = e.join(boiler, "gh").groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+      t.select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"))
+        .join(nb, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+          when(col("n_grams") === 0, lit(0.0))
+            .otherwise(round(coalesce(col("n_boiler"), lit(0L)).cast("double") /
+              col("n_grams"), 6)).as("boiler_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- TF-IDF: per-doc top-5 distinctive terms ----
+    // The inverted-index statistic behind retrieval and keyword curation.
+    // idf uses the division form (n_docs + 1) / (df + 1) — IEEE division is
+    // deterministic across engines, unlike ln() whose last-ulp rounding may
+    // differ, so the oracle hash-compares exactly. Scale shape: one explode
+    // into thin (doc_id, word) rows, two hash aggregations (tf keyed by the
+    // high-cardinality (doc, word); df keyed by word with map-side partial
+    // agg), df joined back broadcast (vocabulary-sized), and the per-doc
+    // top-5 rides row_number <= 5 which Spark pushes to a per-partition
+    // WindowGroupLimit before the doc_id shuffle.
+    "text_tfidf_topk" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val e = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      val tf = e.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dfq = e.select("doc_id", "word").distinct()
+        .groupBy("word").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("word"))
+      tf.join(broadcast(dfq), "word")
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          col("tf").cast("double") * (col("n_docs") + 1) / (col("df") + 1))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("doc_id"), col("word"), col("tf"), col("df"),
+          round(col("tfidf"), 6).as("tfidf"), col("rk").cast("long").as("rk"))
+        .orderBy("doc_id", "rk")
+    }),
+
     // ---- multimodal plumbing: opaque binary column + typed metadata ----
     // Decode itself is stubbed (no codec libs in env); the Spark-side schema,
     // binary handling, and deterministic metadata extraction are real.
@@ -523,6 +586,36 @@ object LlmText {
          |SELECT doc_id, lang, n_tokens,
          |  CAST((cum_tokens - 1) // 2048 AS BIGINT) AS bin_id
          |FROM c ORDER BY doc_id""".stripMargin,
+    "text_boilerplate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |gl AS (SELECT doc_id,
+        |         CASE WHEN len(w) >= 8 THEN list_transform(range(1, len(w) - 7 + 1),
+        |           i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+        |                               w[i+4], w[i+5], w[i+6], w[i+7]))
+        |         ELSE [] END AS gs
+        |       FROM t),
+        |e AS (SELECT doc_id, unnest(gs) AS gram FROM gl),
+        |boiler AS (SELECT gram FROM e GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |nb AS (SELECT e.doc_id, count(*) AS n_boiler
+        |       FROM e JOIN boiler USING (gram) GROUP BY e.doc_id)
+        |SELECT gl.doc_id, len(gs) AS n_grams,
+        |  coalesce(nb.n_boiler, 0) AS n_boiler,
+        |  CASE WHEN len(gs) = 0 THEN 0.0
+        |       ELSE round(coalesce(nb.n_boiler, 0)::DOUBLE / len(gs), 6)
+        |  END AS boiler_ratio
+        |FROM gl LEFT JOIN nb USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "text_tfidf_topk" ->
+      """WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM e GROUP BY doc_id, word),
+        |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM e GROUP BY word),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+        |             tf.tf::DOUBLE * (n.n_docs + 1) / (df.df + 1) AS tfidf
+        |           FROM tf JOIN df ON tf.word = df.word CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY tfidf DESC, word) AS rk FROM scored)
+        |SELECT doc_id, word, tf, df, round(tfidf, 6) AS tfidf, rk
+        |FROM r WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id,
         |  octet_length(encode(text)) AS n_bytes,

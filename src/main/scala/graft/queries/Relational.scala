@@ -24,6 +24,22 @@ object Relational {
 
   private val wUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
 
+  /** Shared ANSI SQL text for sql_front_door: executed VERBATIM by both
+    * Spark (over temp views) and the DuckDB oracle — the API-parity check
+    * that a user's SQL, not just our DataFrame programs, agrees across
+    * engines. Stays inside the dialect intersection (explicit JOIN ... ON,
+    * CAST/DECIMAL, count(*), ORDER BY). */
+  private val SqlFrontDoor: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- S1: CSV scan with explicit schema, RFC-4180 quoting, ""->null ----
     // (reference: detrendandstat_quad.R:4-6)
@@ -162,6 +178,20 @@ object Relational {
         .orderBy("doc_id")
     }),
 
+    // ---- SQL front door: one SQL text, two engines ----
+    // The spark.sql(...) API surface: the LITERAL oracle string (a
+    // dialect-shared ANSI star-join aggregate) runs through Catalyst over
+    // temp views. Whatever a user could type at the reference's SQL prompt
+    // they can type here; the oracle compare proves both engines agree on
+    // the same text.
+    "sql_front_door" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      s.sql(SqlFrontDoor)
+    }),
+
     // ---- X1: skew-safe two-stage (salted) aggregation ----
     // The 100 TB pattern for hot keys: partial-aggregate on (key, salt),
     // then final-aggregate on key — results identical to a plain groupBy,
@@ -175,6 +205,29 @@ object Relational {
       partial.groupBy("event_type")
         .agg(sum(col("pn")).as("n"),
           sum(col("pv")).cast("double").as("total_value"))
+        .orderBy("event_type")
+    }),
+
+    // ---- X4: skew-safe salted shuffle join ----
+    // The 100 TB hot-key JOIN pattern (x1 is the agg flavor): the dim side
+    // is replicated across S salt values and each fact row picks a
+    // deterministic salt, so a hot join key fans out over S reducers
+    // instead of melting one. Results are identical to the plain equi-join
+    // (the oracle). At bench scale Catalyst broadcasts the tiny exploded
+    // dim; the (key, salt) equi-join shape is what remains correct when
+    // the dim exceeds the broadcast threshold and a sort-merge join meets
+    // skewed fact keys.
+    "x4_salted_join" -> ((s, d) => {
+      val S = 16L
+      val fact = Tables.events(s, d)
+        .withColumn("salt", pmod(xxhash64(col("event_id")), lit(S)))
+      val dim = Tables.events(s, d).select("event_type").distinct()
+        .withColumn("type_wt", length(col("event_type")).cast("long"))
+        .withColumn("salt", explode(sequence(lit(0L), lit(S - 1))))
+      fact.join(dim, Seq("event_type", "salt"))
+        .groupBy("event_type", "type_wt")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
         .orderBy("event_type")
     }),
 
@@ -456,6 +509,7 @@ object Relational {
         |ORDER BY p_partkey""".stripMargin,
     "s3_jsonl_roundtrip" ->
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+    "sql_front_door" -> SqlFrontDoor,
     "x1_salted_agg" ->
       """WITH p AS (
         |  SELECT event_type, event_id % 16 AS salt, count(*) AS pn,
@@ -464,6 +518,13 @@ object Relational {
         |SELECT event_type, CAST(sum(pn) AS BIGINT) AS n,
         |       CAST(sum(pv) AS DOUBLE) AS total_value
         |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "x4_salted_join" ->
+      """WITH dim AS (SELECT DISTINCT event_type, len(event_type) AS type_wt
+        |             FROM events)
+        |SELECT e.event_type, d.type_wt, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |GROUP BY e.event_type, d.type_wt ORDER BY e.event_type""".stripMargin,
     "j1_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
