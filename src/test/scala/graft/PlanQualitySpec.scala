@@ -15,7 +15,9 @@ class PlanQualitySpec extends SparkSpec {
   // recompute an exact baseline to certify the approximate scale path
   private val nestedLoopAllowed = Set(
     "sim_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
-    "ann_lsh_recall_gate", "ann_ivf_recall_gate", "dedup_simhash_exact_gate")
+    "ann_lsh_recall_gate", "ann_ivf_recall_gate", "dedup_simhash_exact_gate",
+    // single-row corpus-count broadcast (the idf denominator)
+    "text_tfidf_topk")
 
   test("filters are pushed into the parquet scan") {
     val plan = SparkEntry.queries("p2_filter_in")(spark, Sf)
