@@ -273,6 +273,28 @@ object LlmText {
         .orderBy("event_id")
     }),
 
+    // ---- funnel analysis: click -> purchase conversion within 1 h ----
+    // The event-sequence companion to events_asof, looking FORWARD: each
+    // click is matched to the user's earliest at-or-after purchase via a
+    // (currentRow, unboundedFollowing) min frame — one shuffle on the
+    // high-cardinality user_id, O(1) running state per row, no self-join
+    // and no per-user explode. Output is the per-user funnel summary.
+    "events_funnel" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val hourUs = lit(3600L * 1000000)
+      Tables.events(s, d)
+        .withColumn("p_ts", when(col("event_type") === "purchase", col("ts")))
+        .withColumn("next_p_ts", min(col("p_ts")).over(w))
+        .filter(col("event_type") === "click")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(when(col("next_p_ts").isNotNull &&
+            col("next_p_ts") - col("ts") <= hourUs, 1L).otherwise(0L))
+            .as("n_converted"))
+        .orderBy("user_id")
+    }),
+
     // ---- language ID: per-language stopword-hit scoring ----
     // Deterministic n-gram-free heuristic: count hits against small
     // distinctive function-word lists, argmax with a fixed tie-break order,
@@ -516,6 +538,19 @@ object LlmText {
         |SELECT c.event_id, c.user_id, p.asof_event_id, p.asof_value
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.event_id""".stripMargin,
+    "events_funnel" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_p_ts
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_clicks,
+        |  CAST(sum(CASE WHEN next_p_ts IS NOT NULL
+        |                 AND epoch_us(next_p_ts) - epoch_us(ts) <= 3600000000
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+        |FROM w WHERE event_type = 'click'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "text_langid" -> {
       def sc(l: String) =
         s"len(list_filter(string_split(text, ' '), x -> x IN ${inList(LangStops(l))}))"
