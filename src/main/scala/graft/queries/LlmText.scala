@@ -295,6 +295,24 @@ object LlmText {
         .orderBy("user_id")
     }),
 
+    // ---- cohort retention: users active k days after first seen ----
+    // The product-analytics staple. first_seen is a per-user min (hash agg
+    // on the high-cardinality key), joined back on user_id (the same
+    // shuffle partitioning AQE reuses), then distinct users per
+    // (cohort_day, day_offset) — all hash aggregations, no window, no
+    // self-join. day = ts div 86400e6 (epoch days; data is all post-1970).
+    "events_retention" -> ((s, d) => {
+      val dayUs = 86400L * 1000000
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr(s"ts div $dayUs").as("day")) // integer div
+
+      val firstSeen = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      ev.join(firstSeen, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     // ---- language ID: per-language stopword-hit scoring ----
     // Deterministic n-gram-free heuristic: count hits against small
     // distinctive function-word lists, argmax with a fixed tie-break order,
@@ -538,6 +556,15 @@ object LlmText {
         |SELECT c.event_id, c.user_id, p.asof_event_id, p.asof_value
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.event_id""".stripMargin,
+    "events_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |fs AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+        |SELECT fs.cohort_day, ev.day - fs.cohort_day AS day_offset,
+        |       count(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN fs ON ev.user_id = fs.user_id
+        |GROUP BY fs.cohort_day, ev.day - fs.cohort_day
+        |ORDER BY cohort_day, day_offset""".stripMargin,
     "events_funnel" ->
       """WITH w AS (
         |  SELECT event_id, user_id, ts, event_type,
