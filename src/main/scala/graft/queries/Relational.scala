@@ -178,6 +178,36 @@ object Relational {
         .orderBy("doc_id")
     }),
 
+    // ---- S4: bucketed sink + co-located join (no join-side shuffle) ----
+    // The pre-partitioning story for repeated large-fact joins: both
+    // tables are written bucketed AND sorted by the join key into the
+    // same bucket count, so the sort-merge join reads bucket i against
+    // bucket i directly — zero Exchange and zero Sort on either join
+    // side, at any scale (PlanQualitySpec pins this). EAGER BY DESIGN:
+    // the bucketed write runs once at construction (it is the "sink"
+    // under test); the returned plan is the co-located read+join+agg.
+    // The merge hint keeps the planner from broadcasting the small test
+    // table — at 100 TB neither side would be broadcastable.
+    "s4_bucketed_join" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_s4").toString
+      sys.addShutdownHook {
+        new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      }
+      Tables.orders(s, d).write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$base/orders_b").saveAsTable("graft_s4_orders")
+      Tables.customer(s, d).write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$base/customer_b").saveAsTable("graft_s4_customer")
+      s.table("graft_s4_orders").hint("merge")
+        .join(s.table("graft_s4_customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .orderBy("c_mktsegment")
+    }),
+
     // ---- SQL front door: one SQL text, two engines ----
     // The spark.sql(...) API surface: the LITERAL oracle string (a
     // dialect-shared ANSI star-join aggregate) runs through Catalyst over
@@ -509,6 +539,11 @@ object Relational {
         |ORDER BY p_partkey""".stripMargin,
     "s3_jsonl_roundtrip" ->
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+    "s4_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "sql_front_door" -> SqlFrontDoor,
     "x1_salted_agg" ->
       """WITH p AS (

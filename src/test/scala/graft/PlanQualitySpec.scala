@@ -101,6 +101,17 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("bucketed tables co-locate their join: no exchange on either join side") {
+    val plan = SparkEntry.queries("s4_bucketed_join")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+    // The only exchanges allowed are the post-join agg/sort ones — never a
+    // hash partitioning on the join keys (that's what bucketing elides).
+    assert(!plan.contains("Exchange hashpartitioning(o_custkey") &&
+      !plan.contains("Exchange hashpartitioning(c_custkey"),
+      s"join-side shuffle not elided by bucketing:\n$plan")
+  }
+
   test("no registered query plans a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, Sf).queryExecution.executedPlan.toString
