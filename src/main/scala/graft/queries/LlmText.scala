@@ -403,21 +403,28 @@ object LlmText {
     // driver-side state. (Grams are hashed only as join keys; the output
     // carries counts, so xxhash64 collisions are the usual ~2^-64 caveat.)
     "text_boilerplate" -> ((s, d) => {
+      // Grams are hashed positionally: explode gram START POSITIONS and
+      // xxhash64 the 8-word tuple per row (multi-arg form; words contain no
+      // spaces, so the tuple hash groups exactly like the oracle's joined
+      // string). Deliberately NOT a per-doc transform(...) building a gram
+      // array: explode(arrayExpr) makes InferFiltersFromGenerate push a
+      // size(arrayExpr) > 0 filter below the projection, where the inlined
+      // lambda re-evaluates split(text) per element — measured 33 s at
+      // sf0.1 vs ~1 s for this positional shape, which stays in one
+      // whole-stage-codegen pass per scan.
       val t = Tables.documents(s, d)
         .withColumn("toks", split(col("text"), " "))
-        .withColumn("gs", when(size(col("toks")) >= 8, expr(
-          """transform(sequence(1, size(toks) - 7),
-            |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
-            |                      element_at(toks, i + 2), element_at(toks, i + 3),
-            |                      element_at(toks, i + 4), element_at(toks, i + 5),
-            |                      element_at(toks, i + 6), element_at(toks, i + 7)))""".stripMargin))
-          .otherwise(array().cast("array<string>")))
-      val e = t.select(col("doc_id"), explode(col("gs")).as("gram"))
-        .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+        .select(col("doc_id"), col("toks"),
+          greatest(size(col("toks")) - 7, lit(0)).cast("long").as("n_grams"))
+      val e = t.filter(col("n_grams") > 0)
+        .select(col("doc_id"), col("toks"),
+          explode(expr("sequence(1, size(toks) - 7)")).as("i"))
+        .select(col("doc_id"),
+          xxhash64((0 to 7).map(j => expr(s"element_at(toks, i + $j)")): _*).as("gh"))
       val boiler = e.groupBy("gh").agg(countDistinct(col("doc_id")).as("ndocs"))
         .filter(col("ndocs") >= 2).select("gh")
       val nb = e.join(boiler, "gh").groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
-      t.select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"))
+      t.select(col("doc_id"), col("n_grams"))
         .join(nb, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_grams"),
           coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
