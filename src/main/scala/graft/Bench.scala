@@ -47,6 +47,16 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // Engine-wide planner choice (set in every graft session builder):
+      // InferFiltersFromGenerate copies an explode's array expression into a
+      // size(...) > 0 pre-filter, and predicate pushdown then re-inlines it
+      // BELOW the projection that materialized it — for shingle/gram arrays
+      // whose lambdas index a split() column, that re-evaluates the split
+      // per element, turning an O(n) doc pass into O(n^2) (measured 4.7 s
+      // -> 1.8 s on dedup_ngram_jaccard at sf0.1). The rule only prunes
+      // rows with empty/null source arrays, which our corpora don't have.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

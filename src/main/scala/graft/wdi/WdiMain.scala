@@ -18,6 +18,8 @@ object WdiMain {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .appName("wdi-pipelines")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
