@@ -178,6 +178,20 @@ object Relational {
         .orderBy("doc_id")
     }),
 
+    // ---- S5: ORC sink + scan round-trip (columnar format breadth) ----
+    // Same eager-write convention as s2/s3; the returned plan is the lazy
+    // ORC scan the driver hash-checks against the parquet-sourced oracle.
+    "s5_orc_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s5").toString
+      sys.addShutdownHook {
+        new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+      }
+      docs.write.mode("overwrite").orc(tmp)
+      s.read.schema("doc_id BIGINT, lang STRING, n_chars BIGINT").orc(tmp)
+        .orderBy("doc_id")
+    }),
+
     // ---- S4: bucketed sink + co-located join (no join-side shuffle) ----
     // The pre-partitioning story for repeated large-fact joins: both
     // tables are written bucketed AND sorted by the join key into the
@@ -538,6 +552,8 @@ object Relational {
         |SELECT l_partkey FROM lineitem WHERE l_quantity > 45
         |ORDER BY p_partkey""".stripMargin,
     "s3_jsonl_roundtrip" ->
+      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+    "s5_orc_roundtrip" ->
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
     "s4_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
