@@ -227,6 +227,36 @@ object Olap {
           (abs(expr("approx_percentile(o_totalprice, 0.5, 10000)")
               - expr("percentile(o_totalprice, 0.5)"))
             <= expr("percentile(o_totalprice, 0.5)") * 0.005).as("ok"))),
+
+    // ---- X5: count-min sketch built from relational ops, with gate ----
+    // Spark exposes count_min_sketch only as an opaque binary (queryable
+    // driver-side), so the sketch is built distributively instead: d=4
+    // hash rows x w=256 buckets as a (j, bucket) hash aggregate — 4 thin
+    // rows per event in, d*w cells out, one shuffle. Point queries join
+    // each key's (j, bucket) coordinates to the cells and take min over j.
+    // The certificate pins both CMS guarantees: est >= exact (never
+    // underestimates) and est <= exact + ceil(4N/w) (the eps*N overcount
+    // bound); the oracle predicts (key, n_exact, true) from data alone.
+    "x5_countmin_gate" -> ((s, d) => {
+      val W = 256L
+      val D = 4
+      val js = explode(array((0 until D).map(lit(_)): _*)).as("j")
+      val ev = Tables.events(s, d).select(col("event_type"))
+      val cells = ev.select(col("event_type"), js)
+        .withColumn("bucket", pmod(xxhash64(col("event_type"), col("j")), lit(W)))
+        .groupBy("j", "bucket").agg(count(lit(1)).as("c"))
+      val exact = ev.groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+      val est = exact.select(col("event_type"), col("n_exact"), js)
+        .withColumn("bucket", pmod(xxhash64(col("event_type"), col("j")), lit(W)))
+        .join(cells, Seq("j", "bucket"))
+        .groupBy("event_type", "n_exact").agg(min(col("c")).as("cm_est"))
+      val n = ev.agg(count(lit(1)).as("n_total"))
+      est.crossJoin(broadcast(n))
+        .select(col("event_type"), col("n_exact"),
+          (col("cm_est") >= col("n_exact") &&
+            col("cm_est") <= col("n_exact") + ceil(col("n_total") * 4 / W)).as("ok"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -317,5 +347,8 @@ object Olap {
         |FROM lineitem""".stripMargin,
     "x3_quantile_gate" ->
       "SELECT count(*) AS n, true AS ok FROM orders",
+    "x5_countmin_gate" ->
+      """SELECT event_type, count(*) AS n_exact, true AS ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -16,8 +16,8 @@ class PlanQualitySpec extends SparkSpec {
   private val nestedLoopAllowed = Set(
     "sim_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     "ann_lsh_recall_gate", "ann_ivf_recall_gate", "dedup_simhash_exact_gate",
-    // single-row corpus-count broadcast (the idf denominator)
-    "text_tfidf_topk")
+    // single-row corpus-count broadcasts (idf denominator; CMS N bound)
+    "text_tfidf_topk", "x5_countmin_gate")
 
   test("filters are pushed into the parquet scan") {
     val plan = SparkEntry.queries("p2_filter_in")(spark, Sf)
