@@ -24,6 +24,21 @@ object Relational {
 
   private val wUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
 
+  /** Correlated scalar subquery, shared verbatim by both engines (like
+    * [[SqlFrontDoor]]): orders more than twice their customer's average.
+    * Catalyst decorrelates this into an aggregate + join — the subquery is
+    * planned once over the table, not re-executed per outer row. The avg
+    * runs in exact decimal so both engines compare identical operands at
+    * the 2x boundary. */
+  private val ScalarSubquerySql: String =
+    """SELECT o_orderkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+      |FROM orders o
+      |WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
+      |  2 * (SELECT avg(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+      |       FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Shared ANSI SQL text for sql_front_door: executed VERBATIM by both
     * Spark (over temp views) and the DuckDB oracle — the API-parity check
     * that a user's SQL, not just our DataFrame programs, agrees across
@@ -220,6 +235,14 @@ object Relational {
         .agg(count(lit(1)).as("n_orders"),
           dsum(col("o_totalprice")).as("total_price"))
         .orderBy("c_mktsegment")
+    }),
+
+    // ---- J7: correlated scalar subquery (decorrelated by Catalyst) ----
+    // See ScalarSubquerySql; runs over a temp view so the subquery text is
+    // literally shared with the oracle.
+    "j7_scalar_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(ScalarSubquerySql)
     }),
 
     // ---- SQL front door: one SQL text, two engines ----
@@ -560,6 +583,7 @@ object Relational {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "j7_scalar_subquery" -> ScalarSubquerySql,
     "sql_front_door" -> SqlFrontDoor,
     "x1_salted_agg" ->
       """WITH p AS (
