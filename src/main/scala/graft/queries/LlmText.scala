@@ -151,6 +151,43 @@ object LlmText {
       regexp_count(col("text"), lit(PiiPhone)).cast("long").as("n_phones"),
       regexp_count(col("text"), lit(PiiIpv4)).cast("long").as("n_ips"))
 
+  /** Corpus-level boilerplate scoring: the fraction of each document's word
+    * 8-grams that also appear in at least `minDocs` OTHER-or-same distinct
+    * documents (the C4/RefinedWeb shared-line cleaning shape, adapted to
+    * single-line docs).
+    *
+    * Grams are hashed positionally: explode gram START POSITIONS and
+    * xxhash64 the 8-word tuple per row (multi-arg form; words contain no
+    * spaces, so the tuple hash groups exactly like a space-joined gram
+    * string). Deliberately NOT a per-doc transform(...) building a gram
+    * array: explode(arrayExpr) lets InferFiltersFromGenerate (when enabled)
+    * push a size(arrayExpr) > 0 filter below the projection, where the
+    * inlined lambda re-evaluates split(text) per element — measured 33 s at
+    * sf0.1 vs ~1 s for this positional shape, which stays in one
+    * whole-stage-codegen pass per scan. */
+  private[queries] def boilerplate(docs: DataFrame, minDocs: Long = 2L): DataFrame = {
+    val t = docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("toks"),
+        greatest(size(col("toks")) - 7, lit(0)).cast("long").as("n_grams"))
+    val e = t.filter(col("n_grams") > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(1, size(toks) - 7)")).as("i"))
+      .select(col("doc_id"),
+        xxhash64((0 to 7).map(j => expr(s"element_at(toks, i + $j)")): _*).as("gh"))
+    val boiler = e.groupBy("gh").agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= minDocs).select("gh")
+    val nb = e.join(boiler, "gh").groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+    t.select(col("doc_id"), col("n_grams"))
+      .join(nb, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(round(coalesce(col("n_boiler"), lit(0L)).cast("double") /
+            col("n_grams"), 6)).as("boiler_ratio"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact dedup: hash-groupBy on content digest ----
     "dedup_exact" -> ((s, d) =>
@@ -402,37 +439,7 @@ object LlmText {
     // the tag-back is an equi-join on the hash — nothing all-pairs, no
     // driver-side state. (Grams are hashed only as join keys; the output
     // carries counts, so xxhash64 collisions are the usual ~2^-64 caveat.)
-    "text_boilerplate" -> ((s, d) => {
-      // Grams are hashed positionally: explode gram START POSITIONS and
-      // xxhash64 the 8-word tuple per row (multi-arg form; words contain no
-      // spaces, so the tuple hash groups exactly like the oracle's joined
-      // string). Deliberately NOT a per-doc transform(...) building a gram
-      // array: explode(arrayExpr) makes InferFiltersFromGenerate push a
-      // size(arrayExpr) > 0 filter below the projection, where the inlined
-      // lambda re-evaluates split(text) per element — measured 33 s at
-      // sf0.1 vs ~1 s for this positional shape, which stays in one
-      // whole-stage-codegen pass per scan.
-      val t = Tables.documents(s, d)
-        .withColumn("toks", split(col("text"), " "))
-        .select(col("doc_id"), col("toks"),
-          greatest(size(col("toks")) - 7, lit(0)).cast("long").as("n_grams"))
-      val e = t.filter(col("n_grams") > 0)
-        .select(col("doc_id"), col("toks"),
-          explode(expr("sequence(1, size(toks) - 7)")).as("i"))
-        .select(col("doc_id"),
-          xxhash64((0 to 7).map(j => expr(s"element_at(toks, i + $j)")): _*).as("gh"))
-      val boiler = e.groupBy("gh").agg(countDistinct(col("doc_id")).as("ndocs"))
-        .filter(col("ndocs") >= 2).select("gh")
-      val nb = e.join(boiler, "gh").groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
-      t.select(col("doc_id"), col("n_grams"))
-        .join(nb, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_grams"),
-          coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
-          when(col("n_grams") === 0, lit(0.0))
-            .otherwise(round(coalesce(col("n_boiler"), lit(0L)).cast("double") /
-              col("n_grams"), 6)).as("boiler_ratio"))
-        .orderBy("doc_id")
-    }),
+    "text_boilerplate" -> ((s, d) => boilerplate(Tables.documents(s, d))),
 
     // ---- TF-IDF: per-doc top-5 distinctive terms ----
     // The inverted-index statistic behind retrieval and keyword curation.

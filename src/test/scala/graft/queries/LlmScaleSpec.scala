@@ -116,4 +116,22 @@ class LlmScaleSpec extends SparkSpec {
       m != null && m.contains("dedup_blocked_jaccard: length bucket")),
       s"guard message missing from: ${messages(e).mkString(" | ")}")
   }
+
+  test("boilerplate flags shared 8-grams and handles short docs") {
+    val shared = (1 to 9).map(i => s"w$i").mkString(" ") // 9 words = two 8-grams
+    val docs = spark.createDataFrame(Seq(
+      (0L, s"$shared alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, s"$shared iota kappa lambda mu nu xi omicron pi"),
+      (2L, "each word here is unique to doc two entirely and never repeats"),
+      (3L, "too short") // < 8 tokens: zero grams, ratio 0
+    )).toDF("doc_id", "text")
+    val r = LlmText.boilerplate(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    // docs 0/1: 17 tokens -> 10 grams; grams starting at 1..2 live fully
+    // inside the shared 9-word prefix and appear in both docs
+    assert(r(0L) == ((10L, 2L, 0.2)), s"doc0: ${r(0L)}")
+    assert(r(1L) == ((10L, 2L, 0.2)), s"doc1: ${r(1L)}")
+    assert(r(2L) == ((5L, 0L, 0.0)), s"doc2: ${r(2L)}")
+    assert(r(3L) == ((0L, 0L, 0.0)), s"doc3: ${r(3L)}")
+  }
 }
