@@ -467,6 +467,23 @@ object Relational {
           round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // ---- F2: date/time function family (absent from the reference but
+    // table stakes for an engine user; dialect-aligned with the oracle:
+    // dow is normalized to DuckDB's Sunday=0, last_day cast to timestamp
+    // so both engines compare the same pandas dtype) ----
+    "f2_datetime_fns" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dy"),
+          (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow"),
+          date_trunc("month", col("o_orderdate")).as("mstart"),
+          last_day(col("o_orderdate")).cast("timestamp").as("mend"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+            .cast("long").as("d_since"))
+        .orderBy("o_orderkey")),
+
     // ---- K1: per-group quadratic OLS detrend (reference: quad.R:132-168) ----
     "k1_quad_detrend" -> ((s, d) => {
       val base = Tables.events(s, d)
@@ -697,6 +714,16 @@ object Relational {
         |  coalesce(l_returnflag, '?') AS flag_nn,
         |  round(sqrt(l_extendedprice), 6) AS sqrt_price
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "f2_datetime_fns" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS yr,
+        |  month(o_orderdate) AS mo,
+        |  day(o_orderdate) AS dy,
+        |  dayofweek(o_orderdate) AS dow,
+        |  date_trunc('month', o_orderdate) AS mstart,
+        |  CAST(last_day(o_orderdate) AS TIMESTAMP) AS mend,
+        |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS d_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "k1_quad_detrend" ->
       """WITH base AS (
         |  SELECT event_id, user_id, value,
