@@ -96,6 +96,8 @@ object GraftFunctions {
     classOf[MinRollingHash].getName, "min_rolling_hash")
   val bpeInfo = new ExpressionInfo(
     classOf[BpeTokenCount].getName, "bpe_token_count")
+  val vecDotInfo = new ExpressionInfo(
+    classOf[VecDot].getName, "vec_dot")
 
   def builder(args: Seq[Expression]): Expression =
     SortedLongIntersectSize(args(0), args(1))
@@ -103,6 +105,8 @@ object GraftFunctions {
     MinRollingHash(args(0))
   def bpeBuilder(args: Seq[Expression]): Expression =
     BpeTokenCount(args(0))
+  def vecDotBuilder(args: Seq[Expression]): Expression =
+    VecDot(args(0), args(1))
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -111,6 +115,8 @@ object GraftFunctions {
       "min_rolling_hash", mrhBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bpe_token_count", bpeBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", vecDotBuilder, "scala_udf")
   }
 }
 
@@ -125,6 +131,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("bpe_token_count"), GraftFunctions.bpeInfo,
         GraftFunctions.bpeBuilder))
+    ext.injectFunction(
+      (FunctionIdentifier("vec_dot"), GraftFunctions.vecDotInfo,
+        GraftFunctions.vecDotBuilder))
     // Custom optimizer rule: band inequality joins -> bucket equi-joins
     // (see graft.plans.BandedRangeJoinRule for scope and proof sketch).
     ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoinRule)

@@ -17,10 +17,14 @@ import graft.Tables
   */
 object VectorOps {
 
-  /** Sequential-fold dot product of two array<double> columns (codegen'd;
-    * same left-to-right summation order as the DuckDB oracle's list_sum). */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Sequential-fold dot product of two array<double> columns: the native
+    * whole-stage-codegen expression [[graft.functions.VecDot]], bit-identical
+    * (IEEE order and null semantics) to the HOF form
+    * aggregate(zip_with(a, b, (x, y) -> x * y), 0.0, (acc, v) -> acc + v)
+    * it replaced — HOFs are CodegenFallback, costing a zipped-array
+    * allocation plus interpreted lambdas per candidate pair. Same
+    * left-to-right summation order as the DuckDB oracle's list_sum. */
+  private def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   /** Distinct word 3-gram shingles; whole text when shorter than 3 tokens. */
   private[queries] def shingles3(text: String): Array[String] = {
@@ -51,10 +55,14 @@ object VectorOps {
     Array.fill(nPlanes, dim)(if (rng.nextBoolean()) 1.0 else -1.0)
   }
 
-  /** embeddings as (vec_id, e: array<double>). */
-  private def embOf(s: SparkSession, d: String): DataFrame =
+  /** embeddings as (vec_id, e: array<double>). Registers the graft native
+    * functions (vec_dot) so downstream plans resolve without requiring the
+    * session to have been built with GraftExtensions. */
+  private def embOf(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+  }
 
   /** (vec_id, e, nrm): norms precomputed once per vector so every pair
     * scoring downstream is one dot-product pass, not dot + two norms.
