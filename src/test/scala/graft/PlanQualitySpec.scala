@@ -44,10 +44,12 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("ranked quota selection pushes the group limit below the shuffle") {
-    val plan = SparkEntry.queries("strat_topn")(spark, Sf)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("WindowGroupLimit"),
-      s"rk<=10 not pushed to per-partition top-k:\n$plan")
+    Seq("strat_topn", "text_tfidf_topk").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, Sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"$name: rank filter not pushed to per-partition top-k:\n$plan")
+    }
   }
 
   test("dimension lookups broadcast instead of shuffling the fact side") {
