@@ -332,6 +332,16 @@ object LlmText {
         .orderBy("user_id")
     }),
 
+    // ---- streaming drain: file-stream windowed counts, driver-checked ----
+    // Runs the Structured Streaming module's watermarked tumbling-window
+    // aggregation over a REAL file stream of events.parquet (AvailableNow
+    // drain into a memory sink — eager by design, see
+    // EventStreams.drainWindowedCounts) and returns the final table; the
+    // oracle is the equivalent batch GROUP BY. Incremental == batch is the
+    // exactly-once claim, made hash-checkable.
+    "stream_windowed_counts" -> ((s, d) =>
+      graft.streaming.EventStreams.drainWindowedCounts(s, d)),
+
     // ---- cohort retention: users active k days after first seen ----
     // The product-analytics staple. first_seen is a per-user min (hash agg
     // on the high-cardinality key), joined back on user_id (the same
@@ -570,6 +580,11 @@ object LlmText {
         |SELECT c.event_id, c.user_id, p.asof_event_id, p.asof_value
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.event_id""".stripMargin,
+    "stream_windowed_counts" ->
+      """SELECT date_trunc('day', ts) AS window_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "events_retention" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),

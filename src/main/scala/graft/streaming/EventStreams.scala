@@ -33,7 +33,10 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      // decimal sum: exact and summation-order-independent, so incremental
+      // (streaming) and batch evaluation produce bit-identical totals
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
@@ -123,6 +126,35 @@ object EventStreams {
         col("l.user_id").as("user_id"),
         col("l.event_id").as("left_id"), col("l.ts").as("left_ts"),
         col("r.event_id").as("right_id"), col("r.ts").as("right_ts"))
+  }
+
+  /** Drain a real FILE STREAM of the events table through
+    * [[windowedTypeCounts]] with Trigger.AvailableNow into a memory sink and
+    * return the final table — the driver-checkable face of the streaming
+    * module. The incremental plan (file-source micro-batches, watermarked
+    * window state, complete-mode emission) must hash-match the plain batch
+    * GROUP BY the DuckDB oracle runs; decimal sums make the totals
+    * bit-identical regardless of micro-batch partial-aggregation order.
+    * EAGER BY DESIGN: the drain runs at construction (it IS the streaming
+    * execution under test); the returned plan reads the memory sink. */
+  def drainWindowedCounts(s: SparkSession, d: String): DataFrame = {
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session build to read events.parquet")
+    val name = "graft_stream_win_counts"
+    val src = s.readStream
+      .schema("event_id BIGINT, user_id BIGINT, ts BIGINT, event_type STRING, value DOUBLE")
+      // the streaming file source wants a DIRECTORY; select just the events
+      // file out of the shared sfDir (raw nanos under nanosAsLong)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = windowedTypeCounts(src, windowLen = "1 day", watermark = "1 hour")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("window_start", "event_type")
   }
 
   /** Batch view of the events parquet as the streaming Event dataset. */
