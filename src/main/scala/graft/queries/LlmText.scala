@@ -342,6 +342,14 @@ object LlmText {
     "stream_windowed_counts" -> ((s, d) =>
       graft.streaming.EventStreams.drainWindowedCounts(s, d)),
 
+    // ---- streaming drain: stateful sessionization, driver-checked ----
+    // The flatMapGroupsWithState sessionizer (event-time timeouts, append
+    // mode) drained over a real file stream with watermark-advancing
+    // sentinel batches — see EventStreams.drainSessions. Incremental
+    // stateful output must hash-match the batch gaps-and-islands oracle.
+    "stream_sessionize" -> ((s, d) =>
+      graft.streaming.EventStreams.drainSessions(s, d)),
+
     // ---- cohort retention: users active k days after first seen ----
     // The product-analytics staple. first_seen is a per-user min (hash agg
     // on the high-cardinality key), joined back on user_id (the same
@@ -585,6 +593,20 @@ object LlmText {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms, value FROM events),
+        |w AS (SELECT *, lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) AS prev
+        |      FROM e),
+        |f AS (SELECT *, CASE WHEN prev IS NULL OR tms - prev > 1800000
+        |                 THEN 1 ELSE 0 END AS ns FROM w),
+        |g AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY tms, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)
+        |SELECT user_id, make_timestamp(min(tms) * 1000) AS session_start,
+        |       make_timestamp(max(tms) * 1000) AS session_end,
+        |       count(*) AS n_events,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "events_retention" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),

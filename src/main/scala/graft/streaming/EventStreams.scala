@@ -157,6 +157,65 @@ object EventStreams {
     s.table(name).orderBy("window_start", "event_type")
   }
 
+  /** Drain the stateful sessionizer over a real file stream and return every
+    * finalized session — the append-mode flagship: sessions only emit when
+    * the WATERMARK passes their close time, so a naive one-batch drain of a
+    * finite file emits nothing. Two far-future sentinel files (filtered back
+    * out of the result) are staged after the events file with
+    * maxFilesPerTrigger=1: batch 2 advances the watermark past most real
+    * sessions and batch 3 past all of them, firing every event-time timeout
+    * before the stream ends. Session arithmetic runs at ms precision
+    * (Timestamp.getTime), so the batch oracle mirrors epoch_ms flooring;
+    * totals are rounded to absorb sequential-double vs exact-decimal ulps.
+    * EAGER BY DESIGN: the drain runs at construction. */
+  def drainSessions(s: SparkSession, d: String): DataFrame = {
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session build to read events.parquet")
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sess")
+    sys.addShutdownHook {
+      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
+    }
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(d, "events.parquet"), tmp.resolve("a_events.parquet"))
+    def sentinel(name: String, nanos: Long): Unit = {
+      val dir = tmp.resolve(name + "_dir")
+      Seq((-1L, -1L, nanos, "sentinel", 0.0))
+        .toDF("event_id", "user_id", "ts", "event_type", "value")
+        .coalesce(1).write.parquet(dir.toString)
+      val part = java.nio.file.Files.list(dir).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.move(part, tmp.resolve(name))
+      new scala.reflect.io.Directory(dir.toFile).deleteRecursively()
+    }
+    // ~2100-01-01 and +1 day, in nanos; mtime order a_ < y_ < z_ is set
+    // explicitly so the file source's oldest-first ordering is deterministic
+    sentinel("y_sentinel1.parquet", 4102444800L * 1000000000L)
+    sentinel("z_sentinel2.parquet", 4102531200L * 1000000000L)
+    Seq("a_events.parquet", "y_sentinel1.parquet", "z_sentinel2.parquet")
+      .zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.setLastModifiedTime(tmp.resolve(f),
+          java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+      }
+    val src = s.readStream
+      .schema("event_id BIGINT, user_id BIGINT, ts BIGINT, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .as[Event]
+    val name = "graft_stream_sessions"
+    val q = sessionize(src, gapMinutes = 30, watermark = "1 hour")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).filter(col("user_id") >= 0)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), round(col("total_value"), 6).as("total_value"))
+      .orderBy("user_id", "session_start")
+  }
+
   /** Batch view of the events parquet as the streaming Event dataset. */
   def batchEvents(spark: SparkSession, sfDir: String): Dataset[Event] = {
     import spark.implicits._
