@@ -207,6 +207,26 @@ object Relational {
         .orderBy("doc_id")
     }),
 
+    // ---- S6: hive-partitioned sink + partition-pruned scan ----
+    // The data-layout half of 100 TB scan economics: events written
+    // partitioned by event_type, read back with a partition predicate —
+    // the scan lists and reads ONLY the matching directory
+    // (PartitionFilters in the plan, pinned by PlanQualitySpec), no file
+    // of any other partition is opened. Same eager-sink convention as
+    // s2/s3/s4/s5.
+    "s6_partitioned_scan" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s6").toString
+      sys.addShutdownHook {
+        new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+      }
+      Tables.events(s, d).select("event_id", "user_id", "value", "event_type")
+        .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    }),
+
     // ---- S4: bucketed sink + co-located join (no join-side shuffle) ----
     // The pre-partitioning story for repeated large-fact joins: both
     // tables are written bucketed AND sorted by the join key into the
@@ -595,6 +615,9 @@ object Relational {
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
     "s5_orc_roundtrip" ->
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+    "s6_partitioned_scan" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "s4_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price

@@ -103,6 +103,15 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("partitioned layout prunes the scan to the predicate's partition") {
+    val plan = SparkEntry.queries("s6_partitioned_scan")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"partition predicate not pushed to directory pruning:\n$plan")
+    assert(!plan.contains("PushedFilters: [IsNotNull(event_type"),
+      s"event_type should prune partitions, not filter rows:\n$plan")
+  }
+
   test("bucketed tables co-locate their join: no exchange on either join side") {
     val plan = SparkEntry.queries("s4_bucketed_join")(spark, Sf)
       .queryExecution.executedPlan.toString
