@@ -265,6 +265,26 @@ object Relational {
       s.sql(ScalarSubquerySql)
     }),
 
+    // ---- J8: as-of (point-in-time) join — AsOfJoin.asOfLeft ----
+    // For each purchase, the user's most recent click at-or-before it.
+    // One shuffle on user_id (tagged union + window), vs the quadratic
+    // pair-blowup of the inequality-join encoding. Clicks are
+    // pre-aggregated to one row per (user_id, ts) so "the latest" is
+    // well-defined; DuckDB's native ASOF LEFT JOIN is the oracle.
+    "j8_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      AsOfJoin.asOfLeft(purchases, clicks, Seq("user_id"),
+          leftTime = "ts", rightTime = "ts", rightCols = Seq("click_id"),
+          prefix = "c_")
+        .select(col("event_id"), col("c_click_id").as("click_id"),
+          col("c_ts").as("click_us"))
+        .orderBy("event_id")
+    }),
+
     // ---- SQL front door: one SQL text, two engines ----
     // The spark.sql(...) API surface: the LITERAL oracle string (a
     // dialect-shared ANSI star-join aggregate) runs through Catalyst over
@@ -624,6 +644,16 @@ object Relational {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "j7_scalar_subquery" -> ScalarSubquerySql,
+    "j8_asof_join" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        |), p AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT p.event_id, c.click_id, epoch_us(c.ts) AS click_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
     "sql_front_door" -> SqlFrontDoor,
     "x1_salted_agg" ->
       """WITH p AS (
