@@ -98,6 +98,8 @@ object GraftFunctions {
     classOf[BpeTokenCount].getName, "bpe_token_count")
   val vecDotInfo = new ExpressionInfo(
     classOf[VecDot].getName, "vec_dot")
+  val bloomInfo = new ExpressionInfo(
+    classOf[BloomMightContain].getName, "bloom_might_contain")
 
   def builder(args: Seq[Expression]): Expression =
     SortedLongIntersectSize(args(0), args(1))
@@ -107,6 +109,8 @@ object GraftFunctions {
     BpeTokenCount(args(0))
   def vecDotBuilder(args: Seq[Expression]): Expression =
     VecDot(args(0), args(1))
+  def bloomBuilder(args: Seq[Expression]): Expression =
+    BloomMightContain(args(0), args(1))
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -117,6 +121,8 @@ object GraftFunctions {
       "bpe_token_count", bpeBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", vecDotBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain", bloomBuilder, "scala_udf")
   }
 }
 
@@ -134,6 +140,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("vec_dot"), GraftFunctions.vecDotInfo,
         GraftFunctions.vecDotBuilder))
+    ext.injectFunction(
+      (FunctionIdentifier("bloom_might_contain"), GraftFunctions.bloomInfo,
+        GraftFunctions.bloomBuilder))
     // Custom optimizer rule: band inequality joins -> bucket equi-joins
     // (see graft.plans.BandedRangeJoinRule for scope and proof sketch).
     ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoinRule)
