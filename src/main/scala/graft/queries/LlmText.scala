@@ -350,6 +350,20 @@ object LlmText {
     "stream_sessionize" -> ((s, d) =>
       graft.streaming.EventStreams.drainSessions(s, d)),
 
+    // ---- streaming drain: ingest dedup, driver-checked ----
+    // dropDuplicatesWithinWatermark over a file stream that replays the
+    // whole events file twice; the deduped aggregate must equal one copy
+    // (the batch oracle). See EventStreams.drainDedup for the horizon
+    // reasoning.
+    "stream_dedup" -> ((s, d) =>
+      graft.streaming.EventStreams.drainDedup(s, d)),
+
+    // ---- streaming drain: stream-stream interval join, driver-checked ----
+    // Watermarked click→purchase attribution join across two file streams;
+    // every qualifying pair must match the batch self-join oracle.
+    "stream_interval_join" -> ((s, d) =>
+      graft.streaming.EventStreams.drainIntervalJoin(s, d)),
+
     // ---- cohort retention: users active k days after first seen ----
     // The product-analytics staple. first_seen is a per-user min (hash agg
     // on the high-cardinality key), joined back on user_id (the same
@@ -607,6 +621,18 @@ object LlmText {
         |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "stream_dedup" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stream_interval_join" ->
+      """SELECT c.user_id, c.event_id AS left_id, epoch_us(c.ts) AS left_us,
+        |       p.event_id AS right_id, epoch_us(p.ts) AS right_us
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 15 MINUTE
+        |ORDER BY left_id, right_id""".stripMargin,
     "events_retention" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),

@@ -216,6 +216,79 @@ object EventStreams {
       .orderBy("user_id", "session_start")
   }
 
+  /** Drain the streaming ingest-dedup over a file stream that REPLAYS the
+    * events file twice (two single-file micro-batches): the second pass is
+    * 100% duplicate keys, so the deduped output must equal exactly one copy
+    * — which is what the batch oracle aggregates. The watermark horizon is
+    * set wider than the data's whole time span so no dedup state is
+    * evicted mid-replay: `dropDuplicatesWithinWatermark` only guarantees
+    * uniqueness within the horizon, and the gate's replay distance IS the
+    * span of the file. (In production the horizon is the max expected
+    * redelivery lag — hours — and state stays bounded; here exactness over
+    * the finite gate data is the point.)
+    * EAGER BY DESIGN: the drain runs at construction. */
+  def drainDedup(s: SparkSession, d: String): DataFrame = {
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session build to read events.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
+    sys.addShutdownHook {
+      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
+    }
+    Seq("a_events.parquet", "b_replay.parquet").zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(d, "events.parquet"), tmp.resolve(f))
+      java.nio.file.Files.setLastModifiedTime(tmp.resolve(f),
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+    }
+    val src = s.readStream
+      .schema("event_id BIGINT, user_id BIGINT, ts BIGINT, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val name = "graft_stream_dedup"
+    val q = dedupStream(src, watermark = "36500 days")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .orderBy("event_type")
+  }
+
+  /** Drain the watermarked stream-stream interval join over two file
+    * streams of the same events directory (clicks vs purchases). Inner
+    * interval joins emit a match as soon as both rows have arrived, so the
+    * AvailableNow drain (both sides complete in the final micro-batch)
+    * emits every qualifying pair; the oracle is the equivalent batch
+    * self-join. EAGER BY DESIGN: the drain runs at construction. */
+  def drainIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session build to read events.parquet")
+    def src() = s.readStream
+      .schema("event_id BIGINT, user_id BIGINT, ts BIGINT, event_type STRING, value DOUBLE")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = src().filter(col("event_type") === "click")
+    val buys = src().filter(col("event_type") === "purchase")
+    val name = "graft_stream_ijoin"
+    val q = intervalJoin(clicks, buys,
+        watermark = "30 minutes", joinWindow = "15 minutes")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .select(col("user_id"), col("left_id"), unix_micros(col("left_ts")).as("left_us"),
+        col("right_id"), unix_micros(col("right_ts")).as("right_us"))
+      .orderBy("left_id", "right_id")
+  }
+
   /** Batch view of the events parquet as the streaming Event dataset. */
   def batchEvents(spark: SparkSession, sfDir: String): Dataset[Event] = {
     import spark.implicits._
