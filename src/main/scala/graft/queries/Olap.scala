@@ -258,9 +258,53 @@ object Olap {
             col("cm_est") <= col("n_exact") + ceil(col("n_total") * 4 / W)).as("ok"))
         .orderBy("event_type")
     }),
+
+    // ---- resample to a regular grid + forward fill ----
+    // The time-series regularization operator (kdb `fills`, Pandas
+    // `resample().ffill()`): per user, a daily grid spanning first..last
+    // observation, each grid point carrying the latest at-or-before value.
+    // Three key-partitioned exchanges, no row amplification beyond the
+    // grid itself (bounded by span-days per key): (1) per-(user, day)
+    // argmax via row_number (WindowGroupLimit pushes rn=1 to per-partition
+    // top-1), (2) span agg + sequence/explode builds the grid, (3) the
+    // forward fill is one ordered window per user — the same
+    // last(ignoreNulls) as-of shape as AsOfJoin, zero self-joins.
+    "ts_resample_ffill" -> ((s, d) => {
+      val e = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("user_id"), expr("ts div 86400000000").as("day"),
+          col("value"), col("ts"), col("event_id"))
+      val wDay = Window.partitionBy("user_id", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val daily = e.withColumn("rn", row_number().over(wDay))
+        .filter(col("rn") === 1).select("user_id", "day", "value")
+      val grid = e.groupBy("user_id")
+        .agg(min("day").as("lo"), max("day").as("hi"))
+        .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))
+      val wFf = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("value_ff", round(last(col("value"), ignoreNulls = true).over(wFf), 6))
+        .select("user_id", "day", "value_ff")
+        .orderBy("user_id", "day")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "ts_resample_ffill" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts)//86400000000 AS day, value, ts, event_id
+        |           FROM events WHERE value IS NOT NULL),
+        |d AS (SELECT user_id, day, value FROM (
+        |  SELECT user_id, day, value,
+        |         row_number() OVER (PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM e) t WHERE rn = 1),
+        |s AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM e GROUP BY user_id),
+        |g AS (SELECT user_id, unnest(generate_series(lo, hi)) AS day FROM s)
+        |SELECT g.user_id, g.day,
+        |  round(last_value(d.value IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_ff
+        |FROM g LEFT JOIN d ON g.user_id = d.user_id AND g.day = d.day
+        |ORDER BY g.user_id, g.day""".stripMargin,
     "a10_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

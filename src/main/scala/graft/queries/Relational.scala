@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -338,6 +338,34 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // ---- X6: bloom-filter semi-join reduction ----
+    // The 100 TB join-pruning pattern: build a bloom over the dim-subset
+    // keys (one partial-agg pass, OR-merge, ~10 bits/key — broadcastable
+    // long after the dim outgrows autoBroadcastJoinThreshold), probe it on
+    // the fact BEFORE the join's exchange, then run the real join to kill
+    // the false positives. Results are bit-identical to the plain join
+    // (the oracle). The one-row collect of the bloom bytes is the
+    // broadcast handoff — bounded by construction (~4 KB here), same
+    // legitimacy as the IVF codebook sample.
+    "x6_bloom_join" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val nKeys = math.max(1L, urgent.count())
+      val buildBloom = udaf(new graft.functions.BloomBuildAgg(nKeys, 0.01), Encoders.LONG)
+      val bloomBytes = urgent
+        .agg(buildBloom(col("o_orderkey")).as("bf"))
+        .head.getAs[Array[Byte]](0)
+      val prefiltered = Tables.lineitem(s, d)
+        .filter(call_function("bloom_might_contain", lit(bloomBytes), col("l_orderkey")))
+      prefiltered
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- J1: semi-join (reference: detrendandstat_quad.R:103-110) ----
     "j1_semi_join" -> ((s, d) => {
       val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 100000.0)
@@ -401,6 +429,41 @@ object Relational {
           rankCol = "global_rank")
         .select("o_orderkey", "global_rank")
         .orderBy("o_orderkey")),
+
+    // ---- O3: argmax row per group (keep-latest dedup) ----
+    // The "current state per key" operator: one row_number window on the
+    // high-cardinality key, rn=1 pushed to per-partition top-1 by
+    // WindowGroupLimit — per-partition heaps before the exchange, never a
+    // full per-group sort at the reducers.
+    "o3_argmax_row" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").as("ts_us"))
+        .orderBy("user_id")
+    }),
+
+    // ---- U4: merge/upsert (SCD-style) ----
+    // MERGE INTO as a composition: updated rows win on key, unmatched
+    // target rows survive via anti-join, inserts append. One shuffle on
+    // the merge key for the anti-join (colocated with a bucketed target
+    // at scale, see s4_bucketed_join); results are set-equal to SQL MERGE.
+    "u4_merge_upsert" -> ((s, d) => {
+      val target = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val base = target.filter(col("o_orderkey") % 7 === 0)
+      val updates = base.select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"),
+          lit("U").as("o_orderstatus"))
+        .unionByName(base.select(
+          (col("o_orderkey") + 100000000L).as("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), lit("I").as("o_orderstatus")))
+      updates.unionByName(
+          target.join(updates.select("o_orderkey"), Seq("o_orderkey"), "left_anti"))
+        .orderBy("o_orderkey")
+    }),
 
     // ---- W1: lag with default (reference: detrendandstat_quad.R:73) ----
     "w1_lag" -> ((s, d) =>
@@ -524,6 +587,53 @@ object Relational {
             .cast("long").as("d_since"))
         .orderBy("o_orderkey")),
 
+    // ---- F3: string function family (engine completeness, §2.9) ----
+    // Dialect-aligned with DuckDB: int-ish outputs ride BIGINT on both
+    // sides; instr/strpos are both 1-based-0-when-absent.
+    "f3_string_fns" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          length(col("p_name")).cast("long").as("name_len"),
+          reverse(col("p_name")).as("rev_name"),
+          lpad(col("p_brand"), 12, "*").as("brand_pad"),
+          translate(col("p_type"), "AEIOU", "aeiou").as("type_tr"),
+          instr(col("p_name"), "red").cast("long").as("red_pos"),
+          repeat(col("p_brand"), 2).as("brand2"),
+          ascii(col("p_name")).cast("long").as("first_code"),
+          levenshtein(col("p_name"), col("p_type")).cast("long").as("lev_name_type"),
+          lower(col("p_type")).as("ltype"),
+          trim(lpad(col("p_name"), 20, " ")).as("retrimmed"))
+        .orderBy("p_partkey")),
+
+    // ---- F4: array/list function family (engine completeness, §2.9) ----
+    // Arrays are reduced to scalars before output (the driver compare
+    // hashes flat cells); set-ish results are sorted first so Spark's
+    // first-occurrence array_distinct and DuckDB's list_distinct agree.
+    "f4_array_fns" -> ((s, d) => {
+      val toks = split(col("p_name"), " ")
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          size(toks).cast("long").as("n_tokens"),
+          element_at(array_sort(toks), 1).as("first_tok"),
+          array_join(array_sort(array_distinct(toks)), ",").as("uniq_sorted"),
+          array_contains(toks, "red").as("has_red"),
+          aggregate(toks, lit(0L), (a, x) => a + length(x)).as("sum_len"),
+          array_join(slice(toks, 1, 2), "-").as("first2"))
+        .orderBy("p_partkey")
+    }),
+
+    // ---- A13: exact percentiles / median per group (§2.7) ----
+    // Spark `percentile` and DuckDB `quantile_cont` both linearly
+    // interpolate; rounded to absorb float-path ulp divergence.
+    "a13_percentiles" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(
+          round(percentile(col("l_quantity"), lit(0.25)), 6).as("p25_qty"),
+          round(percentile(col("l_quantity"), lit(0.5)), 6).as("p50_qty"),
+          round(percentile(col("l_quantity"), lit(0.75)), 6).as("p75_qty"),
+          round(median(col("l_extendedprice")), 6).as("med_price"))
+        .orderBy("l_returnflag")),
+
     // ---- K1: per-group quadratic OLS detrend (reference: quad.R:132-168) ----
     "k1_quad_detrend" -> ((s, d) => {
       val base = Tables.events(s, d)
@@ -644,6 +754,34 @@ object Relational {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "j7_scalar_subquery" -> ScalarSubquerySql,
+    "o3_argmax_row" ->
+      """SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |FROM (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "u4_merge_upsert" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders),
+        |u AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,
+        |         'U' AS o_orderstatus
+        |  FROM t WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_totalprice, 'I'
+        |  FROM t WHERE o_orderkey % 7 = 0)
+        |SELECT * FROM u
+        |UNION ALL
+        |SELECT * FROM t WHERE NOT EXISTS (
+        |  SELECT 1 FROM u WHERE u.o_orderkey = t.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "x6_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "j8_asof_join" ->
       """WITH c AS (
         |  SELECT user_id, ts, max(event_id) AS click_id
@@ -777,6 +915,36 @@ object Relational {
         |  CAST(last_day(o_orderdate) AS TIMESTAMP) AS mend,
         |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS d_since
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "f3_string_fns" ->
+      """SELECT p_partkey,
+        |  length(p_name) AS name_len,
+        |  reverse(p_name) AS rev_name,
+        |  lpad(p_brand, 12, '*') AS brand_pad,
+        |  translate(p_type, 'AEIOU', 'aeiou') AS type_tr,
+        |  CAST(strpos(p_name, 'red') AS BIGINT) AS red_pos,
+        |  repeat(p_brand, 2) AS brand2,
+        |  CAST(ascii(p_name) AS BIGINT) AS first_code,
+        |  CAST(levenshtein(p_name, p_type) AS BIGINT) AS lev_name_type,
+        |  lower(p_type) AS ltype,
+        |  trim(lpad(p_name, 20, ' ')) AS retrimmed
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "f4_array_fns" ->
+      """WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part)
+        |SELECT p_partkey,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  list_sort(toks)[1] AS first_tok,
+        |  array_to_string(list_sort(list_distinct(toks)), ',') AS uniq_sorted,
+        |  list_contains(toks, 'red') AS has_red,
+        |  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_len,
+        |  array_to_string(list_slice(toks, 1, 2), '-') AS first2
+        |FROM t ORDER BY p_partkey""".stripMargin,
+    "a13_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS p25_qty,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        |  round(quantile_cont(l_quantity, 0.75), 6) AS p75_qty,
+        |  round(median(l_extendedprice), 6) AS med_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "k1_quad_detrend" ->
       """WITH base AS (
         |  SELECT event_id, user_id, value,
