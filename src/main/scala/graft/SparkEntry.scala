@@ -32,6 +32,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Olap.queries ++
+      graft.queries.Warehouse.queries ++
       graft.queries.LlmText.queries ++
       graft.queries.VectorOps.queries ++
       graft.queries.MultimodalQueries.queries ++
@@ -40,6 +41,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.Olap.oracles ++
+      graft.queries.Warehouse.oracles ++
       graft.queries.LlmText.oracles ++
       graft.queries.VectorOps.oracles ++
       graft.queries.MultimodalQueries.oracles ++

@@ -1,0 +1,270 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Warehouse-grade operator families beyond the reference's surface:
+  * JSON / regex / bitwise scalar families, regression + conditional
+  * aggregates, an SCD-2 validity-interval build, an interval-overlap
+  * (range x range) join, per-key linear interpolation, and canonical
+  * keep-first dedup. Oracle-parity conventions follow [[Relational]]:
+  * identical aliases both sides, ORDER BY a unique key, int-ish outputs
+  * on BIGINT, float outputs rounded.
+  *
+  * Scale notes (100 TB):
+  *  - The scalar families (F5-F7) are per-row codegen'd expressions — no
+  *    shuffle, no UDFs; JSON parsing uses Spark's native JsonPath
+  *    evaluator inside whole-stage codegen.
+  *  - `u5_scd2` is two ordered windows over one user_id exchange — the
+  *    standard change-data-capture interval build; no self-join.
+  *  - `j9_interval_overlap` buckets both interval sets at bucket width =
+  *    interval span, so every interval lands in <=2 buckets and every
+  *    true overlap shares >=1 bucket: the shuffle is O(2|A| + 2|B|) keyed
+  *    by (user, bucket), never the quadratic pair space. The exact
+  *    overlap predicate runs only within buckets; `distinct` collapses
+  *    the <=4 duplicate candidates per pair.
+  *  - `ts_interpolate` is one ordered window pass per key (four
+  *    IGNORE-NULLS frame scans fused by Catalyst into one WindowExec).
+  *  - `dedup_keep_first` is the canonical keep-lowest-id dedup: hash
+  *    exchange on digest, per-partition top-1 via WindowGroupLimit.
+  */
+object Warehouse {
+
+  private val halfHourUs = 1800000000L // 30 min in epoch micros
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- F5: JSON function family (parse, extract, construct) ----
+    // props is a JSON object column; construction is restricted to
+    // int/string fields where Spark's to_json and DuckDB's to_json emit
+    // byte-identical text.
+    "f5_json_fns" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          to_json(struct(col("event_id").as("id"), col("event_type").as("t")))
+            .as("js"),
+          get_json_object(
+            to_json(struct(col("event_type").as("t"))), "$.t").as("t_rt"))
+        .orderBy("event_id")),
+
+    // ---- F6: bitwise function family ----
+    "f6_bitwise_fns" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          col("o_orderkey").bitwiseAND(lit(255L)).as("b_and"),
+          col("o_orderkey").bitwiseOR(lit(4096L)).as("b_or"),
+          col("o_orderkey").bitwiseXOR(lit(1023L)).as("b_xor"),
+          shiftleft(col("o_orderkey"), 3).as("b_shl"),
+          shiftright(col("o_orderkey"), 2).as("b_shr"),
+          bit_count(col("o_orderkey")).cast("long").as("b_pop"))
+        .orderBy("o_orderkey")),
+
+    // ---- F7: regex function family ----
+    // Patterns restricted to the Java-regex / RE2 common subset (char
+    // classes, anchors, +) so both engines match identically; Spark's
+    // regexp_replace is global by default = DuckDB's 'g' flag.
+    "f7_regex_fns" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          regexp_extract(col("p_brand"), "[0-9]+", 0).as("brand_num"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("devowel"),
+          col("p_name").rlike("^[a-m]").as("starts_am"),
+          size(regexp_extract_all(col("p_type"), lit("[A-Z]+"), lit(0)))
+            .cast("long").as("n_upper_runs"),
+          size(split(col("p_name"), " ")).cast("long").as("n_fields"))
+        .orderBy("p_partkey")),
+
+    // ---- A14: linear-regression aggregate family ----
+    // Both engines compute slope/intercept/r2 from the same co-moment
+    // definitions; rounded to absorb float-path ulp divergence.
+    "a14_regression_aggs" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("intercept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6)
+            .as("r2"))
+        .orderBy("l_returnflag")),
+
+    // ---- A15: conditional / boolean aggregate family ----
+    // count_if / bool_and / bool_or + a filtered sum routed through
+    // DECIMAL so partial-aggregation order can't flip a bit.
+    "a15_cond_aggs" -> ((s, d) =>
+      Tables.events(s, d).groupBy("event_type")
+        .agg(
+          count_if(col("value") > 50.0).as("n_hi"),
+          bool_and(col("value").isNotNull || col("value").isNull).as("all_true"),
+          bool_or(col("value") > 99.9).as("any_top"),
+          sum(when(col("value") > 50.0, col("value")).cast("decimal(18,6)"))
+            .cast("double").as("sum_hi"))
+        .orderBy("event_type")),
+
+    // ---- U5: SCD-2 validity intervals from a change stream ----
+    // Keep only rows where the tracked attribute changes, then each kept
+    // row opens an interval [ts, next-change ts); the current version's
+    // valid_to is null. Two ordered windows over one user_id exchange.
+    "u5_scd2" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val changed = Tables.events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      changed.select(col("user_id"), col("event_type"),
+          col("ts").as("valid_from"),
+          lead(col("ts"), 1).over(w).as("valid_to"),
+          row_number().over(w).cast("long").as("version"))
+        .orderBy("user_id", "version")
+    }),
+
+    // ---- J9: interval-overlap (range x range) join ----
+    // 30-min purchase windows vs 30-min error windows per user: emit
+    // overlapping pairs. Bucket width = interval span => each interval
+    // explodes to <=2 buckets and any true overlap shares a bucket.
+    "j9_interval_overlap" -> ((s, d) => {
+      def intervals(tpe: String, idAs: String, sAs: String, eAs: String) =
+        Tables.events(s, d).filter(col("event_type") === tpe)
+          .select(col("event_id").as(idAs), col("user_id"),
+            col("ts").as(sAs), (col("ts") + halfHourUs).as(eAs))
+      def bucketed(df: DataFrame, sc: String, ec: String) =
+        df.withColumn("bucket", explode(array_distinct(array(
+          floor(col(sc) / halfHourUs), floor(col(ec) / halfHourUs)))))
+      val a = bucketed(intervals("purchase", "a_id", "a_s", "a_e"), "a_s", "a_e")
+      val b = bucketed(intervals("error", "b_id", "b_s", "b_e"), "b_s", "b_e")
+      a.join(b, Seq("user_id", "bucket"))
+        .where(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+        .select("a_id", "b_id", "user_id").distinct()
+        .orderBy("a_id", "b_id")
+    }),
+
+    // ---- per-key linear interpolation of missing values ----
+    // Null values take prev + (next-prev) * (t-pt)/(nt-pt) on the ts
+    // axis; a trailing gap forward-fills, a leading gap stays null. One
+    // ordered window per key — no self-joins, no mapGroups.
+    "ts_interpolate" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+      val wNext = w.rowsBetween(1, Window.unboundedFollowing)
+      val pv = last(col("value"), ignoreNulls = true).over(wPrev)
+      val pt = last(when(col("value").isNotNull, col("ts")), ignoreNulls = true)
+        .over(wPrev)
+      val nv = first(col("value"), ignoreNulls = true).over(wNext)
+      val nt = first(when(col("value").isNotNull, col("ts")), ignoreNulls = true)
+        .over(wNext)
+      val interp = when(col("value").isNotNull, col("value"))
+        .when(pv.isNotNull && nv.isNotNull,
+          pv + (nv - pv) * ((col("ts") - pt).cast("double")
+            / (nt - pt).cast("double")))
+        .when(pv.isNotNull, pv)
+        .otherwise(lit(null).cast("double"))
+      Tables.events(s, d)
+        .select(col("event_id"), round(interp, 6).as("value_interp"))
+        .orderBy("event_id")
+    }),
+
+    // ---- canonical keep-first dedup (lowest id wins per digest) ----
+    "dedup_keep_first" -> ((s, d) => {
+      val wd = Window.partitionBy("digest").orderBy("doc_id")
+      Tables.documents(s, d)
+        .withColumn("digest", md5(col("text")))
+        .withColumn("rn", row_number().over(wd))
+        .filter(col("rn") === 1)
+        .select("doc_id", "digest")
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "f5_json_fns" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |  to_json(struct_pack(id := event_id, t := event_type)) AS js,
+        |  json_extract_string(to_json(struct_pack(t := event_type)), '$.t') AS t_rt
+        |FROM events ORDER BY event_id""".stripMargin,
+    "f6_bitwise_fns" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS b_and,
+        |  o_orderkey | 4096 AS b_or,
+        |  xor(o_orderkey, 1023) AS b_xor,
+        |  o_orderkey << 3 AS b_shl,
+        |  o_orderkey >> 2 AS b_shr,
+        |  CAST(bit_count(o_orderkey) AS BIGINT) AS b_pop
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "f7_regex_fns" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_brand, '[0-9]+') AS brand_num,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
+        |  regexp_matches(p_name, '^[a-m]') AS starts_am,
+        |  CAST(len(regexp_extract_all(p_type, '[A-Z]+')) AS BIGINT) AS n_upper_runs,
+        |  CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_fields
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "a14_regression_aggs" ->
+      """SELECT l_returnflag,
+        |  regr_count(l_extendedprice, l_quantity) AS n,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a15_cond_aggs" ->
+      """SELECT event_type,
+        |  count_if(value > 50.0) AS n_hi,
+        |  bool_and(TRUE) AS all_true,
+        |  bool_or(value > 99.9) AS any_top,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE value > 50.0) AS DOUBLE) AS sum_hi
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "u5_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pt
+        |  FROM events),
+        |c AS (SELECT user_id, event_type, us, event_id FROM o
+        |      WHERE pt IS NULL OR pt <> event_type)
+        |SELECT user_id, event_type, us AS valid_from,
+        |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS version
+        |FROM c ORDER BY user_id, version""".stripMargin,
+    "j9_interval_overlap" ->
+      """WITH a AS (SELECT event_id AS a_id, user_id, epoch_us(ts) AS a_s,
+        |                  epoch_us(ts) + 1800000000 AS a_e
+        |           FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT event_id AS b_id, user_id, epoch_us(ts) AS b_s,
+        |             epoch_us(ts) + 1800000000 AS b_e
+        |      FROM events WHERE event_type = 'error')
+        |SELECT a_id, b_id, user_id
+        |FROM a JOIN b USING (user_id)
+        |WHERE a_s <= b_e AND b_s <= a_e
+        |ORDER BY a_id, b_id""".stripMargin,
+    "ts_interpolate" ->
+      """WITH t AS (
+        |  SELECT event_id, value, epoch_us(ts) AS us,
+        |    last_value(value IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        |    last_value(CASE WHEN value IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+        |    first_value(value IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN value IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM events)
+        |SELECT event_id,
+        |  round(CASE WHEN value IS NOT NULL THEN value
+        |        WHEN pv IS NOT NULL AND nv IS NOT NULL
+        |          THEN pv + (nv - pv) * (CAST(us - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+        |        WHEN pv IS NOT NULL THEN pv
+        |        ELSE NULL END, 6) AS value_interp
+        |FROM t ORDER BY event_id""".stripMargin,
+    "dedup_keep_first" ->
+      """SELECT doc_id, digest FROM (
+        |  SELECT doc_id, md5(text) AS digest,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  )
+}
