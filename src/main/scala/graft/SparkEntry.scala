@@ -32,6 +32,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Olap.queries ++
+      graft.queries.TpchMore.queries ++
+      graft.queries.Curation.queries ++
       graft.queries.Warehouse.queries ++
       graft.queries.LlmText.queries ++
       graft.queries.VectorOps.queries ++
@@ -41,6 +43,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.Olap.oracles ++
+      graft.queries.TpchMore.oracles ++
+      graft.queries.Curation.oracles ++
       graft.queries.Warehouse.oracles ++
       graft.queries.LlmText.oracles ++
       graft.queries.VectorOps.oracles ++

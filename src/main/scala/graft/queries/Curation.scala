@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data curation operators beyond the dedup/quality families in
+  * [[LlmText]]: deterministic dataset splitting, per-stratum sampling,
+  * fixed-window chunking with overlap, benchmark-contamination detection,
+  * and the nested-type function families (higher-order array functions,
+  * map-based pivot aggregation).
+  *
+  * Determinism convention: anything "random" is a hex-lexicographic
+  * threshold on an md5 slice (same function, same text, both engines — the
+  * [[LlmText]] `sample_hash` trick), so assignments are reproducible,
+  * shard-stable, and oracle-checkable. No rand(), no seed state.
+  *
+  * Scale notes (100 TB): every operator here is a single scan plus at most
+  * one key-partitioned exchange. Splits/sampling are per-row expressions
+  * (no shuffle at all until the diagnostic count). Chunking explodes each
+  * doc into ceil(n/stride) rows — output-proportional, no joins. The
+  * contamination check broadcasts the benchmark's distinct shingle set
+  * (benchmarks are MBs against a 100 TB corpus) and streams the corpus
+  * through one explode+hash-join — never a corpus-corpus join.
+  */
+object Curation {
+
+  /** Tokens of the synthetic corpus are space-separated words. */
+  private def toks: Column = split(col("text"), " ")
+
+  /** Distinct 3-word shingles, degenerate docs (<3 tokens) fall back to the
+    * whole text — mirrors the dedup_ngram_jaccard convention so oracle SQL
+    * stays aligned across the text family. */
+  private def shingles(tk: Column): Column =
+    when(size(tk) < 3, array(col("text")))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(tk) - 3),
+        i => concat_ws(" ",
+          element_at(tk, i + 1), element_at(tk, i + 2), element_at(tk, i + 3)))))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- deterministic train/val/test split (~80/10/10) ----
+    // Content-hash bucketing, not row numbering: the assignment is a pure
+    // per-row expression (no shuffle, no global state), stable under
+    // repartitioning, re-ingestion, and incremental appends — the property
+    // a training pipeline actually needs from a split.
+    "sample_split" -> ((s, d) => {
+      val h = substring(md5(col("text")), 1, 2) // hex-lex == numeric on [00,ff]
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+            .as("split"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- per-stratum hash sampling (downsample one stratum) ----
+    // The language-rebalancing primitive: keep ~10% of the dominant
+    // language (en) and ~50% of the rest. Same determinism as above; a
+    // different md5 slice keeps it independent of sample_split's buckets.
+    "sample_stratified" -> ((s, d) => {
+      val thr = when(col("lang") === "en", lit("1a")).otherwise(lit("80"))
+      Tables.documents(s, d)
+        .filter(substring(md5(col("text")), 3, 2) < thr)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // ---- fixed-size chunking with overlap (context-window packing prep) --
+    // 64-token windows, stride 48 (16-token overlap). One generator per
+    // doc; chunk count is 1 + ceil((n-64)/48) so every token lands in >=1
+    // chunk and the tail is never orphaned. Output keys are (doc_id,
+    // chunk_id); the chunk text is carried as md5 so the compare stays
+    // row-sized.
+    "text_chunk" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("tk"))
+        .withColumn("n", size(col("tk")))
+        .withColumn("nch",
+          expr("1 + (CASE WHEN n <= 64 THEN 0 ELSE (n - 64 + 47) div 48 END)"))
+        .select(col("doc_id"), col("n"),
+          posexplode(expr(
+            "transform(sequence(0, nch - 1)," +
+              " i -> array_join(slice(tk, i * 48 + 1, 64), ' '))"))
+            .as(Seq("chunk_id", "chunk")))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          least(lit(64), col("n") - col("chunk_id") * 48).cast("long").as("n_tok"),
+          md5(col("chunk")).as("h"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // ---- benchmark contamination check ----
+    // "Is any training doc quoting the eval set?" Benchmark = every 100th
+    // doc (stand-in for a held-out eval corpus). Its distinct 3-gram set is
+    // broadcast; the corpus streams through explode -> hash join -> count.
+    // Output: per corpus doc, how many of its distinct shingles appear in
+    // the benchmark (docs with zero overlap are absent).
+    "text_contamination" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).withColumn("w", shingles(toks))
+      val bench = t.filter(col("doc_id") % 100 === 0)
+        .select(explode(col("w")).as("s")).distinct()
+      t.filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id"), explode(col("w")).as("s"))
+        .join(broadcast(bench), "s")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- F8: higher-order array functions (transform / filter /
+    // aggregate / exists / array_max) — all codegen-friendly lambda
+    // expressions over a per-row array, zero shuffles. ----
+    "f8_higher_order_fns" -> ((s, d) => {
+      val lens = transform(toks, x => length(x))
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          size(lens).cast("long").as("n_tok"),
+          aggregate(lens, lit(0), (a, x) => a + x).cast("long").as("sum_len"),
+          size(filter(lens, _ > 4)).cast("long").as("n_long"),
+          array_max(lens).cast("long").as("max_len"),
+          exists(lens, _ >= 8).as("has8"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- F9: map-typed pivot aggregation ----
+    // Per-user event-type counts collected into a MAP column (sorted
+    // entries so the map is deterministic), then point lookups — the
+    // "dynamic pivot" shape for when the column set isn't known at plan
+    // time. The oracle pins the lookup semantics with FILTER counts.
+    "f9_map_pivot" -> ((s, d) => {
+      val counts = Tables.events(s, d)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      counts.groupBy("user_id")
+        .agg(map_from_entries(
+          array_sort(collect_list(struct(col("event_type"), col("c")))))
+          .as("m"))
+        .select(col("user_id"),
+          coalesce(element_at(col("m"), "click"), lit(0L)).as("n_click"),
+          coalesce(element_at(col("m"), "purchase"), lit(0L)).as("n_purchase"),
+          size(col("m")).cast("long").as("n_types"))
+        .orderBy("user_id")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sample_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN substring(md5(text), 1, 2) < 'cc' THEN 'train'
+        |       WHEN substring(md5(text), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substring(md5(text), 3, 2) <
+        |  (CASE WHEN lang = 'en' THEN '1a' ELSE '80' END)
+        |ORDER BY doc_id""".stripMargin,
+    "text_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, w, n,
+        |    unnest(range(0, 1 + (CASE WHEN n <= 64 THEN 0
+        |                         ELSE (n - 64 + 47) // 48 END))) AS chunk_id
+        |  FROM t)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(least(64, n - chunk_id * 48) AS BIGINT) AS n_tok,
+        |  md5(array_to_string(list_slice(w, chunk_id * 48 + 1,
+        |                                 chunk_id * 48 + 64), ' ')) AS h
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "text_contamination" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+        |         ELSE list_distinct(list_transform(
+        |            range(1, len(string_split(text, ' ')) - 1),
+        |            i -> string_split(text, ' ')[i] || ' ' ||
+        |                 string_split(text, ' ')[i + 1] || ' ' ||
+        |                 string_split(text, ' ')[i + 2]))
+        |    END AS w
+        |  FROM documents),
+        |b AS (SELECT DISTINCT unnest(w) AS s FROM t WHERE doc_id % 100 = 0),
+        |c AS (SELECT doc_id, unnest(w) AS s FROM t WHERE doc_id % 100 <> 0)
+        |SELECT c.doc_id, count(*) AS n_overlap
+        |FROM c JOIN b USING (s)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "f8_higher_order_fns" ->
+      """SELECT doc_id,
+        |  CAST(len(l) AS BIGINT) AS n_tok,
+        |  CAST(list_sum(l) AS BIGINT) AS sum_len,
+        |  CAST(len(list_filter(l, x -> x > 4)) AS BIGINT) AS n_long,
+        |  CAST(list_max(l) AS BIGINT) AS max_len,
+        |  len(list_filter(l, x -> x >= 8)) > 0 AS has8
+        |FROM (SELECT doc_id,
+        |        list_transform(string_split(text, ' '), x -> len(x)) AS l
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "f9_map_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS n_click,
+        |  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+        |  count(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
+}
