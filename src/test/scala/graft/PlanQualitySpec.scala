@@ -16,8 +16,9 @@ class PlanQualitySpec extends SparkSpec {
   private val nestedLoopAllowed = Set(
     "sim_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     "ann_lsh_recall_gate", "ann_ivf_recall_gate", "dedup_simhash_exact_gate",
-    // single-row corpus-count broadcasts (idf denominator; CMS N bound)
-    "text_tfidf_topk", "x5_countmin_gate")
+    // single-row corpus-count broadcasts (idf denominator; CMS N bound;
+    // Q22's scalar average-balance threshold)
+    "text_tfidf_topk", "x5_countmin_gate", "tpch_q22")
 
   test("filters are pushed into the parquet scan") {
     val plan = SparkEntry.queries("p2_filter_in")(spark, Sf)
@@ -95,7 +96,8 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("TPC-H star joins broadcast their dimension sides") {
-    Seq("tpch_q3", "tpch_q5").foreach { name =>
+    Seq("tpch_q3", "tpch_q5", "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q14",
+        "tpch_q17", "tpch_q19").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, Sf)
         .queryExecution.executedPlan.toString
       assert(plan.contains("BroadcastHashJoin"),
