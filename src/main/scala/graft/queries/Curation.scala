@@ -94,8 +94,13 @@ object Curation {
     // Output: per corpus doc, how many of its distinct shingles appear in
     // the benchmark (docs with zero overlap are absent).
     "text_contamination" -> ((s, d) => {
+      // tk is materialized in its own projection BEFORE the shingle lambda
+      // references it: inlining split() into the lambda body re-evaluates
+      // the split per element (O(n^2) per doc — the blowup the engine-wide
+      // InferFiltersFromGenerate exclusion exists for).
       val t = Tables.documents(s, d)
-        .select(col("doc_id"), col("text")).withColumn("w", shingles(toks))
+        .select(col("doc_id"), col("text")).withColumn("tk", toks)
+        .withColumn("w", shingles(col("tk")))
       val bench = t.filter(col("doc_id") % 100 === 0)
         .select(explode(col("w")).as("s")).distinct()
       t.filter(col("doc_id") % 100 =!= 0)
@@ -108,17 +113,20 @@ object Curation {
     // ---- F8: higher-order array functions (transform / filter /
     // aggregate / exists / array_max) — all codegen-friendly lambda
     // expressions over a per-row array, zero shuffles. ----
-    "f8_higher_order_fns" -> ((s, d) => {
-      val lens = transform(toks, x => length(x))
-      Tables.documents(s, d).select(
+    "f8_higher_order_fns" -> ((s, d) =>
+      // The lens array is materialized once per row; referencing the
+      // transform(split(...)) expression from all five aggregates would
+      // re-tokenize the document per output column.
+      Tables.documents(s, d)
+        .select(col("doc_id"), transform(toks, x => length(x)).as("lens"))
+        .select(
           col("doc_id"),
-          size(lens).cast("long").as("n_tok"),
-          aggregate(lens, lit(0), (a, x) => a + x).cast("long").as("sum_len"),
-          size(filter(lens, _ > 4)).cast("long").as("n_long"),
-          array_max(lens).cast("long").as("max_len"),
-          exists(lens, _ >= 8).as("has8"))
-        .orderBy("doc_id")
-    }),
+          size(col("lens")).cast("long").as("n_tok"),
+          aggregate(col("lens"), lit(0), (a, x) => a + x).cast("long").as("sum_len"),
+          size(filter(col("lens"), _ > 4)).cast("long").as("n_long"),
+          array_max(col("lens")).cast("long").as("max_len"),
+          exists(col("lens"), _ >= 8).as("has8"))
+        .orderBy("doc_id")),
 
     // ---- F9: map-typed pivot aggregation ----
     // Per-user event-type counts collected into a MAP column (sorted
