@@ -364,6 +364,12 @@ object LlmText {
     "stream_interval_join" -> ((s, d) =>
       graft.streaming.EventStreams.drainIntervalJoin(s, d)),
 
+    // ---- streaming drain: stream-static enrichment join, driver-checked --
+    // Stateless per-micro-batch broadcast join against the static customer
+    // dimension; the drained aggregate must equal the batch join oracle.
+    "stream_static_join" -> ((s, d) =>
+      graft.streaming.EventStreams.drainStreamStaticJoin(s, d)),
+
     // ---- cohort retention: users active k days after first seen ----
     // The product-analytics staple. first_seen is a per-user min (hash agg
     // on the high-cardinality key), joined back on user_id (the same
@@ -633,6 +639,12 @@ object LlmText {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 15 MINUTE
         |ORDER BY left_id, right_id""".stripMargin,
+    "stream_static_join" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment, event_type
+        |ORDER BY c_mktsegment, event_type""".stripMargin,
     "events_retention" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),

@@ -417,6 +417,19 @@ object Relational {
         .orderBy(col("price").desc, col("o_orderkey"))
         .limit(25)),
 
+    // ---- O4: keyset-free pagination (LIMIT + OFFSET) ----
+    // offset(k).limit(n) plans a single ordered take of k+n rows (a
+    // CollectLimit with skip), not a global sort materialization — fine for
+    // UI paging; deep offsets should switch to keyset pagination, which is
+    // o1_topk with a WHERE key > last_seen bound.
+    "o4_limit_offset" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
+        .orderBy(col("price").desc, col("o_orderkey"))
+        .offset(40)
+        .limit(20)),
+
     // ---- O2: global rank without a single-partition window ----
     // row_number() over a global ORDER BY funnels everything through one
     // task; Ranking.globalRank is the scale-safe two-phase shape (range
@@ -835,6 +848,11 @@ object Relational {
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
         |FROM orders
         |ORDER BY price DESC, o_orderkey LIMIT 25""".stripMargin,
+    "o4_limit_offset" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM orders
+        |ORDER BY price DESC, o_orderkey LIMIT 20 OFFSET 40""".stripMargin,
     "o2_global_rank" ->
       """SELECT o_orderkey,
         |  row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS global_rank

@@ -289,6 +289,36 @@ object EventStreams {
       .orderBy("left_id", "right_id")
   }
 
+  /** Drain a stream-static enrichment join: the event file-stream joins the
+    * static customer dimension at ingest — the canonical "enrich facts with
+    * dims" streaming shape. The static side is re-planned (and broadcast)
+    * per micro-batch; the join itself is stateless, so no watermark is
+    * needed and the drained aggregate must equal the plain batch join the
+    * oracle runs. Decimal sums keep totals independent of micro-batch
+    * boundaries. EAGER BY DESIGN: the drain runs at construction. */
+  def drainStreamStaticJoin(s: SparkSession, d: String): DataFrame = {
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session build to read events.parquet")
+    val src = s.readStream
+      .schema("event_id BIGINT, user_id BIGINT, ts BIGINT, event_type STRING, value DOUBLE")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+    val dim = graft.Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val name = "graft_stream_static"
+    val q = src
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("c_mktsegment", "event_type")
+  }
+
   /** Batch view of the events parquet as the streaming Event dataset. */
   def batchEvents(spark: SparkSession, sfDir: String): Dataset[Event] = {
     import spark.implicits._
