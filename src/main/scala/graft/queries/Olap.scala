@@ -101,6 +101,37 @@ object Olap {
         .orderBy("o_orderkey")
     }),
 
+    // ---- W7: RANGE window frame (7-day rolling sum keyed by value, not
+    // row position). Peers (duplicate days) are included in each other's
+    // frames — the semantic difference from a ROWS frame, identical in
+    // both engines; the decimal sum keeps peer-order irrelevant. ----
+    "w7_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("day").rangeBetween(-6, 0)
+      Tables.events(s, d)
+        .select(col("user_id"), expr("ts div 86400000000").as("day"),
+          col("value"), col("event_id"))
+        .select(col("user_id"), col("day"), col("event_id"),
+          sum(col("value").cast("decimal(18,6)")).over(w).cast("double")
+            .as("win_sum"))
+        .orderBy("event_id")
+    }),
+
+    // ---- W8: value window functions (first/last/nth/lead) over an
+    // explicit full-partition frame and a total per-user order ----
+    "w8_value_windows" -> ((s, d) => {
+      val ord = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val full = ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d).select(
+          col("event_id"), col("user_id"),
+          first(col("event_type")).over(full).as("first_type"),
+          last(col("event_type")).over(full).as("last_type"),
+          nth_value(col("event_type"), 2).over(full).as("second_type"),
+          lead(col("event_id"), 1, -1L).over(ord).as("next_id"))
+        .orderBy("event_id")
+    }),
+
     // ---- J5: banded range join (time-bucket equi-join, not nested-loop) --
     // Each lineitem is keyed by its 7-day bucket once; each (sampled) order
     // is replicated to the <=2 buckets its window overlaps. The shuffle is
@@ -341,6 +372,23 @@ object Olap {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
+    "w7_range_frame" ->
+      """SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts) // 86400000000
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS win_sum
+        |FROM events ORDER BY event_id""".stripMargin,
+    "w8_value_windows" ->
+      """SELECT event_id, user_id,
+        |  first_value(event_type) OVER wfull AS first_type,
+        |  last_value(event_type) OVER wfull AS last_type,
+        |  nth_value(event_type, 2) OVER wfull AS second_type,
+        |  lead(event_id, 1, -1) OVER ord AS next_id
+        |FROM events
+        |WINDOW ord AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |  wfull AS (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
     "j5_range_join" ->
       """SELECT o_orderkey, count(*) AS n_li
         |FROM orders JOIN lineitem
