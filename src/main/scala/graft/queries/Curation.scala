@@ -128,6 +128,45 @@ object Curation {
           exists(col("lens"), _ >= 8).as("has8"))
         .orderBy("doc_id")),
 
+    // ---- C4-style composite keep/drop filter with reasons ----
+    // The curation DECISION op: each rule is a cheap per-row predicate and
+    // the verdict records the FIRST failing rule (ordered by cost), so a
+    // pipeline can both filter and report drop-reason distributions from
+    // one pass. Pure expressions, no shuffle before the diagnostic sort.
+    "text_c4_filter" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"), toks.as("tk"))
+        .withColumn("n_tok", size(col("tk")))
+        .withColumn("mean_len",
+          (col("n_chars") - (col("n_tok") - 1)).cast("double") / col("n_tok"))
+      t.select(col("doc_id"),
+          when(col("n_tok") < 30, "too_short")
+            .when(col("n_tok") > 2000, "too_long")
+            .when(col("mean_len") < 2.0, "words_too_short")
+            .when(col("mean_len") > 12.0, "words_too_long")
+            .otherwise("keep").as("verdict"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- ordered event-path analysis (top navigation sequences) ----
+    // Per-user first-5 event-type path, then path frequencies — the
+    // product-analytics "common journeys" op. The per-user sequence is a
+    // sort_array over a collect_list of (ts, event_id, type) structs: the
+    // struct sort gives a total event-time order without a window, so the
+    // whole op is two hash aggs on user_id then path. At 100 TB the
+    // collect_list is bounded per user (cap first: the slice keeps 5).
+    "events_paths" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(array_join(
+          slice(transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type")), 1, 5), ">").as("path"))
+        .groupBy("path")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))),
+
     // ---- F9: map-typed pivot aggregation ----
     // Per-user event-type counts collected into a MAP column (sorted
     // entries so the map is deterministic), then point lookups — the
@@ -202,6 +241,26 @@ object Curation {
         |        list_transform(string_split(text, ' '), x -> len(x)) AS l
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "text_c4_filter" ->
+      """SELECT doc_id,
+        |  CASE WHEN n_tok < 30 THEN 'too_short'
+        |       WHEN n_tok > 2000 THEN 'too_long'
+        |       WHEN mean_len < 2.0 THEN 'words_too_short'
+        |       WHEN mean_len > 12.0 THEN 'words_too_long'
+        |       ELSE 'keep' END AS verdict
+        |FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+        |        CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |          / len(string_split(text, ' ')) AS mean_len
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "events_paths" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |    array_to_string(list(event_type ORDER BY ts, event_id)[1:5], '>')
+        |      AS path
+        |  FROM events GROUP BY user_id)
+        |SELECT path, count(*) AS n_users FROM p
+        |GROUP BY path ORDER BY n_users DESC, path""".stripMargin,
     "f9_map_pivot" ->
       """SELECT user_id,
         |  count(*) FILTER (event_type = 'click') AS n_click,
