@@ -92,30 +92,64 @@ object LlmText {
     * at the MinHash/SimHash discovery paths. */
   private[queries] def blockedJaccard(s: SparkSession, docs: DataFrame,
       maxBucketDocs: Long): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
     val t = docs.select(
       col("doc_id"), (col("n_chars") / 100).cast("long").as("bkt"),
       array_sort(array_distinct(transform(split(col("text"), " "),
         x => xxhash64(x)))).as("w"))
-    val counts = t.groupBy("bkt").agg(count(lit(1)).as("bkt_docs"))
-    val guarded = t.join(broadcast(counts), "bkt")
-      .filter(assert_true(col("bkt_docs") <= maxBucketDocs,
-        concat(lit("dedup_blocked_jaccard: length bucket "), col("bkt"),
-          lit(" holds "), col("bkt_docs"),
-          lit(s" docs (cap $maxBucketDocs); quadratic verification is not"),
-          lit(" meant for buckets this hot — use dedup_minhash_lsh or"),
-          lit(" dedup_simhash for discovery-scale near-dup"))).isNull)
-      .select(col("doc_id"), col("bkt"), col("w"))
-    val a = guarded.select(col("doc_id").as("id_a"), col("bkt"), col("w").as("wa"))
-    val b = guarded.select(col("doc_id").as("id_b"), col("bkt"), col("w").as("wb"))
-    a.join(b, Seq("bkt")).filter(col("id_a") < col("id_b"))
-      .filter(size(col("wa")) * 5 >= size(col("wb")) * 4 &&
-        size(col("wb")) * 5 >= size(col("wa")) * 4)
-      .withColumn("inter", expr("sorted_intersect_size(wa, wb)"))
-      .withColumn("jac", col("inter").cast("double") /
-        (size(col("wa")) + size(col("wb")) - col("inter")))
-      .filter(col("jac") >= 0.8)
-      .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
+      .as[(Long, Long, Array[Long])]
+    // ONE thin exchange keyed by bucket (each doc's sorted hash set ships
+    // once); the pair space never shuffles. The earlier bucket self-join
+    // materialized every within-bucket pair WITH both token arrays through
+    // the exchange (~pairs x 2 x |w| x 8 bytes — the measured 6 s at sf0.1
+    // was that shuffle, not the intersects). The per-bucket loop below runs
+    // the same size-ratio prefilter + sorted merge-intersect locally, under
+    // the same cardinality guard, and emits only qualifying pairs.
+    t.groupByKey(_._2)
+      .flatMapGroups { (bkt: Long, it: Iterator[(Long, Long, Array[Long])]) =>
+        val ds = it.toArray.sortBy(_._1)
+        if (ds.length > maxBucketDocs)
+          throw new IllegalStateException(
+            s"dedup_blocked_jaccard: length bucket $bkt holds ${ds.length}" +
+              s" docs (cap $maxBucketDocs); quadratic verification is not" +
+              " meant for buckets this hot — use dedup_minhash_lsh or" +
+              " dedup_simhash for discovery-scale near-dup")
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        var i = 0
+        while (i < ds.length) {
+          val (ia, _, wa) = ds(i)
+          var j = i + 1
+          while (j < ds.length) {
+            val (ib, _, wb) = ds(j)
+            val sa = wa.length
+            val sb = wb.length
+            if (sa * 5 >= sb * 4 && sb * 5 >= sa * 4) {
+              val inter = sortedIntersectSize(wa, wb)
+              val jac = inter.toDouble / (sa + sb - inter)
+              if (jac >= 0.8)
+                out += ((ia, ib,
+                  BigDecimal(jac).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                    .toDouble))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.result().iterator
+      }
+      .toDF("id_a", "id_b", "jac")
+  }
+
+  /** Merge intersect of two sorted long arrays — the kernel-side twin of the
+    * `sorted_intersect_size` codegen expression. */
+  private def sortedIntersectSize(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { n += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    n
   }
 
   /** Word 3-grams over a materialized `toks` column (a split(text) INSIDE
