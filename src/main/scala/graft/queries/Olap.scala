@@ -250,6 +250,26 @@ object Olap {
           (abs(col("n_approx") - col("n_exact"))
             <= col("n_exact") * 0.05).as("ok"))),
 
+    // ---- X7: HLL sketch MERGEABILITY certificate ----
+    // The warehouse rollup property: per-day DataSketches HLL sketches of
+    // user_id, unioned across days, must estimate the global distinct
+    // count within 5% of exact. This is what lets a 100 TB pipeline keep
+    // one small sketch per (day, dim) partition and answer "distincts over
+    // any date range" by union — no re-scan. The exact side is the
+    // oracle-checkable certificate.
+    "x7_hll_union_gate" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(expr("ts div 86400000000").as("day"), col("user_id"))
+      val est = ev.groupBy("day")
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("n_approx"))
+      ev.agg(countDistinct(col("user_id")).as("n_exact"))
+        .crossJoin(broadcast(est))
+        .select(col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")) <= col("n_exact") * 0.05)
+            .as("ok"))
+    }),
+
     // ---- X3: approximate-percentile accuracy certificate ----
     // approx_percentile with accuracy 10000 must land within 0.5% of the
     // exact median (computed distributed, via Spark's exact percentile).
@@ -440,6 +460,9 @@ object Olap {
         |FROM lineitem""".stripMargin,
     "x3_quantile_gate" ->
       "SELECT count(*) AS n, true AS ok FROM orders",
+    "x7_hll_union_gate" ->
+      """SELECT count(DISTINCT user_id) AS n_exact, true AS ok
+        |FROM events""".stripMargin,
     "x5_countmin_gate" ->
       """SELECT event_type, count(*) AS n_exact, true AS ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

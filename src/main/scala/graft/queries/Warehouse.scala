@@ -174,6 +174,32 @@ object Warehouse {
         .filter(col("rn") === 1)
         .select("doc_id", "digest")
         .orderBy("doc_id")
+    }),
+
+    // ---- incremental aggregate maintenance (partials merge exactly) ----
+    // The materialized-view refresh shape: a "yesterday" aggregate (events
+    // before the cutoff) is MERGED with a delta batch's aggregate instead
+    // of recomputing from raw facts. count/decimal-sum partials are
+    // associative, so the merge is a groupBy over two tiny aggregate rows
+    // per key — the oracle recomputes from scratch and must hash-match,
+    // which is precisely the "incremental == full" refresh guarantee. The
+    // avg is derived AFTER the merge from (sum, count), never averaged
+    // across partials.
+    "u6_incremental_agg" -> ((s, d) => {
+      val cutoffUs = 1200L * 86400000000L // day 1200 — mid-range of the data
+      val ev = Tables.events(s, d).select(col("event_type"), col("ts"), col("value"))
+      def agg(df: org.apache.spark.sql.DataFrame) = df.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).as("val_sum"))
+      val base = agg(ev.filter(col("ts") < cutoffUs))
+      val delta = agg(ev.filter(col("ts") >= cutoffUs))
+      base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(sum(col("n")).as("n"), sum(col("val_sum")).as("vs"))
+        .select(col("event_type"), col("n"),
+          col("vs").cast("double").as("val_sum"),
+          (col("vs").cast("double") / col("n")).as("val_avg"))
+        .orderBy("event_type")
     })
   )
 
@@ -265,6 +291,12 @@ object Warehouse {
         |  SELECT doc_id, md5(text) AS digest,
         |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |  FROM documents) t
-        |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // full recompute from raw facts — the incremental merge must equal it
+    "u6_incremental_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val_sum,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS val_avg
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

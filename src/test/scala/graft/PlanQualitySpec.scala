@@ -18,7 +18,9 @@ class PlanQualitySpec extends SparkSpec {
     "ann_lsh_recall_gate", "ann_ivf_recall_gate", "dedup_simhash_exact_gate",
     // single-row corpus-count broadcasts (idf denominator; CMS N bound;
     // Q22's scalar average-balance threshold)
-    "text_tfidf_topk", "x5_countmin_gate", "tpch_q22")
+    "text_tfidf_topk", "x5_countmin_gate", "tpch_q22",
+    // X7 joins two single-row aggregates (exact count x unioned sketch)
+    "x7_hll_union_gate")
 
   test("filters are pushed into the parquet scan") {
     val plan = SparkEntry.queries("p2_filter_in")(spark, Sf)
