@@ -128,6 +128,45 @@ object Curation {
           exists(col("lens"), _ >= 8).as("has8"))
         .orderBy("doc_id")),
 
+    // ---- cross-corpus dedup (drop training docs matching the eval set) --
+    // Content-identity companion of text_contamination: corpus A (90%) is
+    // checked against held-out corpus B (doc_id % 10 == 0) on the sorted
+    // token-set digest (the dedup_tokenset fingerprint — word-order- and
+    // repetition-insensitive, so reshuffled near-copies still match). B's
+    // digests broadcast (held-out sets are small); A streams through one
+    // semi-join — never an A x B comparison.
+    "dedup_cross_corpus" -> ((s, d) => {
+      def fp: Column = md5(concat_ws(" ",
+        array_sort(array_distinct(split(col("text"), " ")))))
+      val digests = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0)
+        .select(fp.as("digest")).distinct()
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 10 =!= 0)
+        .withColumn("digest", fp)
+        .join(broadcast(digests), Seq("digest"), "left_semi")
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // ---- corpus-level n-gram statistics (top-50 bigrams) ----
+    // The LM-data diagnostic: explode word bigrams, one partial-agg'd
+    // count keyed by gram, per-partition top-k via TakeOrderedAndProject.
+    // At 100 TB the gram key set is vocabulary^2-bounded and the shuffle
+    // carries (gram, partial count) rows, not token occurrences.
+    "text_ngram_counts" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(toks.as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(tk) - 1)," +
+            " i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))"))
+          .as("gram"))
+        .groupBy("gram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram"))
+        .limit(50)),
+
     // ---- C4-style composite keep/drop filter with reasons ----
     // The curation DECISION op: each rule is a cheap per-row predicate and
     // the verdict records the FIRST failing rule (ordered by cost), so a
@@ -241,6 +280,24 @@ object Curation {
         |        list_transform(string_split(text, ' '), x -> len(x)) AS l
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "dedup_cross_corpus" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(list_aggregate(list_sort(list_distinct(string_split(text, ' '))),
+        |        'string_agg', ' ')) AS digest
+        |  FROM documents)
+        |SELECT a.doc_id FROM f a
+        |WHERE a.doc_id % 10 <> 0
+        |  AND EXISTS (SELECT 1 FROM f b
+        |              WHERE b.doc_id % 10 = 0 AND b.digest = a.digest)
+        |ORDER BY a.doc_id""".stripMargin,
+    "text_ngram_counts" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT unnest(list_transform(range(1, len(w)),
+        |        i -> w[i] || ' ' || w[i + 1])) AS gram
+        |      FROM t WHERE len(w) >= 2)
+        |SELECT gram, count(*) AS n FROM g
+        |GROUP BY gram ORDER BY n DESC, gram LIMIT 50""".stripMargin,
     "text_c4_filter" ->
       """SELECT doc_id,
         |  CASE WHEN n_tok < 30 THEN 'too_short'
