@@ -207,6 +207,56 @@ object Relational {
         .orderBy("doc_id")
     }),
 
+    // ---- S7: plain-text source round-trip ----
+    // spark.read.text — the rawest ingest surface (one row per line). The
+    // synthetic corpus is newline-free, so doc == line and the round-trip
+    // must return the exact multiset of documents.
+    "s7_text_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s7").toString
+      sys.addShutdownHook {
+        new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+      }
+      Tables.documents(s, d).select("text").write.mode("overwrite").text(tmp)
+      s.read.text(tmp).orderBy("value")
+    }),
+
+    // ---- S8: zstd-compressed parquet round-trip ----
+    // Codec breadth for the storage layer (zstd is the 100 TB default:
+    // ~30% smaller than snappy at similar scan cost); values must be
+    // bit-identical through the codec.
+    "s8_zstd_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s8").toString
+      sys.addShutdownHook {
+        new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+      }
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+        .write.mode("overwrite").option("compression", "zstd").parquet(tmp)
+      s.read.parquet(tmp).orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- S9: schema evolution (mergeSchema over heterogeneous batches) --
+    // Two parquet batches with different column sets (the second adds
+    // l_discount) read as ONE table: mergeSchema unions the schemas and
+    // fills the missing column with nulls — the append-only ingestion
+    // reality at 100 TB, where old files never get rewritten.
+    "s9_schema_evolution" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s9")
+      sys.addShutdownHook {
+        new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
+      }
+      val li = Tables.lineitem(s, d)
+      li.filter(col("l_orderkey") % 2 === 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .write.mode("overwrite").parquet(tmp.resolve("batch=0").toString)
+      li.filter(col("l_orderkey") % 2 =!= 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .write.mode("overwrite").parquet(tmp.resolve("batch=1").toString)
+      s.read.option("mergeSchema", "true").parquet(tmp.toString)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // ---- S6: hive-partitioned sink + partition-pruned scan ----
     // The data-layout half of 100 TB scan economics: events written
     // partitioned by event_type, read back with a partition predicate —
@@ -761,6 +811,17 @@ object Relational {
     "s6_partitioned_scan" ->
       """SELECT event_id, user_id, value FROM events
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "s7_text_roundtrip" ->
+      "SELECT text AS value FROM documents ORDER BY value",
+    "s8_zstd_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // even-keyed rows came from the pre-evolution batch: their l_discount
+    // must read back as NULL through the merged schema
+    "s9_schema_evolution" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  CASE WHEN l_orderkey % 2 = 0 THEN NULL ELSE l_discount END AS l_discount
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "s4_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
