@@ -66,7 +66,7 @@ object AsOfJoin {
     val matched = l.unionByName(r, allowMissingColumns = true)
       .withColumn("__asof_match", last(col("__asof_payload"), ignoreNulls = true).over(w))
       .filter(col("__asof_side") === 1)
-    matched.select(left.columns.map(col) ++
+    matched.select(left.columns.toIndexedSeq.map(col) ++
       payloadFields.map(n => col(s"__asof_match.`$n`").as(s"$prefix$n")): _*)
   }
 }

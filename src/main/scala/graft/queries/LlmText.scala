@@ -13,8 +13,9 @@ import graft.Tables
   * unbounded all-pairs. The all-pairs forms only appear in DuckDB oracle SQL
   * (small SF) as ground truth for the banded Spark implementations. Known
   * residual: dedup_blocked_jaccard is quadratic WITHIN a length bucket by
-  * design (verification-scale semantics) — the guard turns a hot bucket into
-  * an explicit error instead of a silent O(m^2) stage; discovery-scale
+  * design (verification-scale semantics) — the pair loop runs locally per
+  * bucket (pairs never shuffle), and the guard turns a hot bucket into an
+  * explicit error instead of a silent O(m^2) stage; discovery-scale
   * near-dup belongs to the MinHash/SimHash paths.
   */
 object LlmText {

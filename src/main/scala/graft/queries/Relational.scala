@@ -406,7 +406,7 @@ object Relational {
       val buildBloom = udaf(new graft.functions.BloomBuildAgg(nKeys, 0.01), Encoders.LONG)
       val bloomBytes = urgent
         .agg(buildBloom(col("o_orderkey")).as("bf"))
-        .head.getAs[Array[Byte]](0)
+        .head().getAs[Array[Byte]](0)
       val prefiltered = Tables.lineitem(s, d)
         .filter(call_function("bloom_might_contain", lit(bloomBytes), col("l_orderkey")))
       prefiltered
