@@ -172,7 +172,15 @@ object TpchMore {
         .select("p_partkey")
       val li = Tables.lineitem(s, d)
         .select("l_partkey", "l_quantity", "l_extendedprice")
-      val avgQty = li.groupBy("l_partkey")
+      // The per-part average is only consumed for the filtered brand's
+      // parts (p_partkey determines p_brand), so the aggregate input is
+      // semi-join-reduced to those parts FIRST — Catalyst can't infer
+      // this through the aggregate, and at 100 TB it shrinks the agg's
+      // scan-out ~|brand|/|parts| (~3% here) with identical results.
+      val avgQty = li
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"),
+          "left_semi")
+        .groupBy("l_partkey")
         .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
       li.join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
         .join(avgQty, Seq("l_partkey"))
