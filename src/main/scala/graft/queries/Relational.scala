@@ -157,6 +157,35 @@ object Relational {
         .orderBy("o_custkey")
     }),
 
+    // ---- R3: dynamic pivot (no explicit value list) ----
+    // The two-pass pivot path: Spark first runs a distinct job to discover
+    // the pivot values, then plans the wide aggregate. Costs one extra
+    // pass over the grouping source — r2's explicit-list form is the scale
+    // preference; this entry pins that the discovery path agrees with it.
+    // Discovered lang values are sorted by Spark, so the column order (and
+    // the oracle's) is deterministic.
+    "r3_pivot_dynamic" -> ((s, d) => {
+      val pv = Tables.documents(s, d).groupBy("source")
+        .pivot("lang")
+        .agg(count(lit(1)))
+      pv.select(col("source") +: Seq("de", "en", "es", "fr", "zh").map(l =>
+          coalesce(col(l), lit(0L)).as(s"n_$l")): _*)
+        .orderBy("source")
+    }),
+
+    // ---- P7: null handling (na.fill / na.drop / coalesce) ----
+    // The events value column is ~10% null: fill with a sentinel, drop
+    // rows where props is null, and keep the raw null flag — the three
+    // null verbs of the DataFrame API face in one checkable pass.
+    "p7_na_fill" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), col("value"), col("props"))
+        .na.drop(Seq("props"))
+        .withColumn("was_null", col("value").isNull) // flag BEFORE the fill
+        .na.fill(Map("value" -> -1.0))
+        .select("event_id", "value", "was_null")
+        .orderBy("event_id")),
+
     // ---- U1: union-all by name (reference: detrendandstat_quad.R:65) ----
     "u1_union_by_name" -> ((s, d) => {
       val n = Tables.nation(s, d)
@@ -813,6 +842,18 @@ object Relational {
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "s7_text_roundtrip" ->
       "SELECT text AS value FROM documents ORDER BY value",
+    "r3_pivot_dynamic" ->
+      """SELECT source,
+        |  count(*) FILTER (lang = 'de') AS n_de,
+        |  count(*) FILTER (lang = 'en') AS n_en,
+        |  count(*) FILTER (lang = 'es') AS n_es,
+        |  count(*) FILTER (lang = 'fr') AS n_fr,
+        |  count(*) FILTER (lang = 'zh') AS n_zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "p7_na_fill" ->
+      """SELECT event_id, coalesce(value, -1.0) AS value,
+        |  value IS NULL AS was_null
+        |FROM events WHERE props IS NOT NULL ORDER BY event_id""".stripMargin,
     "s8_zstd_roundtrip" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
