@@ -110,6 +110,27 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // ---- unigram log-prob scoring (perplexity-proxy quality filter) ----
+    // Score each doc by the mean negative log-probability of its tokens
+    // under the corpus's own unigram distribution — the cheap stand-in for
+    // an LM perplexity filter. Two shuffles total: the vocabulary count
+    // (partial-agg'd, vocab-sized) broadcasts back onto one exploded pass.
+    // ln() can differ by an ulp across engines, so the score is rounded to
+    // 6 decimals — the mean of ~hundreds of ulp-sized diffs stays far
+    // below that.
+    "text_unigram_logprob" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("w"))
+      val vocab = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+      val total = tok.agg(count(lit(1)).as("n_total"))
+      tok.join(broadcast(vocab), "w")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(round(avg(-log(col("cnt").cast("double") / col("n_total"))), 6)
+          .as("avg_neg_logp"))
+        .orderBy("doc_id")
+    }),
+
     // ---- F8: higher-order array functions (transform / filter /
     // aggregate / exists / array_max) — all codegen-friendly lambda
     // expressions over a per-row array, zero shuffles. ----
@@ -269,6 +290,15 @@ object Curation {
         |SELECT c.doc_id, count(*) AS n_overlap
         |FROM c JOIN b USING (s)
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "text_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |v AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+        |t AS (SELECT count(*) AS n_total FROM tok)
+        |SELECT doc_id,
+        |  round(avg(-ln(CAST(cnt AS DOUBLE) / n_total)), 6) AS avg_neg_logp
+        |FROM tok JOIN v USING (w), t
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "f8_higher_order_fns" ->
       """SELECT doc_id,
         |  CAST(len(l) AS BIGINT) AS n_tok,

@@ -19,8 +19,9 @@ class PlanQualitySpec extends SparkSpec {
     // single-row corpus-count broadcasts (idf denominator; CMS N bound;
     // Q22's scalar average-balance threshold)
     "text_tfidf_topk", "x5_countmin_gate", "tpch_q22",
-    // X7 joins two single-row aggregates (exact count x unioned sketch)
-    "x7_hll_union_gate")
+    // X7 joins two single-row aggregates (exact count x unioned sketch);
+    // the unigram scorer broadcasts its single-row corpus total
+    "x7_hll_union_gate", "text_unigram_logprob")
 
   test("filters are pushed into the parquet scan") {
     val plan = SparkEntry.queries("p2_filter_in")(spark, Sf)
