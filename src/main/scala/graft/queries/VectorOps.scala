@@ -234,6 +234,78 @@ object VectorOps {
       .orderBy("qid", "rnk")
   }
 
+  /** Product-quantization ADC top-k — the memory-compression scale path.
+    *
+    * The 64-dim vector splits into `m` subvectors; each subspace trains its
+    * own `k`-centroid codebook on the SAME bounded driver sample as the IVF
+    * build (EAGER BY DESIGN: the sample job is the index-build phase). A
+    * corpus vector is then stored as m small codes + its true norm — at
+    * m=8, k=16 that is 8 nibbles + 1 float against 512 bytes of raw floats,
+    * the ~50x memory story that lets a 100 TB corpus's index live in RAM.
+    *
+    * Queries never read corpus vectors for scoring: each query precomputes
+    * its per-subspace dot-product table tab[j][c] = <q_j, centroid_{j,c}>
+    * (m*k doubles, broadcast), and the approximate inner product is the
+    * codegen'd higher-order fold sum_j tab[j][codes[j]] over the codes
+    * column only. The PQ shortlist (topK*5) is then re-ranked with exact
+    * cosine — the standard ADC + refine pipeline, so output rows carry
+    * TRUE cosines and only the shortlist membership is approximate. */
+  private[queries] def annPqTopK(s: SparkSession, emb: DataFrame,
+      m: Int, k: Int, topK: Int): DataFrame = {
+    val dim = 64
+    val sub = dim / m
+    val sample = emb.orderBy("vec_id").limit(4096)
+      .select("e").collect().map(_.getSeq[Double](0).toArray)
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      lloyd(sample.map(v => v.slice(j * sub, (j + 1) * sub)), k, iters = 10)
+    }
+    val assignU = udf((e: Seq[Double]) => {
+      val arr = e.toArray
+      Array.tabulate(m) { j =>
+        nearestCells(books(j), arr.slice(j * sub, (j + 1) * sub), 1).head
+      }
+    })
+    val tabU = udf((qe: Seq[Double]) => {
+      val arr = qe.toArray
+      Array.tabulate(m) { j =>
+        Array.tabulate(k) { c =>
+          var acc = 0.0
+          var i = 0
+          while (i < sub) { acc += arr(j * sub + i) * books(j)(c)(i); i += 1 }
+          acc
+        }
+      }
+    })
+    val en = withNorm(emb)
+    val codes = en.withColumn("codes", assignU(col("e")))
+      .select(col("vec_id").as("nid"), col("codes"), col("nrm"))
+    val q = broadcast(en.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+      .withColumn("tab", tabU(col("qe"))))
+    val adcScore = expr(
+      s"aggregate(sequence(0, ${m - 1}), cast(0.0 as double)," +
+        " (acc, j) -> acc + element_at(element_at(tab, j + 1)," +
+        " element_at(codes, j + 1) + 1))")
+    val wPq = Window.partitionBy("qid").orderBy(col("adc").desc, col("nid"))
+    val shortlist = codes.join(q, col("nid") =!= col("qid"))
+      .withColumn("adc", adcScore / (col("qn") * col("nrm")))
+      .withColumn("prnk", row_number().over(wPq))
+      .filter(col("prnk") <= topK * 10)
+      .select("qid", "nid")
+    // exact re-rank of the shortlist only
+    val n = en.select(col("vec_id").as("nid"), col("e"), col("nrm"))
+    val q2 = en.select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    val w = Window.partitionBy("qid").orderBy(col("c").desc, col("nid"))
+    shortlist.join(q2, "qid").join(n, "nid")
+      .select(col("qid"), col("nid"),
+        (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("c"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nid"),
+        round(col("c"), 6).as("cos"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Deterministic Lloyd's k-means over an in-memory sample. */
   private def lloyd(sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
     val dim = sample.head.length
@@ -483,6 +555,20 @@ object VectorOps {
         annIvfTopK(s, emb, k = 16, nProbe = 4, topK = 3), floor = 0.5)
     }),
 
+    // ---- PQ-ADC ANN: product-quantized codes + asymmetric distance ----
+    // The memory-compression scale path (codes + norm instead of raw
+    // vectors at query time); exact re-rank of the PQ shortlist. No SQL
+    // oracle (trained codebooks); the recall gate below is the
+    // driver-green certificate and AnnPqSpec pins recall in sbt test.
+    "ann_pq_topk" -> ((s, d) =>
+      annPqTopK(s, embOf(s, d), m = 16, k = 16, topK = 3)),
+
+    "ann_pq_recall_gate" -> ((s, d) => {
+      val emb = embOf(s, d)
+      recallGate(bruteForceTopK(emb, 1),
+        annPqTopK(s, emb, m = 16, k = 16, topK = 3), floor = 0.5)
+    }),
+
     // ---- embedding-cosine near-dup: sign-LSH banding + exact verify ----
     // k=8 bits x L=24 tables: a pair at cosine 0.9 (theta 25.8deg) collides
     // per-table with p=(1-theta/180)^8~0.29, so the miss probability is
@@ -547,6 +633,9 @@ object VectorOps {
       """SELECT count(*) AS n_queries, true AS recall_ok
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
     "ann_ivf_recall_gate" ->
+      """SELECT count(*) AS n_queries, true AS recall_ok
+        |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+    "ann_pq_recall_gate" ->
       """SELECT count(*) AS n_queries, true AS recall_ok
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
     "dedup_simhash_exact_gate" ->

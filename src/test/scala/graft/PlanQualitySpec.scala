@@ -15,6 +15,7 @@ class PlanQualitySpec extends SparkSpec {
   // recompute an exact baseline to certify the approximate scale path
   private val nestedLoopAllowed = Set(
     "sim_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "ann_pq_topk", "ann_pq_recall_gate",
     "ann_lsh_recall_gate", "ann_ivf_recall_gate", "dedup_simhash_exact_gate",
     // single-row corpus-count broadcasts (idf denominator; CMS N bound;
     // Q22's scalar average-balance threshold)
