@@ -110,6 +110,33 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // ---- fuzzy string self-join (edit distance <= 1) ----
+    // The FastSS deletion-neighborhood trick, over the corpus's source
+    // identifiers (the fuzzy entity-resolution shape: near-identical
+    // codes/IDs): strings within levenshtein 1 necessarily share an
+    // element of {s} ∪ {s minus one char}, so candidates come from an
+    // equi-join on the exploded neighborhood (≈|s|+1 thin variant rows
+    // per string) and exact levenshtein runs on candidates only — never
+    // the key×key pair space. The key set is corpus-bounded, so this
+    // survives any corpus size.
+    "fuzzy_word_join" -> ((s, d) => {
+      val vocab = Tables.documents(s, d)
+        .select(col("source").as("w")).distinct()
+      val variants = vocab.select(col("w"), explode(array_distinct(concat(
+          array(col("w")),
+          expr("transform(sequence(1, length(w))," +
+            " i -> concat(substring(w, 1, i - 1), substring(w, i + 1, length(w))))")
+        ))).as("v"))
+      variants.as("a").join(variants.as("b"), Seq("v"))
+        .filter(col("a.w") < col("b.w"))
+        .select(col("a.w").as("w1"), col("b.w").as("w2"))
+        .distinct()
+        .filter(levenshtein(col("w1"), col("w2")) <= 1)
+        .select(col("w1"), col("w2"),
+          levenshtein(col("w1"), col("w2")).cast("long").as("dist"))
+        .orderBy("w1", "w2")
+    }),
+
     // ---- unigram log-prob scoring (perplexity-proxy quality filter) ----
     // Score each doc by the mean negative log-probability of its tokens
     // under the corpus's own unigram distribution — the cheap stand-in for
@@ -290,6 +317,13 @@ object Curation {
         |SELECT c.doc_id, count(*) AS n_overlap
         |FROM c JOIN b USING (s)
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "fuzzy_word_join" ->
+      """WITH v AS (SELECT DISTINCT source AS w FROM documents)
+        |SELECT a.w AS w1, b.w AS w2,
+        |  CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+        |FROM v a JOIN v b ON a.w < b.w
+        |WHERE levenshtein(a.w, b.w) <= 1
+        |ORDER BY w1, w2""".stripMargin,
     "text_unigram_logprob" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
