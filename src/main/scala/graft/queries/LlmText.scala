@@ -367,6 +367,28 @@ object LlmText {
         .orderBy("user_id")
     }),
 
+    // ---- three-step ordered funnel (view -> click -> purchase) ----
+    // Stage k's anchor is the earliest stage-(k-1)-consistent event, so the
+    // path must be ORDERED, not just present: three chained min-over-user
+    // windows on one user_id exchange (Catalyst reuses the partitioning),
+    // then a single global summary row. No self-joins, no per-user explode.
+    "events_funnel3" -> ((s, d) => {
+      val wu = Window.partitionBy("user_id")
+      Tables.events(s, d)
+        .withColumn("v1",
+          min(when(col("event_type") === "view", col("ts"))).over(wu))
+        .withColumn("c1",
+          min(when(col("event_type") === "click" && col("ts") >= col("v1"),
+            col("ts"))).over(wu))
+        .withColumn("p1",
+          min(when(col("event_type") === "purchase" && col("ts") >= col("c1"),
+            col("ts"))).over(wu))
+        .agg(
+          countDistinct(when(col("v1").isNotNull, col("user_id"))).as("n_viewed"),
+          countDistinct(when(col("c1").isNotNull, col("user_id"))).as("n_clicked"),
+          countDistinct(when(col("p1").isNotNull, col("user_id"))).as("n_purchased"))
+    }),
+
     // ---- streaming drain: file-stream windowed counts, driver-checked ----
     // Runs the Structured Streaming module's watermarked tumbling-window
     // aggregation over a REAL file stream of events.parquet (AvailableNow
@@ -689,6 +711,27 @@ object LlmText {
         |FROM ev JOIN fs ON ev.user_id = fs.user_id
         |GROUP BY fs.cohort_day, ev.day - fs.cohort_day
         |ORDER BY cohort_day, day_offset""".stripMargin,
+    "events_funnel3" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS v1, ts, event_type
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, v1,
+        |    min(CASE WHEN event_type = 'click' AND ts >= v1 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS c1, ts, event_type
+        |  FROM f),
+        |h AS (
+        |  SELECT user_id, v1, c1,
+        |    min(CASE WHEN event_type = 'purchase' AND ts >= c1 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS p1
+        |  FROM g)
+        |SELECT
+        |  count(DISTINCT CASE WHEN v1 IS NOT NULL THEN user_id END) AS n_viewed,
+        |  count(DISTINCT CASE WHEN c1 IS NOT NULL THEN user_id END) AS n_clicked,
+        |  count(DISTINCT CASE WHEN p1 IS NOT NULL THEN user_id END) AS n_purchased
+        |FROM h""".stripMargin,
     "events_funnel" ->
       """WITH w AS (
         |  SELECT event_id, user_id, ts, event_type,
