@@ -37,6 +37,53 @@ object Bench {
     else s.bigDecimal.toPlainString
   }
 
+  /** The driver keeps only the last ~2000 chars of the log, so the printed
+    * line must fit there WITH margin (round 3's flat ~7 KB line overflowed
+    * the capture and the round's bench was recorded unparseable). When over
+    * budget, query families fold into "<family>_total" sums —
+    * largest/least-interesting families first — until the line fits.
+    * Queries that FAILED are never folded (their negative time and errors
+    * entry must stay visible). Full per-query precision always goes to the
+    * bench_full.json sidecar. Extracted (and spec-covered in BenchLineSpec)
+    * because an overflowing line silently costs a whole round's bench. */
+  private[graft] val LineBudget = 1850 // chars; tail is 2000, line prints
+  // after spark.stop() with the sbt banner as the only trailing noise
+  private[graft] def foldedLine(results: Seq[(String, Double)],
+      errors: Map[String, String], total: Double, sfDir: String,
+      budget: Int = LineBudget): String = {
+    def jstr(s: String): String = Json.str(s)
+    val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val families: Seq[(String, String => Boolean)] = Seq(
+      "wdi_stats_total" -> (n => n.startsWith("wdi_") && n != "wdi_front_half"),
+      "relational_micro_total" -> (n => n.matches("^[a-z][0-9]_.*")),
+      "mm_total" -> (_.startsWith("mm_")),
+      "text_total" -> (_.startsWith("text_")),
+      "dedup_total" -> (_.startsWith("dedup_")),
+      "ann_sim_total" -> (n => n.startsWith("ann_") || n.startsWith("sim_")),
+      "tpch_total" -> (_.startsWith("tpch_")),
+      "events_total" -> (_.startsWith("events_")),
+      "stream_total" -> (_.startsWith("stream_")),
+    )
+    def render(entries: Seq[(String, Double)]): String = {
+      val qs = entries.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size},"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    }
+    var entries: Seq[(String, Double)] = results
+    var line = render(entries)
+    val famIt = families.iterator
+    while (line.length > budget && famIt.hasNext) {
+      val (famKey, pred) = famIt.next()
+      val (in, out) = entries.partition { case (n, v) => pred(n) && v >= 0 }
+      if (in.nonEmpty) {
+        entries = out :+ (famKey -> in.map(_._2).sum)
+        line = render(entries)
+      }
+    }
+    if (line.length > budget) // last resort: totals only
+      line = render(Seq.empty)
+    line
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -104,42 +151,7 @@ object Bench {
     val qsFull = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-
-    // The driver keeps only the last ~2000 chars of the log, so the printed
-    // line must fit there WITH margin. The registry (100+ queries, long
-    // names) is ~2.6 KB as a flat map, so when over budget we fold query
-    // families into "<family>_total" sums — largest/least-interesting
-    // families first — until the line fits. Queries that FAILED are never
-    // folded (their negative time and errors entry must stay visible).
-    // Full per-query precision always goes to the bench_full.json sidecar.
-    val families: Seq[(String, String => Boolean)] = Seq(
-      "wdi_stats_total" -> (n => n.startsWith("wdi_") && n != "wdi_front_half"),
-      "relational_micro_total" -> (n => n.matches("^[a-z][0-9]_.*")),
-      "mm_total" -> (_.startsWith("mm_")),
-      "text_total" -> (_.startsWith("text_")),
-      "dedup_total" -> (_.startsWith("dedup_")),
-      "ann_sim_total" -> (n => n.startsWith("ann_") || n.startsWith("sim_")),
-    )
-    val budget = 1850 // chars; tail is 2000 and the line is printed after
-    // spark.stop() with the sbt success banner suppressed, so only a small
-    // margin for trailing noise is needed
-    def render(entries: Seq[(String, Double)]): String = {
-      val qs = entries.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size},"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    }
-    var entries: Seq[(String, Double)] = results
-    var line = render(entries)
-    val famIt = families.iterator
-    while (line.length > budget && famIt.hasNext) {
-      val (famKey, pred) = famIt.next()
-      val (in, out) = entries.partition { case (n, v) => pred(n) && v >= 0 }
-      if (in.nonEmpty) {
-        entries = out :+ (famKey -> in.map(_._2).sum)
-        line = render(entries)
-      }
-    }
-    if (line.length > budget) // last resort: totals only
-      line = render(Seq.empty)
+    val line = foldedLine(results, errors.toMap, total, sfDir)
 
     // Full-precision sidecar for local analysis (the printed line is rounded).
     try {

@@ -367,6 +367,22 @@ object LlmText {
         .orderBy("user_id")
     }),
 
+    // ---- built-in session_window aggregation (batch) ----
+    // Spark's native gap-session operator, pinned against the same
+    // gaps-and-islands SQL the custom sessionizers are checked with.
+    // Boundary semantics: an event exactly `gap` after its predecessor
+    // starts a NEW session (session windows are [ts, ts+gap) and merge
+    // only on overlap), so the oracle's island break is `diff >= gap`,
+    // unlike events_sessionize's legacy `>` convention.
+    "events_session_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("tts", timestamp_micros(col("ts")))
+        .groupBy(col("user_id"), session_window(col("tts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("start_us"), max(col("ts")).as("end_us"))
+        .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+        .orderBy("user_id", "start_us")),
+
     // ---- three-step ordered funnel (view -> click -> purchase) ----
     // Stage k's anchor is the earliest stage-(k-1)-consistent event, so the
     // path must be ORDERED, not just present: three chained min-over-user
@@ -711,6 +727,18 @@ object LlmText {
         |FROM ev JOIN fs ON ev.user_id = fs.user_id
         |GROUP BY fs.cohort_day, ev.day - fs.cohort_day
         |ORDER BY cohort_day, day_offset""".stripMargin,
+    "events_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |w AS (SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+        |      FROM e),
+        |f AS (SELECT *, CASE WHEN prev IS NULL OR tus - prev >= 1800000000
+        |                 THEN 1 ELSE 0 END AS ns FROM w),
+        |g AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)
+        |SELECT user_id, min(tus) AS start_us, max(tus) AS end_us,
+        |       count(*) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
     "events_funnel3" ->
       """WITH f AS (
         |  SELECT user_id,
