@@ -367,6 +367,25 @@ object LlmText {
         .orderBy("user_id")
     }),
 
+    // ---- rolling 7-day active users (WAU) ----
+    // Exact rolling DISTINCT cannot ride a window frame (distinct doesn't
+    // decompose); the scale shape is contribution-explode: each distinct
+    // (user, day) appears in the 7 trailing windows it's active for, then
+    // one count-distinct per window day. Shuffle is 7x the DISTINCT
+    // (user, day) pairs — activity-bounded, not event-bounded; the
+    // sketch alternative (x7's HLL union) trades exactness for a 1x
+    // shuffle of mergeable sketches.
+    "events_wau" -> ((s, d) => {
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), expr("ts div 86400000000").as("day"))
+        .distinct()
+      ud.select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("w_day"))
+        .groupBy("w_day")
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .orderBy("w_day")
+    }),
+
     // ---- built-in session_window aggregation (batch) ----
     // Spark's native gap-session operator, pinned against the same
     // gaps-and-islands SQL the custom sessionizers are checked with.
@@ -727,6 +746,14 @@ object LlmText {
         |FROM ev JOIN fs ON ev.user_id = fs.user_id
         |GROUP BY fs.cohort_day, ev.day - fs.cohort_day
         |ORDER BY cohort_day, day_offset""".stripMargin,
+    "events_wau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |c AS (SELECT user_id, day + o AS w_day
+        |      FROM ud, unnest(range(0, 7)) AS t(o))
+        |SELECT w_day, count(DISTINCT user_id) AS wau
+        |FROM c GROUP BY w_day ORDER BY w_day""".stripMargin,
     "events_session_window" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
         |w AS (SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
