@@ -100,6 +100,8 @@ object GraftFunctions {
     classOf[VecDot].getName, "vec_dot")
   val bloomInfo = new ExpressionInfo(
     classOf[BloomMightContain].getName, "bloom_might_contain")
+  val pqAdcInfo = new ExpressionInfo(
+    classOf[PqAdc].getName, "pq_adc")
 
   def builder(args: Seq[Expression]): Expression =
     SortedLongIntersectSize(args(0), args(1))
@@ -111,6 +113,8 @@ object GraftFunctions {
     VecDot(args(0), args(1))
   def bloomBuilder(args: Seq[Expression]): Expression =
     BloomMightContain(args(0), args(1))
+  def pqAdcBuilder(args: Seq[Expression]): Expression =
+    PqAdc(args(0), args(1))
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -123,6 +127,8 @@ object GraftFunctions {
       "vec_dot", vecDotBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_might_contain", bloomBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_adc", pqAdcBuilder, "scala_udf")
   }
 }
 
@@ -143,6 +149,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("bloom_might_contain"), GraftFunctions.bloomInfo,
         GraftFunctions.bloomBuilder))
+    ext.injectFunction(
+      (FunctionIdentifier("pq_adc"), GraftFunctions.pqAdcInfo,
+        GraftFunctions.pqAdcBuilder))
     // Custom optimizer rule: band inequality joins -> bucket equi-joins
     // (see graft.plans.BandedRangeJoinRule for scope and proof sketch).
     ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoinRule)

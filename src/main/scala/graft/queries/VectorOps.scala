@@ -282,10 +282,10 @@ object VectorOps {
     val q = broadcast(en.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
       .withColumn("tab", tabU(col("qe"))))
-    val adcScore = expr(
-      s"aggregate(sequence(0, ${m - 1}), cast(0.0 as double)," +
-        " (acc, j) -> acc + element_at(element_at(tab, j + 1)," +
-        " element_at(codes, j + 1) + 1))")
+    // native codegen lookup-sum (graft.functions.PqAdc): the HOF fold form
+    // is CodegenFallback and runs interpreted once per (query, vector)
+    // pair — the whole ADC scan's inner loop (measured ~2x on the scan)
+    val adcScore = call_function("pq_adc", col("tab"), col("codes"))
     val wPq = Window.partitionBy("qid").orderBy(col("adc").desc, col("nid"))
     val shortlist = codes.join(q, col("nid") =!= col("qid"))
       .withColumn("adc", adcScore / (col("qn") * col("nrm")))
