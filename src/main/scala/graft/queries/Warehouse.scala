@@ -176,6 +176,23 @@ object Warehouse {
         .orderBy("doc_id")
     }),
 
+    // ---- F10: ANSI-safe try_* function family ----
+    // Spark 4 runs ANSI mode by default, where bad casts and overflows
+    // kill jobs; the try_* forms return null instead — the semantics a
+    // 100 TB ingest pipeline wants for dirty data. DuckDB's natural
+    // semantics (NULL division-by-zero, TRY_CAST, out-of-range list
+    // index) line up exactly, so the family is hash-checkable.
+    "f10_try_fns" -> ((s, d) =>
+      Tables.events(s, d).select(
+          col("event_id"),
+          expr("try_divide(value, 0.0)").as("div0"),
+          expr("try_divide(value, 2.0)").as("half"),
+          expr("try_cast(event_type AS INT)").cast("long").as("bad_cast"),
+          expr("try_cast(cast(user_id AS STRING) AS INT)").cast("long").as("rt_cast"),
+          expr("try_element_at(split(event_type, '_'), 5)").as("oob"),
+          expr("try_add(user_id, 1)").cast("long").as("inc"))
+        .orderBy("event_id")),
+
     // ---- incremental aggregate maintenance (partials merge exactly) ----
     // The materialized-view refresh shape: a "yesterday" aggregate (events
     // before the cutoff) is MERGED with a delta batch's aggregate instead
@@ -292,6 +309,15 @@ object Warehouse {
         |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |  FROM documents) t
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "f10_try_fns" ->
+      """SELECT event_id,
+        |  value / 0.0 AS div0,
+        |  value / 2.0 AS half,
+        |  CAST(TRY_CAST(event_type AS INTEGER) AS BIGINT) AS bad_cast,
+        |  CAST(TRY_CAST(CAST(user_id AS VARCHAR) AS INTEGER) AS BIGINT) AS rt_cast,
+        |  (string_split(event_type, '_'))[5] AS oob,
+        |  user_id + 1 AS inc
+        |FROM events ORDER BY event_id""".stripMargin,
     // full recompute from raw facts — the incremental merge must equal it
     "u6_incremental_agg" ->
       """SELECT event_type, count(*) AS n,
