@@ -227,6 +227,127 @@ object TpchMore {
         .agg(dsum4(rev).as("revenue"))
     }),
 
+    // ---- Q2 shape: min-cost supplier per part. Adapted: no partsupp, so
+    // lineitem is the part-supplier bridge and "cost" is the observed unit
+    // price. The per-part minimum is a groupBy+join-back (argmin without a
+    // fact-table window); min is over identically-computed doubles so the
+    // equality join-back is exact. ----
+    "tpch_q2" -> ((s, d) => {
+      val euSupp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d).where(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val p15 = Tables.part(s, d).where(col("p_size") === 15)
+        .select("p_partkey", "p_brand")
+      val offers = Tables.lineitem(s, d)
+        .join(broadcast(p15), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(euSupp), col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_brand"), col("s_suppkey"),
+          col("s_name"), col("s_acctbal"), col("n_name"),
+          (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+      val minCost = offers.groupBy("p_partkey")
+        .agg(min(col("unit_price")).as("min_price"))
+      offers.join(minCost, Seq("p_partkey"))
+        .where(col("unit_price") === col("min_price"))
+        .select(col("p_partkey"), col("p_brand"), col("s_suppkey"),
+          col("s_name"), col("n_name"), round(col("min_price"), 6).as("unit_price"))
+        .distinct()
+        .orderBy(col("p_partkey"), col("s_suppkey"))
+        .limit(100)
+    }),
+
+    // ---- Q9 shape: profit by supplier nation and year. Adapted: no
+    // partsupp supplycost, so cost = 0.5 * p_retailprice * quantity. ----
+    "tpch_q9" -> ((s, d) => {
+      val redParts = Tables.part(s, d).where(col("p_name").contains("red"))
+        .select("p_partkey", "p_retailprice")
+      val suppNation = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      Tables.lineitem(s, d)
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum((rev - lit(0.5) * col("p_retailprice") * col("l_quantity"))
+          .cast("decimal(24,6)")).cast("double").as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // ---- Q12 shape: conditional priority counts by ship-lag bucket.
+    // Adapted: no l_shipmode/commitdate — the derived dimension is the
+    // order-to-ship lag bucket. ----
+    "tpch_q12" -> ((s, d) =>
+      Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+        .join(Tables.orders(s, d)
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("lag_days", datediff(col("l_shipdate"), col("o_orderdate")))
+        .withColumn("bucket",
+          when(col("lag_days") <= 30, "fast")
+            .when(col("lag_days") <= 60, "medium").otherwise("slow"))
+        .groupBy("bucket")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("bucket")),
+
+    // ---- Q16 shape: supplier diversity per part attribute. Adapted:
+    // lineitem bridges part-supplier; the complaints exclusion becomes
+    // negative-balance suppliers. count(DISTINCT) after a distinct
+    // projection keeps the shuffle on (brand, type, size, suppkey). ----
+    "tpch_q16" -> ((s, d) => {
+      val parts = Tables.part(s, d)
+        .where(col("p_brand") =!= "Brand#1" &&
+          col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val okSupp = Tables.supplier(s, d).where(col("s_acctbal") >= 0)
+        .select("s_suppkey")
+      Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(okSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .select(col("p_brand"), col("p_type"), col("p_size"), col("l_suppkey"))
+        .distinct()
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(count(lit(1)).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // ---- Q21 shape: the sole late shipper on multi-supplier orders.
+    // Adapted: "late" = shipped >60 days after the order date. The classic
+    // double EXISTS / NOT EXISTS is restated as per-order supplier
+    // statistics (distinct suppliers, distinct late suppliers) — two hash
+    // aggs on orderkey instead of two correlated scans, the shape that
+    // survives scale. ----
+    "tpch_q21" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+            .as("late"))
+      val perOrder = li.groupBy("l_orderkey")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+      val lateLines = li.where(col("late"))
+        .select("l_orderkey", "l_suppkey").distinct()
+      lateLines.join(perOrder, "l_orderkey")
+        .where(col("n_supp") >= 2 && col("n_late_supp") === 1)
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
     // ---- Q22 shape: wealthy inactive customers. Adapted: no c_phone, so
     // the cohort is per-mktsegment; the scalar average is decimal-exact
     // (2-decimal balances) and broadcast; inactivity is an anti-join on
@@ -351,6 +472,77 @@ object TpchMore {
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "tpch_q2" ->
+      """WITH eu AS (
+        |  SELECT s_suppkey, s_name, n_name FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |offers AS (
+        |  SELECT p_partkey, p_brand, s_suppkey, s_name, n_name,
+        |         l_extendedprice / l_quantity AS unit_price
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN eu ON l_suppkey = s_suppkey
+        |  WHERE p_size = 15),
+        |m AS (SELECT p_partkey AS mp, min(unit_price) AS min_price
+        |      FROM offers GROUP BY p_partkey)
+        |SELECT DISTINCT p_partkey, p_brand, s_suppkey, s_name, n_name,
+        |  round(min_price, 6) AS unit_price
+        |FROM offers JOIN m ON p_partkey = mp AND unit_price = min_price
+        |ORDER BY p_partkey, s_suppkey LIMIT 100""".stripMargin,
+    "tpch_q9" ->
+      """SELECT n_name AS nation,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |        - 0.5 * p_retailprice * l_quantity AS DECIMAL(24,6)))
+        |    AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY n_name, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "tpch_q12" ->
+      """SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'fast'
+        |            WHEN date_diff('day', o_orderdate, l_shipdate) <= 60 THEN 'medium'
+        |            ELSE 'slow' END AS bucket,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND EXISTS (SELECT 1 FROM supplier
+        |              WHERE s_suppkey = l_suppkey AND s_acctbal >= 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "tpch_q21" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |po AS (
+        |  SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+        |    count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+        |  FROM li GROUP BY l_orderkey),
+        |ll AS (SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late)
+        |SELECT s_name, count(*) AS numwait
+        |FROM ll
+        |JOIN po USING (l_orderkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE n_supp >= 2 AND n_late_supp = 1
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "tpch_q22" ->
       """WITH a AS (
         |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
