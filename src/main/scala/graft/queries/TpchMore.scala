@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** The rest of the TPC-H-expressible suite over the driver's star schema
-  * (TESTDATA.md tables; no partsupp, so Q2/Q9/Q11/Q16/Q20 are out of reach,
-  * and predicates on columns the synthetic schema lacks — l_commitdate,
-  * l_shipmode, p_container, c_phone — are adapted to equivalent shapes on
-  * the columns that exist; each entry notes its adaptation).
+  * (TESTDATA.md tables). There is no partsupp table, so Q2/Q9/Q16/Q21 are
+  * re-expressed through the lineitem part-supplier bridge (each entry notes
+  * its adaptation) and only Q11/Q20 — pure partsupp inventory queries with
+  * no bridgeable fact — are out of reach. Predicates on columns the
+  * synthetic schema lacks (l_commitdate, l_shipmode, p_container, c_phone)
+  * are adapted to equivalent shapes on the columns that exist.
   *
   * Conventions match [[Olap]]: money/rate sums go through DECIMAL so the
   * result is independent of partial-aggregation order, derived ratios divide
