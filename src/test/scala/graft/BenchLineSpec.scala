@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench JSON line must survive the driver's bounded log-tail capture:
+  * an overflowing line silently loses a whole round's bench (rounds 1-4 were
+  * recorded "parsed": null for exactly this). Pure-function tests over the
+  * extracted folding logic — no Spark session needed. */
+class BenchLineSpec extends AnyFunSuite {
+
+  private def parseable(line: String): Boolean = {
+    // minimal structural check: balanced braces, starts/ends as one object,
+    // and the driver's required fields are present
+    line.startsWith("{\"metric\":") && line.endsWith("}") &&
+      line.contains("\"queries\":{") && line.contains("\"errors\":{") &&
+      line.count(_ == '{') == line.count(_ == '}')
+  }
+
+  test("a 300-query registry folds under the budget") {
+    val results = (1 to 60).flatMap { i =>
+      Seq(s"wdi_stat_long_name_$i" -> 0.1, s"text_op_long_name_$i" -> 0.2,
+        s"dedup_variant_name_$i" -> 0.3, s"tpch_q$i" -> 0.4,
+        s"events_analysis_$i" -> 0.5)
+    }
+    val line = Bench.foldedLine(results, Map.empty, 42.0, "/tmp/sf")
+    assert(line.length <= Bench.LineBudget, s"line is ${line.length} chars")
+    assert(parseable(line), s"line not structurally parseable: $line")
+    assert(line.contains("\"nq\":300"))
+  }
+
+  test("failed queries are never folded away") {
+    val results = (1 to 200).map(i => s"text_op_number_$i" -> 0.1) :+
+      ("text_broken_query" -> -0.5)
+    val line = Bench.foldedLine(results,
+      Map("text_broken_query" -> "boom"), 20.0, "/tmp/sf")
+    assert(line.length <= Bench.LineBudget)
+    assert(line.contains("\"text_broken_query\":-0.5"),
+      s"failed query's negative time folded away: $line")
+    assert(line.contains("\"text_broken_query\":\"boom\""))
+  }
+
+  test("a small registry stays flat (no folding)") {
+    val results = Seq("q1" -> 1.0, "q2" -> 2.0)
+    val line = Bench.foldedLine(results, Map.empty, 3.0, "/tmp/sf")
+    assert(line.contains("\"q1\":1.000") && line.contains("\"q2\":2.000"))
+    assert(!line.contains("_total\""))
+  }
+
+  test("pathological names still fit via the totals-only fallback") {
+    val results = (1 to 50).map(i => ("zz_unfoldable_very_long_query_name_" +
+      ("x" * 60) + i) -> 1.0)
+    val line = Bench.foldedLine(results, Map.empty, 50.0, "/tmp/sf")
+    assert(line.length <= Bench.LineBudget, s"line is ${line.length} chars")
+    assert(parseable(line))
+  }
+}
