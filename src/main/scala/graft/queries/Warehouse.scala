@@ -98,10 +98,10 @@ object Warehouse {
       Tables.events(s, d).groupBy("event_type")
         .agg(
           count_if(col("value") > 50.0).as("n_hi"),
-          bool_and(col("value").isNotNull || col("value").isNull).as("all_true"),
+          bool_and(col("value") >= 0.0).as("all_true"),
           bool_or(col("value") > 99.9).as("any_top"),
-          sum(when(col("value") > 50.0, col("value")).cast("decimal(18,6)"))
-            .cast("double").as("sum_hi"))
+          round(sum(when(col("value") > 50.0, col("value"))
+            .cast("decimal(18,6)")).cast("double"), 4).as("sum_hi"))
         .orderBy("event_type")),
 
     // ---- U5: SCD-2 validity intervals from a change stream ----
@@ -253,10 +253,11 @@ object Warehouse {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "a15_cond_aggs" ->
       """SELECT event_type,
-        |  count_if(value > 50.0) AS n_hi,
-        |  bool_and(TRUE) AS all_true,
+        |  CAST(count_if(value > 50.0) AS BIGINT) AS n_hi,
+        |  bool_and(value >= 0.0) AS all_true,
         |  bool_or(value > 99.9) AS any_top,
-        |  CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE value > 50.0) AS DOUBLE) AS sum_hi
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE value > 50.0)
+        |        AS DOUBLE), 4) AS sum_hi
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "u5_scd2" ->
       """WITH o AS (

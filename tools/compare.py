@@ -56,6 +56,19 @@ def main(sf_dir: str, out_dir: str) -> None:
             continue
         s = s.sort_values(by=list(s.columns)).reset_index(drop=True)
         o = o.sort_values(by=list(o.columns)).reset_index(drop=True)
+        # The driver hashes stringified cells, so an int64-vs-float64 dtype
+        # drift (e.g. DuckDB HUGEINT -> pandas float64 when the oracle forgets
+        # CAST(... AS BIGINT)) hashes "742.0" vs "742" even though the values
+        # coerce equal below. Treat numeric-kind drift as a failure to match
+        # the driver's behavior (this is exactly what made tpch_q12 and
+        # a15_cond_aggs driver-red in round 5).
+        kind_drift = [
+            (c, str(s[c].dtype), str(o[c].dtype)) for c in s.columns
+            if {s[c].dtype.kind, o[c].dtype.kind} == {"i", "f"}]
+        if kind_drift:
+            n_fail += 1
+            print(f"{name:28s} DTYPE-DRIFT {kind_drift}")
+            continue
         bad = []
         for c in s.columns:
             sv, ov = s[c], o[c]
