@@ -4,13 +4,16 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** The rest of the TPC-H-expressible suite over the driver's star schema
-  * (TESTDATA.md tables). There is no partsupp table, so Q2/Q9/Q16/Q21 are
-  * re-expressed through the lineitem part-supplier bridge (each entry notes
-  * its adaptation) and only Q11/Q20 — pure partsupp inventory queries with
-  * no bridgeable fact — are out of reach. Predicates on columns the
-  * synthetic schema lacks (l_commitdate, l_shipmode, p_container, c_phone)
-  * are adapted to equivalent shapes on the columns that exist.
+/** The rest of the TPC-H suite — all 22 query shapes — over the driver's
+  * star schema (TESTDATA.md tables). There is no partsupp table, so
+  * Q2/Q9/Q16/Q21 are re-expressed through the lineitem part-supplier bridge
+  * (each entry notes its adaptation); Q11 and Q20 — partsupp inventory
+  * queries — keep their defining shapes (group-agg vs a scalar-subquery
+  * global threshold; semi-join driven by a correlated half-sum) with
+  * lineitem revenue/quantity standing in for the missing
+  * availqty/supplycost. Predicates on columns the synthetic schema lacks
+  * (l_commitdate, l_shipmode, p_container, c_phone) are adapted to
+  * equivalent shapes on the columns that exist.
   *
   * Conventions match [[Olap]]: money/rate sums go through DECIMAL so the
   * result is independent of partial-aggregation order, derived ratios divide
@@ -322,6 +325,91 @@ object TpchMore {
           col("p_size"))
     }),
 
+    // ---- Q11 shape: important stock above a global scalar threshold.
+    // Adapted: no partsupp, so a part's "stock value" is the revenue booked
+    // by the target nations' suppliers (lineitem bridges part-supplier).
+    // The defining shape survives: per-part aggregate HAVING > scalar
+    // subquery (a global aggregate x constant), with the scalar computed
+    // from the SAME per-part aggregate (one fact scan) and broadcast as a
+    // one-row join. The threshold is 1.5x the mean part value — scale-free,
+    // where the original's 0.0001/SF fraction would pin a row count to one
+    // scale factor. The mean goes through a DECIMAL re-cast so both engines
+    // derive bit-identical doubles regardless of partial-agg order. ----
+    "tpch_q11" -> ((s, d) => {
+      val natSupp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .where(col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))),
+          col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .select("s_suppkey")
+      val byPart = Tables.lineitem(s, d)
+        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"),
+          "left_semi")
+        .groupBy("l_partkey")
+        .agg(dsum4(rev).as("value"))
+      val thresh = byPart.agg(
+        (sum(col("value").cast("decimal(22,4)")).cast("double")
+          / count(lit(1)) * lit(1.5)).as("cut"))
+      // No final rounding: value is a DECIMAL(22,4) sum cast to double, so
+      // both engines hold the identical bits; round(_, 2) would reintroduce
+      // the half-cent HALF_UP-vs-binary discrepancy on x.475 values.
+      byPart.crossJoin(broadcast(thresh))
+        .where(col("value") > col("cut"))
+        .select(col("l_partkey"), col("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
+
+    // ---- Q15 shape: top supplier(s) by quarterly revenue. The revenue
+    // "view" is one partial-agg'd groupBy over the date-filtered fact; the
+    // MAX scalar subquery broadcasts one row back against the same
+    // aggregate (fact scanned once); equality on the decimal-exact revenue
+    // keeps tied suppliers, like the original's view self-reference. ----
+    "tpch_q15" -> ((s, d) => {
+      val revenue = Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(dsum4(rev).as("total_revenue"))
+      val mx = revenue.agg(max(col("total_revenue")).as("mx"))
+      revenue.crossJoin(broadcast(mx))
+        .where(col("total_revenue") === col("mx"))
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // ---- Q20 shape: suppliers with excess recent shipments. Adapted: no
+    // partsupp/availqty, so the correlated half-sum threshold becomes
+    // "1997 shipments of a red part exceed half that (supplier, part)'s
+    // all-time shipments". The original's correlated scalar subquery folds
+    // into ONE conditional aggregate per (suppkey, partkey) — the fact
+    // table is scanned once, only aggregated rows reach the threshold
+    // filter, and the qualifying suppkeys drive a semi-join against the
+    // supplier dimension. l_quantity is integer-valued, so the half-sum
+    // compare is exact under any partial-aggregation order. ----
+    "tpch_q20" -> ((s, d) => {
+      val redParts = Tables.part(s, d).where(col("p_name").like("%red%"))
+        .select("p_partkey")
+      val excess = Tables.lineitem(s, d)
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"),
+          "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+          sum(when(year(col("l_shipdate")) === 1997, col("l_quantity"))
+            .otherwise(0.0)).as("q97"),
+          sum(col("l_quantity")).as("qa"))
+        .where(col("q97") > lit(0.5) * col("qa"))
+        .select("l_suppkey").distinct()
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).where(col("n_name").isin(
+          "NATION_1", "NATION_2", "NATION_3", "NATION_4", "NATION_5"))),
+          col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .join(broadcast(excess), col("s_suppkey") === col("l_suppkey"),
+          "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    }),
+
     // ---- Q21 shape: the sole late shipper on multi-supplier orders.
     // Adapted: "late" = shipped >60 days after the order date. The classic
     // double EXISTS / NOT EXISTS is restated as per-order supplier
@@ -511,10 +599,10 @@ object TpchMore {
       """SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'fast'
         |            WHEN date_diff('day', o_orderdate, l_shipdate) <= 60 THEN 'medium'
         |            ELSE 'slow' END AS bucket,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |      THEN 1 ELSE 0 END) AS high_line_count,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |      THEN 0 ELSE 1 END) AS low_line_count
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "tpch_q16" ->
@@ -528,6 +616,51 @@ object TpchMore {
         |              WHERE s_suppkey = l_suppkey AND s_acctbal >= 0)
         |GROUP BY p_brand, p_type, p_size
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "tpch_q11" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4)))
+        |      AS DOUBLE) AS value
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_nationkey IN (
+        |      SELECT n_nationkey FROM nation
+        |      WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')))
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey, value FROM v
+        |WHERE value > (SELECT CAST(sum(CAST(value AS DECIMAL(22,4))) AS DOUBLE)
+        |                 / count(*) * 1.5 FROM v)
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    "tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4)))
+        |      AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "tpch_q20" ->
+      """WITH pq AS (
+        |  SELECT l_suppkey,
+        |    sum(CASE WHEN year(l_shipdate) = 1997 THEN l_quantity ELSE 0 END)
+        |      AS q97,
+        |    sum(l_quantity) AS qa
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_name LIKE '%red%')
+        |  GROUP BY l_suppkey, l_partkey)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM pq WHERE q97 > 0.5 * qa)
+        |  AND s_nationkey IN (
+        |    SELECT n_nationkey FROM nation
+        |    WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3',
+        |                     'NATION_4', 'NATION_5'))
+        |ORDER BY s_suppkey""".stripMargin,
     "tpch_q21" ->
       """WITH li AS (
         |  SELECT l_orderkey, l_suppkey,

@@ -18,8 +18,12 @@ class PlanQualitySpec extends SparkSpec {
     "ann_pq_topk", "ann_pq_recall_gate",
     "ann_lsh_recall_gate", "ann_ivf_recall_gate", "dedup_simhash_exact_gate",
     // single-row corpus-count broadcasts (idf denominator; CMS N bound;
-    // Q22's scalar average-balance threshold)
-    "text_tfidf_topk", "x5_countmin_gate", "tpch_q22",
+    // Q22's scalar average-balance threshold; Q11's scalar global-value
+    // threshold; Q15's scalar max-revenue subquery)
+    "text_tfidf_topk", "x5_countmin_gate", "tpch_q22", "tpch_q11", "tpch_q15",
+    // composed IVF+PQ: candidate scoring is an equi-join on cell id, but
+    // the recall gate re-runs the brute-force exact baseline by design
+    "ann_ivfpq_topk", "ann_ivfpq_recall_gate",
     // X7 joins two single-row aggregates (exact count x unioned sketch);
     // the unigram scorer broadcasts its single-row corpus total
     "x7_hll_union_gate", "text_unigram_logprob")
