@@ -55,7 +55,9 @@ object Bench {
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val families: Seq[(String, String => Boolean)] = Seq(
       "wdi_stats_total" -> (n => n.startsWith("wdi_") && n != "wdi_front_half"),
-      "relational_micro_total" -> (n => n.matches("^[a-z][0-9]_.*")),
+      // {1,2} so two-digit micro names (f10_try_fns & future f11/w10
+      // entries) fold like their single-digit siblings
+      "relational_micro_total" -> (n => n.matches("^[a-z][0-9]{1,2}_.*")),
       "mm_total" -> (_.startsWith("mm_")),
       "text_total" -> (_.startsWith("text_")),
       "dedup_total" -> (_.startsWith("dedup_")),
@@ -64,23 +66,34 @@ object Bench {
       "events_total" -> (_.startsWith("events_")),
       "stream_total" -> (_.startsWith("stream_")),
     )
-    def render(entries: Seq[(String, Double)]): String = {
+    // fold_n records how many queries each fold absorbed, as a separate
+    // top-level map so cross-round total comparisons survive the folding
+    // while the "queries" values stay plain numbers for the driver's parser
+    def render(entries: Seq[(String, Double)], foldN: Map[String, Int]): String = {
       val qs = entries.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size},"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      val fn =
+        if (foldN.isEmpty) ""
+        else foldN.map { case (k, n) => s"${jstr(k)}:$n" }
+          .mkString(""","fold_n":{""", ",", "}")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size},"queries":$qs$fn,"errors":$errs,"sf":"$sfDir"}"""
     }
     var entries: Seq[(String, Double)] = results
-    var line = render(entries)
+    var foldN = Map.empty[String, Int]
+    var line = render(entries, foldN)
     val famIt = families.iterator
     while (line.length > budget && famIt.hasNext) {
       val (famKey, pred) = famIt.next()
       val (in, out) = entries.partition { case (n, v) => pred(n) && v >= 0 }
       if (in.nonEmpty) {
         entries = out :+ (famKey -> in.map(_._2).sum)
-        line = render(entries)
+        foldN += famKey -> in.size
+        line = render(entries, foldN)
       }
     }
-    if (line.length > budget) // last resort: totals only
-      line = render(Seq.empty)
+    if (line.length > budget) // last resort: totals plus FAILED entries only
+      // (a failed query's negative time must stay visible alongside its
+      // errors entry, so the v<0 convention survives even the last resort)
+      line = render(entries.filter(_._2 < 0), Map.empty)
     line
   }
 

@@ -53,4 +53,36 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.length <= Bench.LineBudget, s"line is ${line.length} chars")
     assert(parseable(line))
   }
+
+  test("two-digit micro names fold with their single-digit siblings") {
+    val results = (1 to 9).map(i => s"f${i}_fn_family_name_long" -> 0.1) ++
+      Seq("f10_try_fns" -> 0.2, "w10_more_windows" -> 0.3) ++
+      (1 to 220).map(i => s"text_op_number_$i" -> 0.1)
+    val line = Bench.foldedLine(results, Map.empty, 30.0, "/tmp/sf", budget = 400)
+    assert(!line.contains("f10_try_fns"),
+      s"two-digit micro name escaped the relational_micro fold: $line")
+    assert(!line.contains("w10_more_windows"))
+    assert(line.contains("relational_micro_total"))
+  }
+
+  test("folds report their absorbed query counts in fold_n") {
+    val results = (1 to 200).map(i => s"text_op_number_$i" -> 0.1) ++
+      (1 to 30).map(i => s"tpch_q$i" -> 0.4)
+    val line = Bench.foldedLine(results, Map.empty, 32.0, "/tmp/sf")
+    assert(line.contains("\"fold_n\":{"), s"fold_n missing: $line")
+    assert(line.contains("\"text_total\":200"),
+      s"text fold count missing from fold_n: $line")
+    assert(parseable(line))
+  }
+
+  test("the totals-only fallback still keeps failed queries' negative times") {
+    val results = (1 to 50).map(i => ("zz_unfoldable_very_long_query_name_" +
+      ("x" * 60) + i) -> 1.0) :+ ("zz_broken_" + ("y" * 80) -> -0.5)
+    val line = Bench.foldedLine(results,
+      Map(("zz_broken_" + ("y" * 80)) -> "boom"), 50.0, "/tmp/sf")
+    assert(line.length <= Bench.LineBudget, s"line is ${line.length} chars")
+    assert(line.contains(":-0.5"),
+      s"failed query's negative time dropped by the fallback: $line")
+    assert(parseable(line))
+  }
 }
