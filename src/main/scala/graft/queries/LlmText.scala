@@ -108,11 +108,14 @@ object LlmText {
     // the same cardinality guard, and emits only qualifying pairs.
     t.groupByKey(_._2)
       .flatMapGroups { (bkt: Long, it: Iterator[(Long, Long, Array[Long])]) =>
-        val ds = it.toArray.sortBy(_._1)
-        if (ds.length > maxBucketDocs)
+        // Cap BEFORE buffering: take(cap+1) bounds what a pathologically hot
+        // bucket can allocate on one executor to cap+1 token arrays — the
+        // guard must fire before the bucket is materialized, not after.
+        val ds = it.take(maxBucketDocs.toInt + 1).toArray.sortBy(_._1)
+        if (ds.length > maxBucketDocs || it.hasNext)
           throw new IllegalStateException(
-            s"dedup_blocked_jaccard: length bucket $bkt holds ${ds.length}" +
-              s" docs (cap $maxBucketDocs); quadratic verification is not" +
+            s"dedup_blocked_jaccard: length bucket $bkt holds more than" +
+              s" $maxBucketDocs docs (cap); quadratic verification is not" +
               " meant for buckets this hot — use dedup_minhash_lsh or" +
               " dedup_simhash for discovery-scale near-dup")
         val out = Seq.newBuilder[(Long, Long, Double)]
@@ -210,9 +213,22 @@ object LlmText {
         explode(expr("sequence(1, size(toks) - 7)")).as("i"))
       .select(col("doc_id"),
         xxhash64((0 to 7).map(j => expr(s"element_at(toks, i + $j)")): _*).as("gh"))
-    val boiler = e.groupBy("gh").agg(countDistinct(col("doc_id")).as("ndocs"))
-      .filter(col("ndocs") >= minDocs).select("gh")
-    val nb = e.join(boiler, "gh").groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+    // ONE gram-explode pass. The former shape referenced `e` on both sides
+    // of a self-join (boiler-gram set, then gram⋈set) and Spark recomputes
+    // a subtree per reference — the whole tokenize+hash explode ran twice
+    // and every raw gram occurrence shuffled into the join. Instead:
+    // partial-agg occurrences to distinct (gh, doc_id) rows (map-side
+    // combine kills within-doc repeats), count docs per gram with a window
+    // over those AGGREGATED rows, filter, and sum per doc. Window partition
+    // size is bounded by the doc-frequency of a gram — the corpus-wide
+    // worst case (a gram present in every doc) would concentrate one
+    // (gh,doc) row per doc; a production 100 TB run caps that with a
+    // sampled stop-gram list, which this operator's contract doesn't need.
+    val g1 = e.groupBy("gh", "doc_id").agg(count(lit(1)).as("c"))
+    val nb = g1
+      .withColumn("ndocs", count(lit(1)).over(Window.partitionBy("gh")))
+      .filter(col("ndocs") >= minDocs)
+      .groupBy("doc_id").agg(sum("c").cast("long").as("n_boiler"))
     t.select(col("doc_id"), col("n_grams"))
       .join(nb, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),

@@ -168,8 +168,13 @@ object Relational {
       val pv = Tables.documents(s, d).groupBy("source")
         .pivot("lang")
         .agg(count(lit(1)))
+      // Guard against a lang absent at some scale factor: the discovered
+      // pivot then has no such column, and selecting it would throw — fall
+      // back to a zero column so the query degrades exactly like the
+      // oracle's FILTER counts.
+      val have = pv.columns.toSet
       pv.select(col("source") +: Seq("de", "en", "es", "fr", "zh").map(l =>
-          coalesce(col(l), lit(0L)).as(s"n_$l")): _*)
+          (if (have(l)) coalesce(col(l), lit(0L)) else lit(0L)).as(s"n_$l")): _*)
         .orderBy("source")
     }),
 
