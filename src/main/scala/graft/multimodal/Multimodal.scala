@@ -227,6 +227,55 @@ object Multimodal {
     }(enc)
   }
 
+  /** Average-hash (pHash family) over a REAL codec round-trip — the image
+    * near-duplicate signature of a multimodal curation pipeline. Per
+    * document: synthesize a 16x16 gray PNG whose 2x2 blocks carry a
+    * hash-mixed level (so signatures spread across media; an odd id
+    * perturbs one pixel of its even sibling's image — a controlled
+    * near-duplicate pair), push it through the real ImageIO encode→decode,
+    * and hash the DECODED luma: 8x8 block means compared against the global
+    * mean give 64 bits, packed as four 16-bit segments (BIGINT-safe for
+    * the oracle and the natural hamming-blocking unit). Every mean is
+    * exact in binary (integer pixel sums over power-of-two divisors), so
+    * the DuckDB oracle predicts each bit from the pixel formula alone and
+    * a codec regression flips hash bits and fails the compare. */
+  def perceptualHash(documents: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("seg0", LongType), StructField("seg1", LongType),
+      StructField("seg2", LongType), StructField("seg3", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    documents.select(col("doc_id").as("media_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getAs[Long]("media_id")
+        val base = id / 2
+        val flip = id % 2
+        def pix(i: Int): Int = {
+          val blk = (i / 16 / 2) * 8 + (i % 16) / 2
+          val v = ((base + 1) * 2654435761L +
+            (blk + 1) * 40503L * (base % 251 + 1)) % 256
+          ((v + (if (flip == 1 && i == 0) 128 else 0)) % 256).toInt
+        }
+        val png = encodeGrayPng(16, 16, pix)
+        val d = decode(png)
+        val bm = new Array[Double](64)
+        var i = 0
+        while (i < 256) {
+          bm((i / 16 / 2) * 8 + (i % 16) / 2) += (d.bytes(i) & 0xff).toDouble / 4.0
+          i += 1
+        }
+        val gmean = bm.sum / 64.0
+        val segs = new Array[Long](4)
+        var b = 0
+        while (b < 64) {
+          if (bm(b) > gmean) segs(b / 16) |= (1L << (b % 16))
+          b += 1
+        }
+        Row(id, segs(0), segs(1), segs(2), segs(3))
+      }
+    }(enc)
+  }
+
   /** REAL pixel resize: decode (JDK codec) → nearest-neighbor resample
     * (own loop: out(x,y) = in(x·sw, y·sh) with integer truncation — exact,
     * engine-independent semantics) → re-encode as gray PNG. Returns None

@@ -54,8 +54,75 @@ object MultimodalQueries {
       Multimodal.resizeMeta(media(s, d), maxW = 320, maxH = 240)
         .select(col("media_id"), col("meta.width").as("width"),
           col("meta.height").as("height"), col("scale"))
-        .orderBy("media_id"))
+        .orderBy("media_id")),
+
+    // REAL-codec perceptual hash per media item (bit-predicted by the oracle)
+    "mm_phash" -> ((s, d) =>
+      Multimodal.perceptualHash(Tables.documents(s, d)).orderBy("media_id")),
+
+    // ---- image near-dup certificate: segment-blocked pHash pairs ----
+    // The scale path for image dedup: pairs come from 16-bit segment
+    // equality (lossless at hamming<=3 by pigeonhole — same blocking as
+    // dedup_simhash), exact hamming verifies candidates only, and the gate
+    // emits (n_media, n_pairs) that the oracle recomputes via all-pairs
+    // over its formula-predicted hashes — so blocking losses, codec drift,
+    // or hash drift all break the compare. The hash table is the index
+    // artifact (one codec pass per media item).
+    "mm_phash_dedup_gate" -> ((s, d) => {
+      val ph = Multimodal.perceptualHash(Tables.documents(s, d))
+      val sig = ph.select(col("media_id"),
+        expr("stack(4, 0, seg0, 1, seg1, 2, seg2, 3, seg3) AS (seg_idx, seg_val)"))
+      val cand = sig.as("x").join(sig.as("y"), Seq("seg_idx", "seg_val"))
+        .filter(col("x.media_id") < col("y.media_id"))
+        .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"))
+        .distinct()
+      val a = ph.select(col("media_id").as("id_a"), col("seg0").as("a0"),
+        col("seg1").as("a1"), col("seg2").as("a2"), col("seg3").as("a3"))
+      val b = ph.select(col("media_id").as("id_b"), col("seg0").as("b0"),
+        col("seg1").as("b1"), col("seg2").as("b2"), col("seg3").as("b3"))
+      val nPairs = cand.join(a, "id_a").join(b, "id_b")
+        .filter(expr("bit_count(a0 ^ b0) + bit_count(a1 ^ b1)" +
+          " + bit_count(a2 ^ b2) + bit_count(a3 ^ b3)") <= 3)
+        .agg(count(lit(1)).cast("long").as("n_pairs"))
+      ph.agg(count(lit(1)).cast("long").as("n_media"))
+        .crossJoin(broadcast(nPairs))
+    })
   )
+
+  // Shared CTE chain predicting the average-hash segments from the pixel
+  // formula perceptualHash encodes (base = id/2 block-hash levels, odd ids
+  // perturb pixel 0). All means are exact in binary, so each bit — and
+  // therefore each 16-bit segment — is bit-predictable without a codec.
+  private val PhashSegsSql: String =
+    """WITH px AS (
+      |  SELECT doc_id AS media_id, doc_id // 2 AS base, doc_id % 2 AS flip,
+      |         unnest(range(0, 256)) AS i
+      |  FROM documents),
+      |pv AS (
+      |  SELECT media_id, i,
+      |    CAST((((base + 1) * 2654435761
+      |           + (((i // 16) // 2) * 8 + ((i % 16) // 2) + 1) * 40503
+      |             * (base % 251 + 1)) % 256
+      |          + CASE WHEN flip = 1 AND i = 0 THEN 128 ELSE 0 END) % 256
+      |      AS DOUBLE) AS v
+      |  FROM px),
+      |bm AS (
+      |  SELECT media_id, ((i // 16) // 2) * 8 + ((i % 16) // 2) AS blk,
+      |         avg(v) AS bmean
+      |  FROM pv GROUP BY media_id, blk),
+      |gm AS (SELECT media_id, avg(v) AS gmean FROM pv GROUP BY media_id),
+      |bits AS (
+      |  SELECT bm.media_id, blk,
+      |         CASE WHEN bmean > gmean THEN 1 ELSE 0 END AS bit
+      |  FROM bm JOIN gm USING (media_id)),
+      |segs AS (
+      |  SELECT media_id,
+      |    CAST(sum(CASE WHEN blk // 16 = 0 THEN bit * (1 << (blk % 16)) ELSE 0 END) AS BIGINT) AS seg0,
+      |    CAST(sum(CASE WHEN blk // 16 = 1 THEN bit * (1 << (blk % 16)) ELSE 0 END) AS BIGINT) AS seg1,
+      |    CAST(sum(CASE WHEN blk // 16 = 2 THEN bit * (1 << (blk % 16)) ELSE 0 END) AS BIGINT) AS seg2,
+      |    CAST(sum(CASE WHEN blk // 16 = 3 THEN bit * (1 << (blk % 16)) ELSE 0 END) AS BIGINT) AS seg3
+      |  FROM bits GROUP BY media_id)
+      |""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "mm_features" -> {
@@ -160,6 +227,15 @@ object MultimodalQueries {
          |  $bins
          |FROM b GROUP BY media_id ORDER BY media_id""".stripMargin
     },
+    "mm_phash" -> (PhashSegsSql + """
+      |SELECT media_id, seg0, seg1, seg2, seg3 FROM segs
+      |ORDER BY media_id""".stripMargin),
+    "mm_phash_dedup_gate" -> (PhashSegsSql + """
+      |SELECT (SELECT count(*) FROM segs) AS n_media,
+      |  (SELECT count(*) FROM segs a JOIN segs b ON a.media_id < b.media_id
+      |   WHERE bit_count(xor(a.seg0, b.seg0)) + bit_count(xor(a.seg1, b.seg1))
+      |       + bit_count(xor(a.seg2, b.seg2)) + bit_count(xor(a.seg3, b.seg3))
+      |     <= 3) AS n_pairs""".stripMargin),
     "mm_resize" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,

@@ -697,6 +697,35 @@ object VectorOps {
         annPqTopK(s, emb, d, m = 16, k = 16, topK = 3), floor = 0.5)
     }),
 
+    // ---- k-NN majority-vote label classification over embeddings ----
+    // The embedding-quality eval of a training pipeline: classify each
+    // query vector by the majority label of its exact top-3 neighbors and
+    // report (true, predicted, correct) per query. Reuses the brute-force
+    // top-k (hash-exact vs the oracle already); the vote is two tiny aggs
+    // over topK rows per query. Ties break (votes DESC, label ASC) on both
+    // sides, so the prediction is deterministic.
+    "sim_knn_classify" -> ((s, d) => {
+      val emb = embOf(s, d)
+      val labels = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("lbl"))
+      val nbrs = bruteForceTopK(emb, 3)
+      val votes = nbrs
+        .join(broadcast(labels.withColumnRenamed("vec_id", "nid")), "nid")
+        .groupBy(col("qid"), col("lbl"))
+        .agg(count(lit(1)).as("votes"))
+      val wv = Window.partitionBy("qid")
+        .orderBy(col("votes").desc, col("lbl"))
+      val pred = votes.withColumn("rn", row_number().over(wv))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("lbl").as("pred_label"))
+      pred
+        .join(broadcast(labels
+          .select(col("vec_id").as("qid"), col("lbl").as("true_label"))), "qid")
+        .select(col("qid"), col("true_label"), col("pred_label"),
+          (col("true_label") === col("pred_label")).as("correct"))
+        .orderBy("qid")
+    }),
+
     // ---- composed IVF+PQ ANN: coarse pruning + residual-code compression ----
     // The production index shape at 100 TB: IVF restricts each query to
     // nProbe/kc of the corpus, PQ residual codes make every scored row a few
@@ -804,6 +833,30 @@ object VectorOps {
         |        row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rnk
         |      FROM p)
         |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    "sim_knn_classify" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS qid, emb AS qe, label AS tl FROM e
+        |      WHERE vec_id % 50 = 0),
+        |p AS (
+        |  SELECT q.qid, q.tl, e.label AS nl,
+        |    list_sum(list_transform(list_zip(q.qe, e.emb), s -> s[1]*s[2])) /
+        |      (sqrt(list_sum(list_transform(q.qe, x -> x*x))) *
+        |       sqrt(list_sum(list_transform(e.emb, x -> x*x)))) AS c,
+        |    e.vec_id AS nid
+        |  FROM q JOIN e ON e.vec_id != q.qid),
+        |top3 AS (
+        |  SELECT qid, tl, nl FROM (
+        |    SELECT qid, tl, nl,
+        |      row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rnk
+        |    FROM p) WHERE rnk <= 3),
+        |v AS (SELECT qid, tl, nl, count(*) AS votes FROM top3
+        |      GROUP BY qid, tl, nl)
+        |SELECT qid, CAST(tl AS BIGINT) AS true_label,
+        |  CAST(nl AS BIGINT) AS pred_label, tl = nl AS correct
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY qid ORDER BY votes DESC, nl) AS rn FROM v)
+        |WHERE rn = 1 ORDER BY qid""".stripMargin,
     "dedup_embed_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -14,7 +14,7 @@ class PlanQualitySpec extends SparkSpec {
   // 8-byte signatures), plus the verification gates that intentionally
   // recompute an exact baseline to certify the approximate scale path
   private val nestedLoopAllowed = Set(
-    "sim_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "sim_cosine_topk", "sim_knn_classify", "ann_lsh_topk", "ann_ivf_topk",
     "ann_pq_topk", "ann_pq_recall_gate",
     "ann_lsh_recall_gate", "ann_ivf_recall_gate", "dedup_simhash_exact_gate",
     // single-row corpus-count broadcasts (idf denominator; CMS N bound;
@@ -25,8 +25,9 @@ class PlanQualitySpec extends SparkSpec {
     // the recall gate re-runs the brute-force exact baseline by design
     "ann_ivfpq_topk", "ann_ivfpq_recall_gate",
     // X7 joins two single-row aggregates (exact count x unioned sketch);
-    // the unigram scorer broadcasts its single-row corpus total
-    "x7_hll_union_gate", "text_unigram_logprob")
+    // the unigram scorer broadcasts its single-row corpus total; the pHash
+    // gate joins its two one-row certificate aggregates
+    "x7_hll_union_gate", "text_unigram_logprob", "mm_phash_dedup_gate")
 
   test("filters are pushed into the parquet scan") {
     val plan = SparkEntry.queries("p2_filter_in")(spark, Sf)
