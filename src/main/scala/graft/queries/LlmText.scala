@@ -285,6 +285,24 @@ object LlmText {
           expr("regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')").cast("long").as("re_tokens"))
         .orderBy("doc_id")),
 
+    // ---- BPE training, merge iteration 0: corpus pair counts ----
+    // The distributed half of tokenizer training: count adjacent character
+    // pairs across every word in the corpus and surface the top merge
+    // candidates (the pair a BPE trainer would fuse first). One generator
+    // pass per document, a partial-agg'd groupBy on the pair (at most a few
+    // thousand distinct pairs, so the final exchange is tiny no matter the
+    // corpus size), deterministic (cnt DESC, pair ASC) top-50.
+    "text_bpe_pairs" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(50)),
+
     // ---- repetition scoring: duplicate word-3-gram fraction ----
     // The standard boilerplate/spam signal (high for templated or looping
     // text): 1 - distinct/total over the document's word 3-grams. Pure
@@ -663,6 +681,13 @@ object LlmText {
         |  len(string_split(text, ' ')) AS ws_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS re_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |p AS (SELECT unnest(list_transform(range(1, length(w)),
+        |                                   i -> substring(w, i, 2))) AS pair
+        |      FROM w WHERE length(w) >= 2)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
     "text_fingerprint" -> {
       // Same polynomial as MinRollingHash: B=257, M=1e9+7, 8-codepoint
       // windows, reduced into [0, M) at every step so values are identical.

@@ -106,12 +106,23 @@ class PlanQualitySpec extends SparkSpec {
 
   test("TPC-H star joins broadcast their dimension sides") {
     Seq("tpch_q3", "tpch_q5", "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q14",
-        "tpch_q17", "tpch_q19").foreach { name =>
-      val plan = SparkEntry.queries(name)(spark, Sf)
-        .queryExecution.executedPlan.toString
-      assert(plan.contains("BroadcastHashJoin"),
-        s"$name: no broadcast dimension join:\n$plan")
-    }
+        "tpch_q17", "tpch_q19", "tpch_q11", "tpch_q15", "tpch_q20")
+      .foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, Sf)
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("BroadcastHashJoin"),
+          s"$name: no broadcast dimension join:\n$plan")
+      }
+  }
+
+  test("Q20's semi-joins never shuffle the supplier dimension") {
+    // the dimension side reads tiny; both semi-joins must be broadcast,
+    // so the only exchange keys on the fact aggregate
+    val plan = SparkEntry.queries("tpch_q20")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"),
+      s"q20 lost its broadcast semi-join shape:\n$plan")
   }
 
   test("partitioned layout prunes the scan to the predicate's partition") {
