@@ -49,6 +49,22 @@ object Warehouse {
             to_json(struct(col("event_type").as("t"))), "$.t").as("t_rt"))
         .orderBy("event_id")),
 
+    // ---- F11: Variant — Spark 4's binary semi-structured path ----
+    // parse_json materializes props as VariantType (parsed once, typed
+    // access after — the scale replacement for repeated get_json_object
+    // string re-parsing) and variant_get extracts typed fields; a
+    // round-trip through to_json proves the value survives intact. The
+    // oracle reads the same fields with DuckDB's native JSON operators.
+    "f11_variant" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("props").isNotNull)
+        .select(col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"),
+          expr("variant_get(parse_json(props), '$.missing', 'long')")
+            .as("k_missing"),
+          expr("to_json(parse_json(props))").as("js_rt"))
+        .orderBy("event_id")),
+
     // ---- F6: bitwise function family ----
     "f6_bitwise_fns" -> ((s, d) =>
       Tables.orders(s, d)
@@ -221,6 +237,14 @@ object Warehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    "f11_variant" ->
+      """SELECT event_id,
+        |  json_extract(props, '$.k')::BIGINT AS k,
+        |  json_extract(props, '$.missing')::BIGINT AS k_missing,
+        |  CAST(json_object('k', json_extract(props, '$.k')::BIGINT) AS VARCHAR)
+        |    AS js_rt
+        |FROM events WHERE props IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
     "f5_json_fns" ->
       """SELECT event_id,
         |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
