@@ -759,6 +759,54 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // ---- driver-green certificate for k2_hp_filter ----
+    // The HP trend is DEFINED by (I + lambda*D'D) tau = x, so applying the
+    // pentadiagonal stencil to the computed tau must reproduce x to solver
+    // precision (the kernel's iterative-refinement step leaves ~1e-12
+    // relative residual). The stencil runs as window lag/leads over tau —
+    // no solve on the oracle side, which only predicts the certificate
+    // (series count, residual_ok=true) from the data. A wrong/unstable
+    // solve breaks the bound and flips the boolean -> driver hash FAIL.
+    "k2_hp_gate" -> ((s, d) => {
+      val lam = 100.0
+      val base = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .withColumn("t", row_number().over(wUser).cast("double"))
+        .select("event_id", "user_id", "t", "value")
+      val cyc = GroupKernels
+        .withKernel(base, Seq("user_id"), "t", Seq("value" -> "cycle_raw"),
+          (_, y) => Kernels.hpCycle(y, lambda = lam, minObs = 12))
+        .filter(!isnan(col("cycle_raw"))) // below-minObs groups emit NaN
+      val wU = Window.partitionBy("user_id").orderBy("t")
+      val g = cyc.withColumn("tau", col("value") - col("cycle_raw"))
+        .withColumn("j", (row_number().over(wU) - 1).cast("long"))
+        .withColumn("m",
+          count(lit(1)).over(Window.partitionBy("user_id")).cast("long"))
+      // same D'D stencil pattern as Kernels.hpTrend
+      val dtdDiag = when(col("j") === 0 || col("j") === col("m") - 1, 1.0)
+        .when(col("j") === 1 || col("j") === col("m") - 2, 5.0)
+        .otherwise(6.0)
+      def sub1At(jj: Column): Column =
+        lit(lam) * when(jj === 0 || jj === col("m") - 2, -2.0).otherwise(-4.0)
+      val r = g
+        .withColumn("tm1", lag(col("tau"), 1).over(wU))
+        .withColumn("tp1", lead(col("tau"), 1).over(wU))
+        .withColumn("tm2", lag(col("tau"), 2).over(wU))
+        .withColumn("tp2", lead(col("tau"), 2).over(wU))
+        .withColumn("ax",
+          (lit(1.0) + lit(lam) * dtdDiag) * col("tau")
+            + coalesce(sub1At(col("j") - 1) * col("tm1"), lit(0.0))
+            + coalesce(sub1At(col("j")) * col("tp1"), lit(0.0))
+            + coalesce(lit(lam) * col("tm2"), lit(0.0))
+            + coalesce(lit(lam) * col("tp2"), lit(0.0)))
+        .withColumn("rel",
+          abs(col("ax") - col("value")) /
+            greatest(abs(col("value")), lit(1.0)))
+      r.agg(
+        countDistinct(col("user_id")).cast("long").as("n_series"),
+        (max(col("rel")) <= 1e-8).as("residual_ok"))
+    }),
+
     // ---- K3: log-difference growth (reference: dlog.R:83-92) ----
     "k3_dlog" -> ((s, d) => {
       val prev = lag(col("value"), 1).over(wUser)
@@ -771,6 +819,12 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // certificate fully determined by the data (series count) plus the
+    // contract that the HP solve satisfies its defining equation
+    "k2_hp_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_series, true AS residual_ok
+        |FROM (SELECT user_id FROM events WHERE value IS NOT NULL
+        |      GROUP BY user_id HAVING count(*) >= 12)""".stripMargin,
     "s1_csv_scan" ->
       """SELECT "Country Code" AS country_code, "Series Code" AS series_code,
         |       "1960" AS y1960, "2019" AS y2019
