@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -413,23 +414,26 @@ object TpchMore {
     // ---- Q21 shape: the sole late shipper on multi-supplier orders.
     // Adapted: "late" = shipped >60 days after the order date. The classic
     // double EXISTS / NOT EXISTS is restated as per-order supplier
-    // statistics (distinct suppliers, distinct late suppliers) — two hash
-    // aggs on orderkey instead of two correlated scans, the shape that
-    // survives scale. ----
+    // statistics over the AGGREGATED (order, supplier) pairs: one
+    // lineitem×orders join, one pair aggregation with map-side combine,
+    // then a window on orderkey (partitions bounded by suppliers-per-order)
+    // — the previous two-branch form referenced the join subtree twice and
+    // Spark executed the fact-fact shuffle join twice. ----
     "tpch_q21" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
+      val pairAgg = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
           col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_orderkey"), col("l_suppkey"),
-          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-            .as("late"))
-      val perOrder = li.groupBy("l_orderkey")
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
-      val lateLines = li.where(col("late"))
-        .select("l_orderkey", "l_suppkey").distinct()
-      lateLines.join(perOrder, "l_orderkey")
-        .where(col("n_supp") >= 2 && col("n_late_supp") === 1)
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          1L).otherwise(0L)).as("late"))
+      val wOrd = Window.partitionBy("l_orderkey")
+      pairAgg
+        .withColumn("n_supp", count(lit(1)).over(wOrd))
+        .withColumn("n_late_supp", sum(col("late")).over(wOrd))
+        .where(col("late") === 1L && col("n_supp") >= 2 &&
+          col("n_late_supp") === 1)
         .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
           col("l_suppkey") === col("s_suppkey"))
         .groupBy("s_name")
