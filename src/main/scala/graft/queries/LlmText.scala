@@ -379,6 +379,26 @@ object LlmText {
         .orderBy("event_id")
     }),
 
+    // ---- attribution: first/last-touch click per purchase (7-day lookback) ----
+    // The marketing-attribution shape: every purchase credits the user's
+    // FIRST click (first-touch) and LAST click (last-touch) within the
+    // preceding 7 days, via min/max over a RANGE frame keyed on the
+    // microsecond timestamp — one shuffle on the high-cardinality user_id,
+    // O(1) running state, no self-join and no per-user explode.
+    "events_attribution" -> ((s, d) => {
+      val dayUs = 86400000000L
+      val w = Window.partitionBy("user_id").orderBy("ts")
+        .rangeBetween(-7L * dayUs, 0L)
+      Tables.events(s, d)
+        .withColumn("c_ts", when(col("event_type") === "click", col("ts")))
+        .withColumn("first_click_ts", min(col("c_ts")).over(w))
+        .withColumn("last_click_ts", max(col("c_ts")).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("first_click_ts"), col("last_click_ts"))
+        .orderBy("event_id")
+    }),
+
     // ---- funnel analysis: click -> purchase conversion within 1 h ----
     // The event-sequence companion to events_asof, looking FORWARD: each
     // click is matched to the user's earliest at-or-after purchase via a
@@ -732,6 +752,23 @@ object LlmText {
         |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM f ORDER BY event_id""".stripMargin,
+    "events_attribution" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us, event_type
+        |  FROM events),
+        |w AS (
+        |  SELECT *,
+        |    min(CASE WHEN event_type = 'click' THEN us END) OVER (
+        |      PARTITION BY user_id ORDER BY us
+        |      RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |      AS first_click_ts,
+        |    max(CASE WHEN event_type = 'click' THEN us END) OVER (
+        |      PARTITION BY user_id ORDER BY us
+        |      RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |      AS last_click_ts
+        |  FROM t)
+        |SELECT event_id, user_id, us AS ts, first_click_ts, last_click_ts
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "events_asof" ->
       """WITH c AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
