@@ -807,6 +807,24 @@ object Relational {
         (max(col("rel")) <= 1e-8).as("residual_ok"))
     }),
 
+    // ---- EWMA: per-series exponential smoothing (kernel + direct oracle) ----
+    // The third mapGroups kernel, and the one with a DIRECT DuckDB oracle
+    // (K1/K2 are golden/gate-checked): the oracle folds the same
+    // y_t = 0.2*x_t + 0.8*y_{t-1} recurrence via list_reduce over prefix
+    // slices, with both weights written as literals on both sides so every
+    // fold step is bit-identical. Rounds at 6 digits like the K family.
+    "ts_ewma" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .withColumn("t", row_number().over(wUser).cast("double"))
+        .select("event_id", "user_id", "t", "value")
+      GroupKernels
+        .withKernel(base, Seq("user_id"), "t", Seq("value" -> "ewma_raw"),
+          (_, y) => Kernels.ewma(y, alpha = 0.2, beta = 0.8))
+        .select(col("event_id"), round(col("ewma_raw"), 6).as("ewma"))
+        .orderBy("event_id")
+    }),
+
     // ---- K3: log-difference growth (reference: dlog.R:83-92) ----
     "k3_dlog" -> ((s, d) => {
       val prev = lag(col("value"), 1).over(wUser)
@@ -825,6 +843,22 @@ object Relational {
       """SELECT CAST(count(*) AS BIGINT) AS n_series, true AS residual_ok
         |FROM (SELECT user_id FROM events WHERE value IS NOT NULL
         |      GROUP BY user_id HAVING count(*) >= 12)""".stripMargin,
+    "ts_ewma" ->
+      """WITH o AS (
+        |  SELECT event_id, user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events WHERE value IS NOT NULL),
+        |l AS (
+        |  SELECT user_id, list(value ORDER BY rn) AS xs,
+        |         list(event_id ORDER BY rn) AS ids
+        |  FROM o GROUP BY user_id)
+        |SELECT unnest(ids) AS event_id,
+        |  unnest(list_transform(range(1, len(xs) + 1),
+        |    i -> round(list_reduce(xs[1:i],
+        |                           (acc, x) -> 0.2 * x + 0.8 * acc), 6)))
+        |    AS ewma
+        |FROM l ORDER BY event_id""".stripMargin,
     "s1_csv_scan" ->
       """SELECT "Country Code" AS country_code, "Series Code" AS series_code,
         |       "1960" AS y1960, "2019" AS y2019

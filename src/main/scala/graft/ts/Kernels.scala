@@ -178,6 +178,24 @@ object Kernels {
     tau
   }
 
+  /** Exponentially weighted moving average: y_0 = x_0, then
+    * y_t = alpha*x_t + beta*y_{t-1} (the caller passes both weights as
+    * LITERALS so an oracle writing the same literals folds bit-identically
+    * — computing beta as 1-alpha would round differently than the literal).
+    * NaN inputs propagate from their first occurrence, like the running
+    * state they poison; callers filter nulls upstream. */
+  def ewma(x: Array[Double], alpha: Double, beta: Double): Array[Double] = {
+    val out = new Array[Double](x.length)
+    var i = 0
+    var acc = 0.0
+    while (i < x.length) {
+      acc = if (i == 0) x(0) else alpha * x(i) + beta * acc
+      out(i) = acc
+      i += 1
+    }
+    out
+  }
+
   @inline private def finite(v: Double): Boolean =
     !java.lang.Double.isNaN(v) && !java.lang.Double.isInfinite(v)
 
