@@ -564,7 +564,20 @@ object VectorOps {
       }
       labels.select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // ---- dedup reporting: cluster-size histogram over resolved components ----
+    // The stage after resolution in a dedup pipeline: how many duplicate
+    // clusters exist at each size (what a curation report shows before
+    // deciding the keep policy). Two tiny aggregations over the resolve
+    // output — rep cardinality, then size histogram; the oracle reruns its
+    // recursive-CTE fixpoint and aggregates the same way.
+    "dedup_cluster_stats" -> ((s, d) =>
+      queries("dedup_resolve")(s, d)
+        .groupBy("cluster_rep").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).cast("long").as("n_clusters"))
+        .orderBy("cluster_size"))
   )
 
   /** MinHash-LSH near-duplicate pairs (see the `dedup_minhash_lsh` entry
@@ -911,6 +924,34 @@ object VectorOps {
         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst)
         |SELECT id AS doc_id, min(lbl) AS cluster_rep
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "dedup_cluster_stats" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+        |         ELSE list_distinct(list_transform(
+        |            range(1, len(string_split(text, ' ')) - 1),
+        |            i -> string_split(text, ' ')[i] || ' ' ||
+        |                 string_split(text, ' ')[i + 1] || ' ' ||
+        |                 string_split(text, ' ')[i + 2]))
+        |    END AS w
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.w, b.w))::DOUBLE / len(list_distinct(a.w || b.w)) >= 0.9),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst),
+        |clusters AS (
+        |  SELECT id, min(lbl) AS rep FROM reach GROUP BY id),
+        |sizes AS (
+        |  SELECT rep, count(*) AS cluster_size FROM clusters GROUP BY rep)
+        |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+        |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     "dedup_minhash_lsh" ->
       """WITH t AS (
         |  SELECT doc_id,
