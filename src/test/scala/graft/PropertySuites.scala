@@ -33,6 +33,21 @@ object KernelProps extends Properties("Kernels") {
     val dl = (1 until n).map(i => math.log(x(i)) - math.log(x(i - 1)))
     dl.forall(v => math.abs(v - g) < 1e-9)
   }
+
+  property("ewma satisfies its recurrence bit-exactly") = Prop.forAll(series) { x =>
+    val y = Kernels.ewma(x, alpha = 0.2, beta = 0.8)
+    y(0) == x(0) &&
+      (1 until x.length).forall(i => y(i) == 0.2 * x(i) + 0.8 * y(i - 1))
+  }
+
+  property("ewma of a constant series is that constant") = Prop.forAll(
+    Gen.choose(-1e3, 1e3), Gen.choose(2, 50)) { (c, n) =>
+    // alpha + beta chosen to sum to exactly 1.0 in binary would be needed
+    // for bit equality; 0.2 + 0.8 rounds to 1.0 exactly, so a constant
+    // input stays within one ulp per step
+    val y = Kernels.ewma(Array.fill(n)(c), alpha = 0.2, beta = 0.8)
+    y.forall(v => math.abs(v - c) <= 1e-12 * math.max(1.0, math.abs(c)) * n)
+  }
 }
 
 object RCsvProps extends Properties("RCsv") {
