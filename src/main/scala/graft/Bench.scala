@@ -52,7 +52,9 @@ object Bench {
       errors: Map[String, String], total: Double, sfDir: String,
       budget: Int = LineBudget): String = {
     def jstr(s: String): String = Json.str(s)
-    val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    def errsJson(es: Map[String, String]): String =
+      es.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    var errs = errsJson(errors)
     val families: Seq[(String, String => Boolean)] = Seq(
       "wdi_stats_total" -> (n => n.startsWith("wdi_") && n != "wdi_front_half"),
       // {1,2} so two-digit micro names (f10_try_fns & future f11/w10
@@ -94,6 +96,21 @@ object Bench {
       // (a failed query's negative time must stay visible alongside its
       // errors entry, so the v<0 convention survives even the last resort)
       line = render(entries.filter(_._2 < 0), Map.empty)
+    if (line.length > budget) {
+      // absolute floor: with many long-named failures even the failed-only
+      // render can blow the budget. Shrink the errors map (shorter messages,
+      // then fewer entries) until an empty-queries render fits — the line
+      // must stay parseable at any failure count; full detail is always in
+      // the bench_full.json sidecar.
+      var kept = errors.toSeq.sortBy(_._1).map { case (k, v) => k -> v.take(60) }
+      errs = errsJson(kept.toMap)
+      line = render(Seq.empty, Map.empty)
+      while (line.length > budget && kept.nonEmpty) {
+        kept = kept.dropRight(1)
+        errs = errsJson(kept.toMap)
+        line = render(Seq.empty, Map.empty)
+      }
+    }
     line
   }
 
@@ -133,7 +150,11 @@ object Bench {
     // temp dirs; IVF trains its codebook from a bounded sample — its "index
     // build" phase), and that one-time setup is not per-execution query
     // cost. The timed loop measures plan execution only.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Local-iteration subset (regex on query name); unset = full registry.
+    val onlyRe = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => onlyRe.forall(_.findFirstIn(n).isDefined) }
+      .map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer[Double]()
       val tBuild = System.nanoTime()
       val df =

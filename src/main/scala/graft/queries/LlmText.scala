@@ -111,8 +111,10 @@ object LlmText {
         // Cap BEFORE buffering: take(cap+1) bounds what a pathologically hot
         // bucket can allocate on one executor to cap+1 token arrays — the
         // guard must fire before the bucket is materialized, not after.
+        // (ds.length == cap+1 alone proves overflow; touching `it` again
+        // after take() would be undefined per the Iterator contract.)
         val ds = it.take(maxBucketDocs.toInt + 1).toArray.sortBy(_._1)
-        if (ds.length > maxBucketDocs || it.hasNext)
+        if (ds.length > maxBucketDocs)
           throw new IllegalStateException(
             s"dedup_blocked_jaccard: length bucket $bkt holds more than" +
               s" $maxBucketDocs docs (cap); quadratic verification is not" +

@@ -802,9 +802,11 @@ object Relational {
         .withColumn("rel",
           abs(col("ax") - col("value")) /
             greatest(abs(col("value")), lit(1.0)))
+      // coalesce: with zero qualifying series (sparse SF), max(rel) is NULL
+      // but the oracle still emits residual_ok=true with n_series=0.
       r.agg(
         countDistinct(col("user_id")).cast("long").as("n_series"),
-        (max(col("rel")) <= 1e-8).as("residual_ok"))
+        coalesce(max(col("rel")) <= 1e-8, lit(true)).as("residual_ok"))
     }),
 
     // ---- EWMA: per-series exponential smoothing (kernel + direct oracle) ----

@@ -42,11 +42,83 @@ object VectorOps {
     * at scale that re-encodes the whole corpus per consumer. Persisted once
     * per (session, dataset, params) instead; the per-query SCORING scans stay
     * un-cached so bench times keep measuring real query execution. Keyed by
-    * session so a stopped test session can never leak into a fresh one. */
+    * session so a stopped test session can never leak into a fresh one, and
+    * EVICTED on session end (unpersist + drop) so a long-lived multi-session
+    * JVM — a full sbt test run, a multi-SF Verify sweep — doesn't accumulate
+    * persisted inverted files (which retain full raw vectors) forever. */
   private val artifactCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val evictionHooked =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, Boolean]
+  private def hookEviction(s: SparkSession): Unit =
+    evictionHooked.getOrElseUpdate(s, {
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          artifactCache.keySet.filter(_._1 eq s).foreach { k =>
+            artifactCache.remove(k).foreach { df =>
+              try df.unpersist(blocking = false)
+              catch { case _: Throwable => () } // context already torn down
+            }
+          }
+          evictionHooked.remove(s)
+        }
+      })
+      true
+    })
+
+  /** Durable layer under the in-memory share: at 100 TB an ANN index is a
+    * TABLE, not a session cache — codes / inverted file / baseline are
+    * written to parquet once per (dataset, params, format-version) and any
+    * later session (or a second job) reads them back instead of re-encoding
+    * the corpus. Rebuild-on-missing; the format version in the path
+    * invalidates old layouts when the index schema changes. Disabled via
+    * SPARK_GRAFT_NO_INDEX_STORE=1 (tests that mutate build logic). */
+  private val IndexFormatVersion = 1
+
+  /** Fingerprint of the source embeddings parquet (names + sizes + mtimes):
+    * folded into every index key so a regenerated dataset at the SAME path
+    * (the driver rewrites testdata per round) can never hit a stale durable
+    * index. Cheap — a directory listing, cached per path per process. */
+  private val fpCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def dataFp(d: String): String = fpCache.getOrElseUpdate(d, {
+    val root = new java.io.File(s"$d/embeddings.parquet")
+    // testdata ships single-file parquet; a real dataset is a directory
+    val files =
+      if (root.isFile) Array(root)
+      else Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(_.isFile).sortBy(_.getName)
+    val sig = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|")
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(sig).toLong & 0xffffffffL)
+  })
+  private def indexStoreDir: Option[String] =
+    if (sys.env.get("SPARK_GRAFT_NO_INDEX_STORE").contains("1")) None
+    else Some(sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
+      "spark-warehouse/graft_ann_index"))
+  private val storeLock = new Object
+  private def durable(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    indexStoreDir match {
+      case None => build
+      case Some(root) =>
+        val safe = key.replaceAll("[^A-Za-z0-9._-]", "_")
+        // short digest disambiguates keys that sanitize to the same name
+        val digest = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(key).toLong & 0xffffffffL)
+        val path = s"$root/v$IndexFormatVersion/${safe}_$digest"
+        storeLock.synchronized { // build-if-missing races only at index build
+          if (!new java.io.File(s"$path/_SUCCESS").exists())
+            build.write.mode("overwrite").parquet(path)
+        }
+        s.read.parquet(path)
+    }
+
   private def shared(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    artifactCache.getOrElseUpdate((s, key), build.persist())
+    artifactCache.getOrElseUpdate((s, key), {
+      hookEviction(s)
+      durable(s, key)(build).persist()
+    })
 
   /** Distinct word 3-gram shingles; whole text when shorter than 3 tokens. */
   private[queries] def shingles3(text: String): Array[String] = {
@@ -160,7 +232,7 @@ object VectorOps {
       d: String): DataFrame = {
     // The signature table is the LSH index artifact: computed once per
     // dataset, shared between topk and its recall gate.
-    val sigs = shared(s, s"lsh_sigs:$d")(
+    val sigs = shared(s, s"lsh_sigs:$d:${dataFp(d)}")(
       lshSignatures(s, emb, kBits = 5, nTables = 24, seed = 42L))
     // Same query set as the brute-force baseline; LSH prunes the corpus
     // side to bucket collisions instead of scanning all n per query.
@@ -242,7 +314,7 @@ object VectorOps {
     val assignU = udf((e: Seq[Double]) => nearestCells(centers, e.toArray, 1).head)
     // The inverted file (cell assignment per vector) is the index artifact:
     // encoded once per (dataset, k), shared between topk and its recall gate.
-    val inverted = shared(s, s"ivf_inverted:$d:$k")(
+    val inverted = shared(s, s"ivf_inverted:$d:${dataFp(d)}:$k")(
       withNorm(emb).withColumn("cell", assignU(col("e")))
         .select(col("vec_id"), col("cell"), col("e"), col("nrm")))
     val probe = udf((qe: Seq[Double]) => nearestCells(centers, qe.toArray, nProbe))
@@ -306,7 +378,7 @@ object VectorOps {
     val en = withNorm(emb)
     // The PQ code table is the index artifact: the corpus is encoded once
     // per (dataset, m, k) and shared between topk and its recall gate.
-    val codes = shared(s, s"pq_codes:$d:$m:$k")(
+    val codes = shared(s, s"pq_codes:$d:${dataFp(d)}:$m:$k")(
       en.withColumn("codes", assignU(col("e")))
         .select(col("vec_id").as("nid"), col("codes"), col("nrm")))
     val q = broadcast(en.filter(col("vec_id") % 50 === 0)
@@ -399,7 +471,7 @@ object VectorOps {
     val en = withNorm(emb)
     // cell + residual codes per vector: the IVFADC index artifact, encoded
     // once per (dataset, params) and shared between topk and its recall gate
-    val codes = shared(s, s"ivfpq_codes:$d:$kc:$m:$k")(
+    val codes = shared(s, s"ivfpq_codes:$d:${dataFp(d)}:$kc:$m:$k")(
       en.withColumn("enc", encodeU(col("e")))
         .select(col("vec_id").as("nid"), col("enc._1").as("cell"),
           col("enc._2").as("codes"), col("nrm")))
@@ -510,7 +582,7 @@ object VectorOps {
     // data alone, so the hash compare certifies recall >= 0.6 every round.
     "ann_lsh_recall_gate" -> ((s, d) => {
       val emb = embOf(s, d)
-      recallGate(shared(s, s"bf_top1:$d")(bruteForceTopK(emb, 1)),
+      recallGate(shared(s, s"bf_top1:$d:${dataFp(d)}")(bruteForceTopK(emb, 1)),
         annLshTopK(s, emb, d), floor = 0.6)
     }),
 
@@ -692,7 +764,7 @@ object VectorOps {
     // ---- driver-green recall gate for ann_ivf_topk (floor 0.5) ----
     "ann_ivf_recall_gate" -> ((s, d) => {
       val emb = embOf(s, d)
-      recallGate(shared(s, s"bf_top1:$d")(bruteForceTopK(emb, 1)),
+      recallGate(shared(s, s"bf_top1:$d:${dataFp(d)}")(bruteForceTopK(emb, 1)),
         annIvfTopK(s, emb, d, k = 16, nProbe = 4, topK = 3), floor = 0.5)
     }),
 
@@ -706,7 +778,7 @@ object VectorOps {
 
     "ann_pq_recall_gate" -> ((s, d) => {
       val emb = embOf(s, d)
-      recallGate(shared(s, s"bf_top1:$d")(bruteForceTopK(emb, 1)),
+      recallGate(shared(s, s"bf_top1:$d:${dataFp(d)}")(bruteForceTopK(emb, 1)),
         annPqTopK(s, emb, d, m = 16, k = 16, topK = 3), floor = 0.5)
     }),
 
@@ -751,7 +823,7 @@ object VectorOps {
 
     "ann_ivfpq_recall_gate" -> ((s, d) => {
       val emb = embOf(s, d)
-      recallGate(shared(s, s"bf_top1:$d")(bruteForceTopK(emb, 1)),
+      recallGate(shared(s, s"bf_top1:$d:${dataFp(d)}")(bruteForceTopK(emb, 1)),
         annIvfPqTopK(s, emb, d,
           kc = 16, nProbe = 4, m = 16, k = 16, topK = 3), floor = 0.5)
     }),

@@ -109,15 +109,19 @@ object Warehouse {
 
     // ---- A15: conditional / boolean aggregate family ----
     // count_if / bool_and / bool_or + a filtered sum routed through
-    // DECIMAL so partial-aggregation order can't flip a bit.
+    // DECIMAL so partial-aggregation order can't flip a bit. The decimal
+    // sum is emitted cast-to-double UNROUNDED (like tpch_q11): decimal →
+    // double is bit-identical on both engines, while round() on the double
+    // differs (Spark HALF_UP on decimal vs binary multiply-round) at
+    // tie-adjacent values.
     "a15_cond_aggs" -> ((s, d) =>
       Tables.events(s, d).groupBy("event_type")
         .agg(
           count_if(col("value") > 50.0).as("n_hi"),
           bool_and(col("value") >= 0.0).as("all_true"),
           bool_or(col("value") > 99.9).as("any_top"),
-          round(sum(when(col("value") > 50.0, col("value"))
-            .cast("decimal(18,6)")).cast("double"), 4).as("sum_hi"))
+          sum(when(col("value") > 50.0, col("value"))
+            .cast("decimal(18,6)")).cast("double").as("sum_hi"))
         .orderBy("event_type")),
 
     // ---- U5: SCD-2 validity intervals from a change stream ----
@@ -280,8 +284,8 @@ object Warehouse {
         |  CAST(count_if(value > 50.0) AS BIGINT) AS n_hi,
         |  bool_and(value >= 0.0) AS all_true,
         |  bool_or(value > 99.9) AS any_top,
-        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE value > 50.0)
-        |        AS DOUBLE), 4) AS sum_hi
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE value > 50.0)
+        |       AS DOUBLE) AS sum_hi
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "u5_scd2" ->
       """WITH o AS (
