@@ -68,6 +68,44 @@ object Verify {
     Files.writeString(
       oraclePath,
       merged.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // Revision stamp: a sidecar fingerprint of the FULL current registry's
+    // oracle map. A full run stamps clean; a filtered run whose outDir was
+    // last written by a DIFFERENT registry revision stamps "mixed" and warns
+    // loudly — the merged map pairs this run's fresh subset with entries
+    // (and parquet) from an older revision, so only a full run may be
+    // trusted as a round result. The driver ignores the sidecar; it exists
+    // so a stale-merge can never silently masquerade as a clean full run.
+    val rev = {
+      val sig = SparkEntry.oracleSql.toSeq.sorted
+        .map { case (k, v) => s"$k=$v" }.mkString("|")
+      java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(sig).toLong & 0xffffffffL)
+    }
+    val revPath = Paths.get(s"$outDir/oracle_rev.json")
+    val priorRev: Option[String] =
+      if (Files.exists(revPath))
+        scala.util.Try {
+          org.json4s.jackson.JsonMethods.parse(Files.readString(revPath)) match {
+            case org.json4s.JObject(fields) =>
+              fields.collectFirst { case ("revision", org.json4s.JString(v)) => v }
+            case _ => None
+          }
+        }.toOption.flatten
+      else None
+    val stamp =
+      if (only.isEmpty) rev // full run: authoritative
+      else priorRev match {
+        case Some(p) if p == rev => rev // same registry: merge is consistent
+        case _ =>
+          System.err.println(
+            s"[verify] WARNING: filtered run merged into an outDir written by" +
+              s" registry revision ${priorRev.getOrElse("<unknown>")} !=" +
+              s" current $rev — non-filtered entries are STALE; run a full" +
+              " Verify before trusting this outDir")
+          s"mixed:${priorRev.getOrElse("unknown")}->$rev"
+      }
+    Files.writeString(revPath,
+      s"""{"revision": ${q(stamp)}, "filtered": ${only.nonEmpty}}""")
     spark.stop()
   }
 }

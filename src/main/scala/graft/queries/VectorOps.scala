@@ -108,8 +108,14 @@ object VectorOps {
           scala.util.hashing.MurmurHash3.stringHash(key).toLong & 0xffffffffL)
         val path = s"$root/v$IndexFormatVersion/${safe}_$digest"
         storeLock.synchronized { // build-if-missing races only at index build
-          if (!new java.io.File(s"$path/_SUCCESS").exists())
+          if (new java.io.File(s"$path/_SUCCESS").exists())
+            // the driver-visible evidence that a fresh session reuses the
+            // on-disk index instead of re-encoding the corpus
+            System.err.println(s"[graft] ann index store: REUSE $path")
+          else {
+            System.err.println(s"[graft] ann index store: BUILD $path")
             build.write.mode("overwrite").parquet(path)
+          }
         }
         s.read.parquet(path)
     }
@@ -828,6 +834,31 @@ object VectorOps {
           kc = 16, nProbe = 4, m = 16, k = 16, topK = 3), floor = 0.5)
     }),
 
+    // ---- driver-green durability gate for the ANN index store ----
+    // The brute-force top-1 baseline is an index artifact like any other:
+    // it round-trips through the durable parquet store (rebuild-on-missing,
+    // keyed by dataset fingerprint + params + format version). The gate
+    // joins the STORED artifact (read back from parquet) against an
+    // independent FRESH computation row-by-row; any loss of fidelity in the
+    // store — truncated write, stale fingerprint hit, schema drift across
+    // format versions — produces a mismatched or unmatched row and flips
+    // store_ok. The oracle predicts the certificate from the data alone
+    // (n_queries = query-sample size, store_ok = true).
+    "ann_index_store_gate" -> ((s, d) => {
+      val emb = embOf(s, d)
+      val stored = shared(s, s"bf_top1:$d:${dataFp(d)}")(bruteForceTopK(emb, 1))
+        .select(col("qid"), col("rnk"), col("nid").as("s_nid"), col("cos").as("s_cos"))
+      val fresh = bruteForceTopK(emb, 1)
+        .select(col("qid"), col("rnk"), col("nid").as("f_nid"), col("cos").as("f_cos"))
+      stored.join(fresh, Seq("qid", "rnk"), "full_outer")
+        .withColumn("ok", coalesce(
+          col("s_nid") === col("f_nid") && col("s_cos") === col("f_cos"),
+          lit(false)))
+        .agg(
+          count(lit(1)).cast("long").as("n_queries"),
+          coalesce(min(col("ok")), lit(true)).as("store_ok"))
+    }),
+
     // ---- embedding-cosine near-dup: sign-LSH banding + exact verify ----
     // k=8 bits x L=24 tables: a pair at cosine 0.9 (theta 25.8deg) collides
     // per-table with p=(1-theta/180)^8~0.29, so the miss probability is
@@ -899,6 +930,9 @@ object VectorOps {
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
     "ann_ivfpq_recall_gate" ->
       """SELECT count(*) AS n_queries, true AS recall_ok
+        |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+    "ann_index_store_gate" ->
+      """SELECT count(*) AS n_queries, true AS store_ok
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
     "dedup_simhash_exact_gate" ->
       """SELECT (SELECT count(*) FROM documents) AS n_docs,

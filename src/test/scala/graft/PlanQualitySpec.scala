@@ -27,7 +27,10 @@ class PlanQualitySpec extends SparkSpec {
     // X7 joins two single-row aggregates (exact count x unioned sketch);
     // the unigram scorer broadcasts its single-row corpus total; the pHash
     // gate joins its two one-row certificate aggregates
-    "x7_hll_union_gate", "text_unigram_logprob", "mm_phash_dedup_gate")
+    "x7_hll_union_gate", "text_unigram_logprob", "mm_phash_dedup_gate",
+    // the store-fidelity gate re-runs the brute-force baseline (the same
+    // tiny-broadcast inequality join) against its durable parquet copy
+    "ann_index_store_gate")
 
   test("filters are pushed into the parquet scan") {
     val plan = SparkEntry.queries("p2_filter_in")(spark, Sf)
