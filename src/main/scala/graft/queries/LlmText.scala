@@ -518,6 +518,15 @@ object LlmText {
     "stream_static_join" -> ((s, d) =>
       graft.streaming.EventStreams.drainStreamStaticJoin(s, d)),
 
+    // ---- streaming drain: stateful per-key EWMA, driver-checked ----
+    // The sequential recurrence as an O(1)-state incremental operator
+    // (flatMapGroupsWithState), drained over a file stream split at the
+    // event-time midpoint so the state must carry across micro-batches.
+    // Must hash-match the SAME oracle as the batch ts_ewma kernel —
+    // incremental == batch, bit-for-bit. See EventStreams.drainEwma.
+    "stream_ewma" -> ((s, d) =>
+      graft.streaming.EventStreams.drainEwma(s, d)),
+
     // ---- cohort retention: users active k days after first seen ----
     // The product-analytics staple. first_seen is a per-user min (hash agg
     // on the high-cardinality key), joined back on user_id (the same
@@ -579,6 +588,53 @@ object LlmText {
         .select(col("doc_id"), col("lang"), col("n_chars"),
           col("rk").cast("long").as("rk"))
         .orderBy("lang", "rk")
+    }),
+
+    // ---- domain-mixture temperature sampling: the Pile/ROOTS recipe ----
+    // Per-source sampling rates from temperature-flattened mixture weights
+    // w_s ∝ n_s^0.7 (T<1 upweights small domains relative to proportional
+    // sampling), targeting half the corpus: rate_s = min(1, 0.5·N·w_s/n_s).
+    // Selection is a DETERMINISTIC per-doc uniform draw — the multiplicative
+    // hash ((doc_id % 2^24)·2654435761) % 2^24 is a bijection on the low 24
+    // bits (odd multiplier), so sequential ids spread exactly uniformly and
+    // the same doc is always kept or dropped regardless of partitioning,
+    // cluster size, or run order. All integer arithmetic is exact on both
+    // engines; the only doubles are the per-source rates (few, ulp-safe).
+    // Scale shape: one tiny per-source agg → one-row weight total broadcast
+    // → broadcast rate join onto the corpus scan. One pass over the data.
+    "sample_mixture" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy("source")
+        .agg(count(lit(1)).cast("double").as("n_s"))
+      val totals = counts.agg(
+        sum(pow(col("n_s"), 0.7)).as("w_sum"), sum(col("n_s")).as("n_tot"))
+      val rates = counts.crossJoin(broadcast(totals))
+        .withColumn("rate", least(lit(1.0),
+          lit(0.5) * col("n_tot") * pow(col("n_s"), 0.7) / col("w_sum") / col("n_s")))
+        .select("source", "rate")
+      val u = (col("doc_id") % 16777216L) * 2654435761L % 16777216L /
+        lit(16777216.0)
+      docs.join(broadcast(rates), "source")
+        .filter(u < col("rate"))
+        .select("doc_id", "source", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // ---- deterministic global training-order shuffle ----
+    // Training pipelines need the corpus in a reproducible pseudo-random
+    // order (same epoch order on every rerun, resumable mid-epoch). The
+    // shuffle key is the same bijective multiplicative hash as
+    // sample_mixture — exact integer arithmetic, identical on both engines —
+    // and the global position comes from Ranking.globalRank (range exchange
+    // + per-partition offsets), NOT a single-partition row_number window:
+    // at 100 TB the assignment is a distributed sort, never one reducer.
+    "corpus_shuffle" -> ((s, d) => {
+      val h = (col("doc_id") % 16777216L) * 2654435761L % 16777216L
+      Ranking.globalRank(
+          Tables.documents(s, d).select(col("doc_id"), h.as("h")),
+          Seq(col("h"), col("doc_id")), partitions = 32, rankCol = "pos")
+        .select("doc_id", "pos")
+        .orderBy("doc_id")
     }),
 
     // ---- sequence packing: greedy context-window assignment ----
@@ -803,6 +859,23 @@ object LlmText {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // identical to the batch ts_ewma oracle: incremental == batch
+    "stream_ewma" ->
+      """WITH o AS (
+        |  SELECT event_id, user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events WHERE value IS NOT NULL),
+        |l AS (
+        |  SELECT user_id, list(value ORDER BY rn) AS xs,
+        |         list(event_id ORDER BY rn) AS ids
+        |  FROM o GROUP BY user_id)
+        |SELECT unnest(ids) AS event_id,
+        |  unnest(list_transform(range(1, len(xs) + 1),
+        |    i -> round(list_reduce(xs[1:i],
+        |                           (acc, x) -> 0.2 * x + 0.8 * acc), 6)))
+        |    AS ewma
+        |FROM l ORDER BY event_id""".stripMargin,
     "stream_interval_join" ->
       """SELECT c.user_id, c.event_id AS left_id, epoch_us(c.ts) AS left_us,
         |       p.event_id AS right_id, epoch_us(p.ts) AS right_us
@@ -908,6 +981,28 @@ object LlmText {
         |      ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
+    "sample_mixture" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS DOUBLE) AS n_s
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT sum(pow(n_s, 0.7)) AS w_sum, sum(n_s) AS n_tot FROM c),
+        |r AS (
+        |  SELECT source,
+        |    least(1.0, 0.5 * n_tot * pow(n_s, 0.7) / w_sum / n_s) AS rate
+        |  FROM c, t)
+        |SELECT d.doc_id, d.source, d.lang, d.n_chars
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE ((d.doc_id % 16777216) * 2654435761) % 16777216 / 16777216.0
+        |      < r.rate
+        |ORDER BY d.doc_id""".stripMargin,
+    "corpus_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 16777216) * 2654435761) % 16777216 AS hh
+        |  FROM documents)
+        |SELECT doc_id,
+        |  row_number() OVER (ORDER BY hh, doc_id) AS pos
+        |FROM h ORDER BY doc_id""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

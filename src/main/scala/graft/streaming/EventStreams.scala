@@ -319,6 +319,94 @@ object EventStreams {
     s.table(name).orderBy("c_mktsegment", "event_type")
   }
 
+  /** Per-key streaming EWMA — the recurrence e_i = α·x_i + β·e_{i-1}
+    * (seeded e_0 = x_0) as an INCREMENTAL stateful operator: state per key
+    * is one double (the last smoothed value), so an unbounded series
+    * streams in O(1) memory — the streaming answer to the batch kernel's
+    * buffer-the-whole-group shape (GroupKernels caps groups at 2M rows; this
+    * form has no cap to need). Events are folded in (ts, event_id) order
+    * within each micro-batch and the state carries the fold across batches,
+    * so the output equals the batch kernel whenever ingestion preserves
+    * per-key event-time order across batches (true of a log-compacted /
+    * per-key-ordered source; the drain below stages files to guarantee it).
+    */
+  def ewmaStream(events: Dataset[Event], alpha: Double, beta: Double): Dataset[(Long, Double)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, batch: Iterator[Event], state: GroupState[Double]) => {
+          val sorted = batch.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+          var acc = state.getOption
+          val out = sorted.map { e =>
+            val next = acc match {
+              case Some(p) => alpha * e.value + beta * p
+              case None    => e.value // seed: e_0 = x_0, same as the kernel
+            }
+            acc = Some(next)
+            (e.event_id, next)
+          }
+          acc.foreach(state.update)
+          out.iterator
+        })
+  }
+
+  /** Drain the streaming EWMA over a file stream SPLIT AT THE GLOBAL
+    * EVENT-TIME MIDPOINT into two micro-batches (maxFilesPerTrigger=1, mtime
+    * order pinned): every key's early rows arrive in batch 1 and late rows
+    * in batch 2, so the recurrence state must genuinely carry across
+    * micro-batches — a single-batch drain would never exercise it. The
+    * result must hash-match the batch ts_ewma oracle (same fold order, same
+    * doubles), which is exactly the incremental == batch claim.
+    * EAGER BY DESIGN: the drain runs at construction. */
+  def drainEwma(s: SparkSession, d: String): DataFrame = {
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session build to read events.parquet")
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ewma")
+    sys.addShutdownHook {
+      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
+    }
+    // raw nanos under nanosAsLong; same null filter as the batch kernel
+    val raw = s.read.parquet(s"$d/events.parquet").filter(col("value").isNotNull)
+    val bounds = raw.agg(min(col("ts")), max(col("ts"))).head()
+    val mid = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+    def stage(name: String, part: DataFrame): Unit = {
+      val dir = tmp.resolve(name + "_dir")
+      part.coalesce(1).write.parquet(dir.toString)
+      val file = java.nio.file.Files.list(dir)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(file, tmp.resolve(name))
+      new scala.reflect.io.Directory(dir.toFile).deleteRecursively()
+    }
+    // strict split: a key's batch-1 rows all precede its batch-2 rows in
+    // event time, so per-key order across batches is preserved by mtime
+    stage("a_early.parquet", raw.filter(col("ts") < mid))
+    stage("b_late.parquet", raw.filter(col("ts") >= mid))
+    Seq("a_early.parquet", "b_late.parquet").zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.setLastModifiedTime(tmp.resolve(f),
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+    }
+    val src = s.readStream
+      .schema("event_id BIGINT, user_id BIGINT, ts BIGINT, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .as[Event]
+    val name = "graft_stream_ewma"
+    val q = ewmaStream(src, alpha = 0.2, beta = 0.8)
+      .toDF("event_id", "ewma_raw")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .select(col("event_id"), round(col("ewma_raw"), 6).as("ewma"))
+      .orderBy("event_id")
+  }
+
   /** Batch view of the events parquet as the streaming Event dataset. */
   def batchEvents(spark: SparkSession, sfDir: String): Dataset[Event] = {
     import spark.implicits._

@@ -30,7 +30,9 @@ class PlanQualitySpec extends SparkSpec {
     "x7_hll_union_gate", "text_unigram_logprob", "mm_phash_dedup_gate",
     // the store-fidelity gate re-runs the brute-force baseline (the same
     // tiny-broadcast inequality join) against its durable parquet copy
-    "ann_index_store_gate")
+    "ann_index_store_gate",
+    // mixture sampling broadcasts its one-row weight-normalizer aggregate
+    "sample_mixture")
 
   test("filters are pushed into the parquet scan") {
     val plan = SparkEntry.queries("p2_filter_in")(spark, Sf)
