@@ -95,10 +95,11 @@ object VectorOps {
   })
   private def indexStoreDir: Option[String] =
     if (sys.env.get("SPARK_GRAFT_NO_INDEX_STORE").contains("1")) None
-    else Some(sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
-      "spark-warehouse/graft_ann_index"))
+    else Some(sys.props.get("graft.index.dir") // test override
+      .orElse(sys.env.get("SPARK_GRAFT_INDEX_DIR"))
+      .getOrElse("spark-warehouse/graft_ann_index"))
   private val storeLock = new Object
-  private def durable(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+  private[queries] def durable(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
     indexStoreDir match {
       case None => build
       case Some(root) =>

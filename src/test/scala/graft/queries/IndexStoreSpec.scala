@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The durable ANN index store: build-if-missing writes parquet ONCE, every
+  * later consumer (including a different SparkSession) reads the artifact
+  * back instead of re-running the build — the "an index is a table, not a
+  * session cache" contract. Fidelity of the round-trip itself is
+  * driver-checked every round by ann_index_store_gate; this spec pins the
+  * build-once / reuse semantics the gate cannot see.
+  */
+class IndexStoreSpec extends SparkSpec {
+
+  private def withStoreDir[A](f: => A): A = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_index_spec")
+    sys.props("graft.index.dir") = tmp.toString
+    try f
+    finally {
+      sys.props.remove("graft.index.dir")
+      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
+    }
+  }
+
+  test("durable builds once, reuses from parquet, and round-trips values") {
+    withStoreDir {
+      val s = spark
+      import s.implicits._
+      var builds = 0
+      def build() = {
+        builds += 1
+        Seq((1L, "a", 1.5), (2L, "b", -2.25)).toDF("id", "tag", "v")
+      }
+      val first = VectorOps.durable(s, "spec:k1")(build())
+      assert(builds == 1)
+      assert(first.orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+        Seq((1L, "a", 1.5), (2L, "b", -2.25)), "round-trip must preserve values")
+      // same key again: the artifact exists, so the build thunk must not run
+      val again = VectorOps.durable(s, "spec:k1")(build())
+      assert(builds == 1, "second consumer re-ran the index build")
+      assert(again.count() == 2)
+      // a DIFFERENT session (fresh cache identity) must also reuse the file
+      val s2 = s.newSession()
+      val other = VectorOps.durable(s2, "spec:k1")(build())
+      assert(builds == 1, "a new session re-encoded instead of reading the store")
+      assert(other.count() == 2)
+    }
+  }
+
+  test("distinct keys get distinct artifacts even when names sanitize alike") {
+    withStoreDir {
+      val s = spark
+      import s.implicits._
+      // ':' and '/' both sanitize to '_' — the key digest must still split them
+      val a = VectorOps.durable(s, "spec:x:1")(Seq(1L).toDF("id"))
+      val b = VectorOps.durable(s, "spec/x/1")(Seq(2L, 3L).toDF("id"))
+      assert(a.count() == 1 && b.count() == 2)
+    }
+  }
+}
