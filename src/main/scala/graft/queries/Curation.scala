@@ -158,6 +158,41 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // ---- interpolated bigram log-prob (the CCNet-style LM filter) ----
+    // One step past the unigram proxy: each in-doc bigram (w_{i-1}, w_i) is
+    // scored p = 0.7·c(w_{i-1}w_i)/c(w_{i-1}) + 0.3·c(w_i)/N — a Jelinek-
+    // Mercer interpolated bigram LM trained on the corpus itself — and the
+    // doc's score is the mean negative log. Shapes at 100 TB: bigram pairs
+    // leave the scan as (p, c) string pairs, the bigram count table is one
+    // hash groupBy (partial-agg'd) joined back by a shuffle equi-join on
+    // the pair, and the two unigram lookups broadcast (vocab-sized, like
+    // text_unigram_logprob). Docs with <2 tokens have no bigrams and drop
+    // out on both engines (sequence guard here, range() emptiness there).
+    "text_bigram_logprob" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), toks.as("t"))
+      val pairs = docs
+        .filter(size(col("t")) >= 2) // sequence(1,0) would step BACKWARD
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("p"),
+            element_at(col("t"), i + 1).as("c")))).as("b"))
+        .select(col("doc_id"), col("b.p").as("p"), col("b.c").as("c"))
+      val tok = Tables.documents(s, d).select(explode(toks).as("w"))
+      val uni = tok.groupBy("w").agg(count(lit(1)).as("uc"))
+      val total = tok.agg(count(lit(1)).as("n_total"))
+      val bc = pairs.groupBy("p", "c").agg(count(lit(1)).as("bc"))
+      pairs.join(bc, Seq("p", "c"))
+        .join(broadcast(uni.select(col("w").as("p"), col("uc").as("pu"))), Seq("p"))
+        .join(broadcast(uni.select(col("w").as("c"), col("uc").as("cu"))), Seq("c"))
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(round(avg(-log(
+          lit(0.7) * col("bc") / col("pu") +
+            lit(0.3) * col("cu") / col("n_total"))), 6).as("avg_neg_logp"))
+        .orderBy("doc_id")
+    }),
+
     // ---- F8: higher-order array functions (transform / filter /
     // aggregate / exists / array_max) — all codegen-friendly lambda
     // expressions over a per-row array, zero shuffles. ----
@@ -332,6 +367,27 @@ object Curation {
         |SELECT doc_id,
         |  round(avg(-ln(CAST(cnt AS DOUBLE) / n_total)), 6) AS avg_neg_logp
         |FROM tok JOIN v USING (w), t
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_bigram_logprob" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pairs AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(2, len(t) + 1), i -> t[i - 1])) AS p,
+        |    unnest(list_transform(range(2, len(t) + 1), i -> t[i])) AS c
+        |  FROM t),
+        |bc AS (SELECT p, c, count(*) AS bc FROM pairs GROUP BY p, c),
+        |tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |uni AS (SELECT w, count(*) AS uc FROM tok GROUP BY w),
+        |tot AS (SELECT count(*) AS n_total FROM tok)
+        |SELECT doc_id,
+        |  round(avg(-ln(0.7 * bc.bc / pu.uc + 0.3 * cu.uc / n_total)), 6)
+        |    AS avg_neg_logp
+        |FROM pairs
+        |JOIN bc USING (p, c)
+        |JOIN uni pu ON pairs.p = pu.w
+        |JOIN uni cu ON pairs.c = cu.w, tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "f8_higher_order_fns" ->
       """SELECT doc_id,

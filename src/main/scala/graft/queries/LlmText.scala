@@ -401,6 +401,37 @@ object LlmText {
         .orderBy("event_id")
     }),
 
+    // ---- multi-touch time-decay attribution (7-day lookback, τ = 2 d) ----
+    // The fractional-credit companion to first/last-touch: every click in
+    // the purchase's 7-day lookback earns weight e^((c_ts−p_ts)/τ) and the
+    // purchase's value splits proportionally. Pair generation is a user_id
+    // EQUI-join band-filtered on the time gap (per-user pairs only — the
+    // same bounded shape as the as-of/funnel oracles, never an unkeyed
+    // range join), and normalization is one whole-partition window sum on
+    // the high-cardinality purchase_id. Exponent spans [-3.5, 0] — no
+    // overflow; round(6) absorbs cross-engine exp/summation ulps.
+    "events_attribution_decay" -> ((s, d) => {
+      val dayUs = 86400000000L
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("c_ts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"), col("value"))
+      val wNorm = Window.partitionBy("purchase_id")
+      buys.join(clicks, Seq("user_id"))
+        .filter(col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - lit(7L * dayUs))
+        .withColumn("wt",
+          exp((col("c_ts") - col("p_ts")).cast("double") / lit(172800000000.0)))
+        .withColumn("credit",
+          round(col("value") * col("wt") / sum(col("wt")).over(wNorm), 6))
+        .select(col("purchase_id"), col("click_id"), col("user_id"),
+          round(col("wt"), 6).as("wt"), col("credit"))
+        .orderBy("purchase_id", "click_id")
+    }),
+
     // ---- funnel analysis: click -> purchase conversion within 1 h ----
     // The event-sequence companion to events_asof, looking FORWARD: each
     // click is matched to the user's earliest at-or-after purchase via a
@@ -827,6 +858,23 @@ object LlmText {
         |  FROM t)
         |SELECT event_id, user_id, us AS ts, first_click_ts, last_click_ts
         |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "events_attribution_decay" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us,
+        |         value
+        |  FROM events WHERE event_type = 'purchase'),
+        |pr AS (
+        |  SELECT p.purchase_id, c.click_id, p.user_id,
+        |    exp((c.c_us - p.p_us) / 172800000000.0) AS wt, p.value
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |   AND c.c_us <= p.p_us AND c.c_us >= p.p_us - 604800000000)
+        |SELECT purchase_id, click_id, user_id, round(wt, 6) AS wt,
+        |  round(value * wt / sum(wt) OVER (PARTITION BY purchase_id), 6)
+        |    AS credit
+        |FROM pr ORDER BY purchase_id, click_id""".stripMargin,
     "events_asof" ->
       """WITH c AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

@@ -25,9 +25,10 @@ class PlanQualitySpec extends SparkSpec {
     // the recall gate re-runs the brute-force exact baseline by design
     "ann_ivfpq_topk", "ann_ivfpq_recall_gate",
     // X7 joins two single-row aggregates (exact count x unioned sketch);
-    // the unigram scorer broadcasts its single-row corpus total; the pHash
-    // gate joins its two one-row certificate aggregates
-    "x7_hll_union_gate", "text_unigram_logprob", "mm_phash_dedup_gate",
+    // the unigram/bigram scorers broadcast their single-row corpus totals;
+    // the pHash gate joins its two one-row certificate aggregates
+    "x7_hll_union_gate", "text_unigram_logprob", "text_bigram_logprob",
+    "mm_phash_dedup_gate",
     // the store-fidelity gate re-runs the brute-force baseline (the same
     // tiny-broadcast inequality join) against its durable parquet copy
     "ann_index_store_gate",
