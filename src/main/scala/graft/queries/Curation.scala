@@ -193,6 +193,31 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // ---- per-source winsorized robust stats (outlier-clipped moments) ----
+    // The curation primitive for length-outlier handling: per source, find
+    // the exact p05/p95 of n_chars (Spark `percentile` and DuckDB
+    // `quantile_cont` both linearly interpolate — the proven a13 pairing),
+    // clip every doc's length into [p05, p95], and report the winsorized
+    // mean/sd. Scale shape: the percentile pass is one groupBy over the
+    // handful of sources, its 3-column result broadcasts back onto the
+    // corpus scan (no second shuffle of the fact side), and the moment agg
+    // partial-aggregates. round(6) absorbs float-path ulps, as in a3/a13.
+    "text_winsorize" -> ((s, d) => {
+      val p = Tables.documents(s, d).groupBy("source")
+        .agg(percentile(col("n_chars"), lit(0.05)).as("p05"),
+          percentile(col("n_chars"), lit(0.95)).as("p95"))
+      val clipped = least(greatest(col("n_chars").cast("double"),
+        col("p05")), col("p95"))
+      Tables.documents(s, d).join(broadcast(p), Seq("source"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(min(col("p05")), 6).as("p05"),
+          round(min(col("p95")), 6).as("p95"),
+          round(avg(clipped), 6).as("win_mean"),
+          round(stddev_samp(clipped), 6).as("win_sd"))
+        .orderBy("source")
+    }),
+
     // ---- F8: higher-order array functions (transform / filter /
     // aggregate / exists / array_max) — all codegen-friendly lambda
     // expressions over a per-row array, zero shuffles. ----
@@ -368,6 +393,22 @@ object Curation {
         |  round(avg(-ln(CAST(cnt AS DOUBLE) / n_total)), 6) AS avg_neg_logp
         |FROM tok JOIN v USING (w), t
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_winsorize" ->
+      """WITH p AS (
+        |  SELECT source,
+        |    quantile_cont(n_chars, 0.05) AS p05,
+        |    quantile_cont(n_chars, 0.95) AS p95
+        |  FROM documents GROUP BY source)
+        |SELECT source,
+        |  count(*) AS n_docs,
+        |  round(min(p05), 6) AS p05,
+        |  round(min(p95), 6) AS p95,
+        |  round(avg(least(greatest(CAST(n_chars AS DOUBLE), p05), p95)), 6)
+        |    AS win_mean,
+        |  round(stddev_samp(least(greatest(CAST(n_chars AS DOUBLE), p05), p95)), 6)
+        |    AS win_sd
+        |FROM documents JOIN p USING (source)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "text_bigram_logprob" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -264,6 +264,41 @@ object LlmText {
       blockedJaccard(s, Tables.documents(s, d), maxBucketDocs = 4096L)
         .orderBy("id_a", "id_b")),
 
+    // ---- C4-style global line-level dedup ----
+    // Documents are split into consecutive 10-token spans ("lines" — the
+    // synthetic corpus has no newlines, so fixed spans stand in for C4's
+    // newline-delimited lines); each distinct span survives only at its
+    // globally-first occurrence (ordered by doc_id, then position), and
+    // every document is reassembled from its surviving spans. This is the
+    // dedup C4/RefinedWeb run BELOW document granularity — boilerplate
+    // repeated across pages is removed even when the documents differ.
+    // Scale shape: one generator pass per doc, then ONE shuffle keyed on
+    // the span text (rows are <=10 tokens each, so the exchange is
+    // O(corpus), same as any global dedup), a row_number window per span,
+    // and a doc_id re-agg to reassemble. At 100 TB the window key would be
+    // md5(line) to fix row width; kept text is emitted as md5 here so the
+    // compare stays row-sized either way.
+    "dedup_lines" -> ((s, d) => {
+      val lines = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .withColumn("n", size(col("tk")))
+        .filter(col("n") >= 1) // sequence(0, -1) would step backward
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, (n - 1) div 10)," +
+            " i -> array_join(slice(tk, i * 10 + 1, 10), ' '))"))
+          .as(Seq("line_id", "line")))
+      val firstSeen = Window.partitionBy("line").orderBy("doc_id", "line_id")
+      lines.withColumn("rn", row_number().over(firstSeen))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          count(when(col("rn") === 1, 1)).as("n_kept"),
+          md5(array_join(transform(array_sort(collect_list(
+            when(col("rn") === 1, struct(col("line_id"), col("line"))))),
+            x => x.getField("line")), " ")).as("kept_md5"))
+        .orderBy("doc_id")
+    }),
+
     // ---- quality scoring: length / stopword / alpha ratios ----
     "text_quality" -> ((s, d) =>
       Tables.documents(s, d)
@@ -776,6 +811,27 @@ object LlmText {
         |FROM t a JOIN t b ON a.bkt = b.bkt AND a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.w, b.w))::DOUBLE / len(list_distinct(a.w || b.w)) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_lines" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 1),
+        |l AS (
+        |  SELECT doc_id,
+        |    unnest(range((len(tk) + 9) // 10)) AS line_id,
+        |    unnest(list_transform(range((len(tk) + 9) // 10),
+        |      i -> array_to_string(tk[i * 10 + 1 : i * 10 + 10], ' '))) AS line
+        |  FROM t),
+        |w AS (
+        |  SELECT doc_id, line_id, line,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, line_id) AS rn
+        |  FROM l)
+        |SELECT doc_id,
+        |  count(*) AS n_lines,
+        |  count(*) FILTER (WHERE rn = 1) AS n_kept,
+        |  md5(coalesce(
+        |    string_agg(line, ' ' ORDER BY line_id) FILTER (WHERE rn = 1),
+        |    '')) AS kept_md5
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
          |SELECT doc_id,
