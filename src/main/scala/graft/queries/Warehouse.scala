@@ -237,10 +237,109 @@ object Warehouse {
           col("vs").cast("double").as("val_sum"),
           (col("vs").cast("double") / col("n")).as("val_avg"))
         .orderBy("event_type")
+    }),
+
+    // ---- Z-order (Morton) multi-dimensional layout clustering ----
+    // The data-layout pass behind "OPTIMIZE ZORDER BY (a, b)": map each row
+    // to a 3-bit-per-dimension grid coordinate via exact octile cut points
+    // (one distributed percentile agg, broadcast back — at 100 TB swap in
+    // approx_percentile; the grid is the layout, not the answer), then
+    // interleave bits into a 6-bit Morton cell. Writing files in cell order
+    // bounds BOTH dimensions per file, so min/max file stats prune scans
+    // filtered on either column. The interleave is pure integer div/mod
+    // (no shift-builtin parity risk between engines). Per-cell output =
+    // the file-stats table a lakehouse keeps: row count + per-cell min/max
+    // of both raw columns. No global-sort window anywhere: percentile agg,
+    // broadcast, per-row math, one groupBy.
+    "layout_zorder" -> ((s, d) =>
+      zorderCells(s, d)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"),
+          min("x").as("x_cell"), min("y").as("y_cell"),
+          min("o_custkey").as("ck_min"), max("o_custkey").as("ck_max"),
+          min("o_totalprice").as("tp_min"), max("o_totalprice").as("tp_max"))
+        .orderBy("cell")),
+
+    // ---- Z-order locality certificate ----
+    // Proves the interleave actually clusters the SECOND dimension: group
+    // the 64 cells into 8 consecutive Morton blocks (cell div 8 — what 8
+    // equal-size files would contain when written in cell order) and
+    // measure each block's y-extent, vs blocking the same cells by x alone
+    // (a single-column sort layout). Morton blocks bound y tightly (low
+    // y-bits vary inside a block); x-sorted blocks span all of y. All
+    // integer arithmetic — the certificate is exact on both engines.
+    "layout_zorder_gate" -> ((s, d) => {
+      val cells = zorderCells(s, d).select("cell", "x", "y").distinct()
+      val z = cells.groupBy(expr("cell div 8").as("zb"))
+        .agg((max("y") - min("y")).as("span"))
+        .agg(avg("span").as("avg_yspan_z"))
+      val xs = cells.groupBy("x")
+        .agg((max("y") - min("y")).as("span"))
+        .agg(avg("span").as("avg_yspan_x"))
+      z.crossJoin(broadcast(xs))
+        .select(round(col("avg_yspan_z"), 6).as("avg_yspan_z"),
+          round(col("avg_yspan_x"), 6).as("avg_yspan_x"),
+          (col("avg_yspan_z") < col("avg_yspan_x")).as("locality_ok"))
     })
   )
 
+  /** Shared prep for the layout queries: orders rows tagged with octile
+    * grid coordinates (x from o_custkey, y from o_totalprice) and their
+    * 6-bit Morton cell. */
+  private def zorderCells(s: SparkSession, d: String): DataFrame = {
+    val fr = typedLit((1 to 7).map(_ / 8.0))
+    val cuts = Tables.orders(s, d).agg(
+      percentile(col("o_custkey"), fr).as("cx"),
+      percentile(col("o_totalprice"), fr).as("cy"))
+    Tables.orders(s, d).crossJoin(broadcast(cuts))
+      .withColumn("x",
+        size(filter(col("cx"), c => c <= col("o_custkey"))).cast("long"))
+      .withColumn("y",
+        size(filter(col("cy"), c => c <= col("o_totalprice"))).cast("long"))
+      .withColumn("cell", expr(
+        "(x % 2) + ((x div 2) % 2) * 4 + ((x div 4) % 2) * 16" +
+          " + (y % 2) * 2 + ((y div 2) % 2) * 8 + ((y div 4) % 2) * 32"))
+  }
+
+  /** Shared oracle CTE prep mirroring [[zorderCells]]. */
+  private val zorderCellsSql: String =
+    """WITH cuts AS (
+      |  SELECT quantile_cont(o_custkey, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS cx,
+      |         quantile_cont(o_totalprice, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS cy
+      |  FROM orders),
+      |pt AS (
+      |  SELECT o_custkey, o_totalprice,
+      |    len(list_filter(cx, c -> c <= o_custkey)) AS x,
+      |    len(list_filter(cy, c -> c <= o_totalprice)) AS y
+      |  FROM orders, cuts),
+      |cellpt AS (
+      |  SELECT *,
+      |    (x % 2) + ((x // 2) % 2) * 4 + ((x // 4) % 2) * 16
+      |      + (y % 2) * 2 + ((y // 2) % 2) * 8 + ((y // 4) % 2) * 32 AS cell
+      |  FROM pt)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "layout_zorder" -> (zorderCellsSql +
+      """
+        |SELECT cell, count(*) AS n,
+        |  min(x) AS x_cell, min(y) AS y_cell,
+        |  min(o_custkey) AS ck_min, max(o_custkey) AS ck_max,
+        |  min(o_totalprice) AS tp_min, max(o_totalprice) AS tp_max
+        |FROM cellpt GROUP BY cell ORDER BY cell""".stripMargin),
+    "layout_zorder_gate" -> (zorderCellsSql +
+      """,
+        |cells AS (SELECT DISTINCT cell, x, y FROM cellpt),
+        |z AS (
+        |  SELECT avg(span) AS avg_yspan_z FROM (
+        |    SELECT cell // 8 AS zb, max(y) - min(y) AS span
+        |    FROM cells GROUP BY 1)),
+        |xs AS (
+        |  SELECT avg(span) AS avg_yspan_x FROM (
+        |    SELECT x, max(y) - min(y) AS span FROM cells GROUP BY 1))
+        |SELECT round(avg_yspan_z, 6) AS avg_yspan_z,
+        |  round(avg_yspan_x, 6) AS avg_yspan_x,
+        |  avg_yspan_z < avg_yspan_x AS locality_ok
+        |FROM z, xs""".stripMargin),
     "f11_variant" ->
       """SELECT event_id,
         |  json_extract(props, '$.k')::BIGINT AS k,

@@ -33,7 +33,10 @@ class PlanQualitySpec extends SparkSpec {
     // tiny-broadcast inequality join) against its durable parquet copy
     "ann_index_store_gate",
     // mixture sampling broadcasts its one-row weight-normalizer aggregate
-    "sample_mixture")
+    "sample_mixture",
+    // the z-order layout pass broadcasts its one-row octile cut-point
+    // table onto the scan; the gate joins its two one-row span averages
+    "layout_zorder", "layout_zorder_gate")
 
   test("filters are pushed into the parquet scan") {
     val plan = SparkEntry.queries("p2_filter_in")(spark, Sf)
