@@ -645,6 +645,43 @@ object VectorOps {
         .orderBy("doc_id")
     }),
 
+    // ---- graph centrality: PageRank over the near-dup graph ----
+    // Ranks documents by duplicate-graph centrality (which docs sit at the
+    // middle of big copy clusters — the triage order for a dedup report).
+    // Five SYNCHRONOUS PageRank iterations (damping 0.85) over the same
+    // undirected MinHash pair graph dedup_resolve uses: each round is one
+    // equi-join (edge src -> rank) plus a dst-keyed partial-agg'd sum —
+    // only (id, deg, rank) rows shuffle, plan lineage cut per round via
+    // localCheckpoint exactly like dedup_resolve (eager by design). The
+    // oracle unrolls the identical five rounds as chained CTEs, so a
+    // missed iteration, wrong damping, or asynchronous update order fails
+    // the hash. Constants are written 0.15/0.85 on BOTH sides (not 1-d in
+    // one and a literal in the other — different doubles).
+    "graph_pagerank" -> ((s, d) => {
+      val pairs = minhashPairs(s, d).select("id_a", "id_b")
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .localCheckpoint(false)
+      val nodes = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .select(col("src").as("id"), col("deg"))
+        .localCheckpoint(false)
+      var rank = nodes.withColumn("r", lit(1.0))
+      (1 to 5).foreach { _ =>
+        val contrib = edges
+          .join(rank.withColumnRenamed("id", "src_id"),
+            col("src") === col("src_id"))
+          .select(col("dst"), (col("r") / col("deg")).as("c"))
+          .groupBy("dst").agg(sum("c").as("csum"))
+        rank = nodes
+          .join(contrib, nodes("id") === contrib("dst"), "left")
+          .select(col("id"), col("deg"),
+            (lit(0.15) + lit(0.85) * coalesce(col("csum"), lit(0.0))).as("r"))
+          .localCheckpoint(false)
+      }
+      rank.select(col("id").as("doc_id"), round(col("r"), 6).as("rank"))
+        .orderBy("doc_id")
+    }),
+
     // ---- dedup reporting: cluster-size histogram over resolved components ----
     // The stage after resolution in a dedup pipeline: how many duplicate
     // clusters exist at each size (what a curation report shows before
@@ -661,8 +698,20 @@ object VectorOps {
 
   /** MinHash-LSH near-duplicate pairs (see the `dedup_minhash_lsh` entry
     * comment for parameter rationale): banded signature self-join for
-    * candidates, exact shingle-jaccard >= 0.9 verification. */
-  private[queries] def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    * candidates, exact shingle-jaccard >= 0.9 verification.
+    *
+    * The pair graph IS the near-dup index: four consumers (the pair listing,
+    * connected-components resolve, the cluster histogram, PageRank triage)
+    * used to each re-shingle and re-sign the whole corpus. Routed through
+    * the same shared/durable artifact store as the ANN indexes — built once
+    * per (dataset, content fingerprint), persisted in-session, parquet-backed
+    * across sessions; staleness is keyed out by dataFp and correctness stays
+    * driver-checked every round (the stored pairs feed dedup_minhash_lsh,
+    * whose all-pairs oracle would fail the hash on any store corruption). */
+  private[queries] def minhashPairs(s: SparkSession, d: String): DataFrame =
+    shared(s, s"minhash_pairs:$d:${dataFp(d)}")(minhashPairsBuild(s, d))
+
+  private def minhashPairsBuild(s: SparkSession, d: String): DataFrame = {
       val spark = s
       import spark.implicits._
       val nHash = 64
@@ -1031,6 +1080,47 @@ object VectorOps {
         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst)
         |SELECT id AS doc_id, min(lbl) AS cluster_rep
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "graph_pagerank" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+        |         ELSE list_distinct(list_transform(
+        |            range(1, len(string_split(text, ' ')) - 1),
+        |            i -> string_split(text, ' ')[i] || ' ' ||
+        |                 string_split(text, ' ')[i + 1] || ' ' ||
+        |                 string_split(text, ' ')[i + 2]))
+        |    END AS w
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.w, b.w))::DOUBLE / len(list_distinct(a.w || b.w)) >= 0.9),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+        |r0 AS (SELECT id, deg, 1.0 AS r FROM deg),
+        |r1 AS (
+        |  SELECT d.id, d.deg, 0.15 + 0.85 * coalesce(sum(p.r / p.deg), 0) AS r
+        |  FROM deg d LEFT JOIN edges e ON e.dst = d.id
+        |  LEFT JOIN r0 p ON p.id = e.src GROUP BY d.id, d.deg),
+        |r2 AS (
+        |  SELECT d.id, d.deg, 0.15 + 0.85 * coalesce(sum(p.r / p.deg), 0) AS r
+        |  FROM deg d LEFT JOIN edges e ON e.dst = d.id
+        |  LEFT JOIN r1 p ON p.id = e.src GROUP BY d.id, d.deg),
+        |r3 AS (
+        |  SELECT d.id, d.deg, 0.15 + 0.85 * coalesce(sum(p.r / p.deg), 0) AS r
+        |  FROM deg d LEFT JOIN edges e ON e.dst = d.id
+        |  LEFT JOIN r2 p ON p.id = e.src GROUP BY d.id, d.deg),
+        |r4 AS (
+        |  SELECT d.id, d.deg, 0.15 + 0.85 * coalesce(sum(p.r / p.deg), 0) AS r
+        |  FROM deg d LEFT JOIN edges e ON e.dst = d.id
+        |  LEFT JOIN r3 p ON p.id = e.src GROUP BY d.id, d.deg),
+        |r5 AS (
+        |  SELECT d.id, d.deg, 0.15 + 0.85 * coalesce(sum(p.r / p.deg), 0) AS r
+        |  FROM deg d LEFT JOIN edges e ON e.dst = d.id
+        |  LEFT JOIN r4 p ON p.id = e.src GROUP BY d.id, d.deg)
+        |SELECT id AS doc_id, round(r, 6) AS rank FROM r5 ORDER BY doc_id""".stripMargin,
     "dedup_cluster_stats" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id,
