@@ -116,6 +116,23 @@ object Olap {
         .orderBy("event_id")
     }),
 
+    // ---- W9: moving median (robust rolling smoother) over a 7-row frame --
+    // percentile as a WINDOW aggregate: Spark evaluates the exact
+    // interpolating percentile per frame and DuckDB's windowed
+    // quantile_cont matches (the a13 pairing, framed). The median resists
+    // the outlier spikes a moving average smears — the robust variant of
+    // w6. Same total (ts, event_id) per-user order as w8; round(6)
+    // absorbs interpolation ulps.
+    "w9_moving_median" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-6, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          round(percentile(col("value"), lit(0.5)).over(w), 6).as("mov_med"))
+        .orderBy("event_id")
+    }),
+
     // ---- W8: value window functions (first/last/nth/lead) over an
     // explicit full-partition frame and a total per-user order ----
     "w8_value_windows" -> ((s, d) => {
@@ -397,6 +414,12 @@ object Olap {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
         |    PARTITION BY user_id ORDER BY epoch_us(ts) // 86400000000
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS win_sum
+        |FROM events ORDER BY event_id""".stripMargin,
+    "w9_moving_median" ->
+      """SELECT event_id, user_id,
+        |  round(quantile_cont(value, 0.5) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS mov_med
         |FROM events ORDER BY event_id""".stripMargin,
     "w8_value_windows" ->
       """SELECT event_id, user_id,

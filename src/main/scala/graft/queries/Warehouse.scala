@@ -239,6 +239,36 @@ object Warehouse {
         .orderBy("event_type")
     }),
 
+    // ---- A16: Welch's two-sample t-test (A/B experiment readout) ----
+    // The unequal-variance t statistic and Welch–Satterthwaite df between
+    // the click and view value populations — the analytics op an
+    // experimentation pipeline runs per metric. Everything derives from
+    // two (n, mean, var_samp) group aggregates (one partial-agg'd pass);
+    // the two one-row branches broadcast-join. round(6) absorbs
+    // summation-order ulps in the variance, as in a3/a5.
+    "a16_welch_ttest" -> ((s, d) => {
+      val g = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view") &&
+          col("value").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("double").as("n"),
+          avg("value").as("m"), var_samp("value").as("v"))
+      val x = g.filter(col("event_type") === "click")
+        .select(col("n").as("nx"), col("m").as("mx"), col("v").as("vx"))
+      val y = g.filter(col("event_type") === "view")
+        .select(col("n").as("ny"), col("m").as("my"), col("v").as("vy"))
+      val sex = col("vx") / col("nx")
+      val sey = col("vy") / col("ny")
+      x.crossJoin(broadcast(y))
+        .select(
+          col("nx").cast("long").as("nx"), col("ny").cast("long").as("ny"),
+          round(col("mx"), 6).as("mean_x"), round(col("my"), 6).as("mean_y"),
+          round((col("mx") - col("my")) / sqrt(sex + sey), 6).as("t_stat"),
+          round(pow(sex + sey, 2) /
+            (pow(sex, 2) / (col("nx") - 1) + pow(sey, 2) / (col("ny") - 1)),
+            6).as("df"))
+    }),
+
     // ---- Z-order (Morton) multi-dimensional layout clustering ----
     // The data-layout pass behind "OPTIMIZE ZORDER BY (a, b)": map each row
     // to a 3-bit-per-dimension grid coordinate via exact octile cut points
@@ -319,6 +349,22 @@ object Warehouse {
       |  FROM pt)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "a16_welch_ttest" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |         avg(value) AS m, var_samp(value) AS v
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+        |  GROUP BY event_type),
+        |x AS (SELECT n AS nx, m AS mx, v AS vx FROM g WHERE event_type = 'click'),
+        |y AS (SELECT n AS ny, m AS my, v AS vy FROM g WHERE event_type = 'view')
+        |SELECT CAST(nx AS BIGINT) AS nx, CAST(ny AS BIGINT) AS ny,
+        |  round(mx, 6) AS mean_x, round(my, 6) AS mean_y,
+        |  round((mx - my) / sqrt(vx / nx + vy / ny), 6) AS t_stat,
+        |  round(pow(vx / nx + vy / ny, 2) /
+        |        (pow(vx / nx, 2) / (nx - 1) + pow(vy / ny, 2) / (ny - 1)), 6)
+        |    AS df
+        |FROM x, y""".stripMargin,
     "layout_zorder" -> (zorderCellsSql +
       """
         |SELECT cell, count(*) AS n,

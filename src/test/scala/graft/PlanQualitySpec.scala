@@ -35,8 +35,9 @@ class PlanQualitySpec extends SparkSpec {
     // mixture sampling broadcasts its one-row weight-normalizer aggregate
     "sample_mixture",
     // the z-order layout pass broadcasts its one-row octile cut-point
-    // table onto the scan; the gate joins its two one-row span averages
-    "layout_zorder", "layout_zorder_gate")
+    // table onto the scan; the gate joins its two one-row span averages;
+    // the t-test joins its two one-row group-moment branches
+    "layout_zorder", "layout_zorder_gate", "a16_welch_ttest")
 
   test("filters are pushed into the parquet scan") {
     val plan = SparkEntry.queries("p2_filter_in")(spark, Sf)
