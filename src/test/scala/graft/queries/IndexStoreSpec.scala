@@ -47,6 +47,30 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("minhash pair graph is stored once and shared by its four consumers") {
+    withStoreDir {
+      val Sf = "/root/testdata/sf0.001"
+      val s = spark.newSession() // fresh artifact-cache identity
+      // first consumer builds the pair store; hash-equality with a direct
+      // rebuild pins store fidelity for the pair graph specifically
+      val stored = VectorOps.minhashPairs(s, Sf)
+        .select("id_a", "id_b").orderBy("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(stored.nonEmpty, "near-dup pair graph must be non-empty at sf0.001")
+      val root = sys.props("graft.index.dir")
+      val dirs = new java.io.File(root).listFiles(); assert(dirs != null)
+      val pairDirs = dirs.flatMap(_.listFiles())
+        .filter(_.getName.startsWith("minhash_pairs_"))
+      assert(pairDirs.length == 1, s"expected one stored pair artifact, got ${pairDirs.length}")
+      val mtime = pairDirs.head.lastModified
+      // downstream consumers (resolve + pagerank) must NOT rewrite the store
+      graft.SparkEntry.queries("dedup_resolve")(s, Sf).collect()
+      graft.SparkEntry.queries("graph_pagerank")(s, Sf).collect()
+      assert(pairDirs.head.lastModified == mtime,
+        "a downstream consumer rebuilt the stored pair graph")
+    }
+  }
+
   test("distinct keys get distinct artifacts even when names sanitize alike") {
     withStoreDir {
       val s = spark
