@@ -287,6 +287,50 @@ object Olap {
             .as("ok"))
     }),
 
+    // ---- X8: join-key skew report (the salt-or-not diagnostic) ----
+    // Per-key frequency profile of a join/agg key — the numbers an
+    // engineer (or an adaptive planner) reads before choosing between a
+    // plain shuffle, a broadcast, or the x4-style salted join: total rows,
+    // distinct keys, the heaviest key's row count and share, max/avg skew
+    // ratio, and the exact p99 of rows-per-key. One hash groupBy on the
+    // key, then one tiny aggregate over the per-key counts.
+    "x8_skew_report" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("c"))
+        .agg(
+          sum("c").as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max("c").as("max_per_key"),
+          round(avg("c"), 6).as("avg_per_key"),
+          round(max(col("c")).cast("double") /
+            (sum(col("c")).cast("double") / count(lit(1))), 6).as("skew_ratio"),
+          round(max(col("c")).cast("double") / sum(col("c")), 6).as("top1_share"),
+          round(percentile(col("c"), lit(0.99)), 6).as("p99_per_key"))),
+
+    // ---- A17: bootstrap-style confidence interval (deterministic) ----
+    // The scale recipe for "mean with error bars" over data too big to
+    // resample classically: 32 half-rate subsample replicas, each defined
+    // by a pure content-hash membership test (the sample_hash trick keyed
+    // by (event_id, replica) — identical md5 hex threshold on both
+    // engines, so every replica is reproducible under any partitioning),
+    // then the replica-mean spread gives the 2.5/97.5-percentile band.
+    // One scan exploded x32 into thin (replica, value) rows, one 32-group
+    // aggregate, one final percentile over 32 numbers.
+    "a17_bootstrap_ci" -> ((s, d) => {
+      val reps = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("value"),
+          explode(sequence(lit(0), lit(31))).as("rep"))
+        .filter(substring(md5(concat(col("event_id").cast("string"),
+          lit(":"), col("rep").cast("string"))), 1, 2) < "80")
+        .groupBy("rep").agg(avg("value").as("m"))
+      reps.agg(
+        count(lit(1)).as("n_replicas"),
+        round(avg("m"), 6).as("mean_of_means"),
+        round(percentile(col("m"), lit(0.025)), 6).as("ci_lo"),
+        round(percentile(col("m"), lit(0.975)), 6).as("ci_hi"))
+    }),
+
     // ---- X3: approximate-percentile accuracy certificate ----
     // approx_percentile with accuracy 10000 must land within 0.5% of the
     // exact median (computed distributed, via Spark's exact percentile).
@@ -489,5 +533,29 @@ object Olap {
     "x5_countmin_gate" ->
       """SELECT event_type, count(*) AS n_exact, true AS ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "x8_skew_report" ->
+      """WITH k AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id)
+        |SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+        |  count(*) AS n_keys,
+        |  CAST(max(c) AS BIGINT) AS max_per_key,
+        |  round(avg(c), 6) AS avg_per_key,
+        |  round(max(c)::DOUBLE / (sum(c)::DOUBLE / count(*)), 6) AS skew_ratio,
+        |  round(max(c)::DOUBLE / sum(c), 6) AS top1_share,
+        |  round(quantile_cont(c, 0.99), 6) AS p99_per_key
+        |FROM k""".stripMargin,
+    "a17_bootstrap_ci" ->
+      """WITH r AS (
+        |  SELECT unnest(range(32)) AS rep, event_id, value
+        |  FROM events WHERE value IS NOT NULL),
+        |kept AS (
+        |  SELECT rep, value FROM r
+        |  WHERE substring(md5(event_id::VARCHAR || ':' || rep::VARCHAR), 1, 2)
+        |        < '80'),
+        |m AS (SELECT rep, avg(value) AS m FROM kept GROUP BY rep)
+        |SELECT count(*) AS n_replicas,
+        |  round(avg(m), 6) AS mean_of_means,
+        |  round(quantile_cont(m, 0.025), 6) AS ci_lo,
+        |  round(quantile_cont(m, 0.975), 6) AS ci_hi
+        |FROM m""".stripMargin,
   )
 }
