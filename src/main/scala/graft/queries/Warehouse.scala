@@ -239,6 +239,53 @@ object Warehouse {
         .orderBy("event_type")
     }),
 
+    // ---- U7: incremental JOIN-view maintenance ----
+    // u6 pins that plain aggregates refresh from deltas; this pins the
+    // join-bearing case — the materialized view `revenue by order status`
+    // over lineitem ⋈ orders. The delta path joins ONLY the new fact rows
+    // (shipdate >= cutoff) to the dimension, aggregates them, and merges
+    // with the base partials by re-summing; the oracle computes the view
+    // directly from all raw rows, so the hash certifies delta-maintained
+    // == full recompute (join distributes over the union of fact batches,
+    // DECIMAL partials merge associatively). At 100 TB this is the
+    // nightly-refresh pattern: touch only the new partition, never
+    // re-join history.
+    "u7_incremental_join" -> ((s, d) => {
+      val cutoff = java.sql.Date.valueOf("1996-01-01")
+      val dim = Tables.orders(s, d).select("o_orderkey", "o_orderstatus")
+      def part(df: DataFrame) = df
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)")).as("rev"))
+      val li = Tables.lineitem(s, d)
+      part(li.filter(col("l_shipdate") < cutoff))
+        .unionByName(part(li.filter(col("l_shipdate") >= cutoff)))
+        .groupBy("o_orderstatus")
+        .agg(sum(col("n")).as("n"),
+          sum(col("rev")).cast("double").as("revenue"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ---- U8: rollup-tree maintenance (day -> 30-day period re-agg) ----
+    // The hierarchical form of u6: period totals are re-aggregated from
+    // the daily materialization's partials, never from raw events; the
+    // oracle aggregates raw rows straight to periods. Hash equality pins
+    // that count/DECIMAL-sum partials merge associatively ACROSS rollup
+    // levels — the invariant a lakehouse aggregation tree (day -> month
+    // -> year) refresh depends on.
+    "u8_rollup_tree" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(expr("ts div 86400000000").as("day"), col("value"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).as("vs"))
+      daily.groupBy(expr("day div 30").as("period"))
+        .agg(sum(col("n")).as("n"), sum(col("vs")).cast("double").as("val_sum"))
+        .orderBy("period")
+    }),
+
     // ---- A16: Welch's two-sample t-test (A/B experiment readout) ----
     // The unequal-variance t statistic and Welch–Satterthwaite df between
     // the click and view value populations — the analytics op an
@@ -497,6 +544,17 @@ object Warehouse {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val_sum,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS val_avg
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "u7_incremental_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |               AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "u8_rollup_tree" ->
+      """SELECT (epoch_us(ts) // 86400000000) // 30 AS period,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val_sum
+        |FROM events GROUP BY period ORDER BY period""".stripMargin
   )
 }
