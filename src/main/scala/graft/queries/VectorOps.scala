@@ -574,6 +574,35 @@ object VectorOps {
     // ---- exact ANN baseline: brute-force cosine top-3 for sampled queries ----
     "sim_cosine_topk" -> ((s, d) => bruteForceTopK(embOf(s, d), topK = 3)),
 
+    // ---- filtered vector search: top-k under a metadata predicate ----
+    // The production-standard "search within a filter" shape (vector DBs
+    // call it filtered/metadata ANN): each query retrieves its top-3 among
+    // corpus vectors sharing its label only. The label equality is an EQUI
+    // key, so the broadcast query sample hash-joins on label and the
+    // non-equi self-exclusion is a residual — per-query scoring work drops
+    // from |corpus| to |label class|, and Catalyst picks a hash join where
+    // the unfiltered baseline needs a nested loop. With an IVF index the
+    // same predicate composes with cell pruning (filter the inverted file
+    // before ADC scoring).
+    "sim_filtered_topk" -> ((s, d) => {
+      val en = withNorm(Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"),
+          col("label")))
+      val q = broadcast(en.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("e").as("qe"),
+          col("nrm").as("qn"), col("label").as("ql")))
+      val scored = en.join(q,
+          col("label") === col("ql") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("c"))
+      val w = Window.partitionBy("qid").orderBy(col("c").desc, col("nid"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nid"),
+          round(col("c"), 6).as("cos"))
+        .orderBy("qid", "rnk")
+    }),
+
     // ---- approximate ANN: multi-table sign-LSH, compare within buckets ----
     // Standard OR-amplification: L tables of k hyperplane sign bits each; a
     // pair is a candidate if it collides in ANY table (recall ~1-(1-p^k)^L).
@@ -997,6 +1026,22 @@ object VectorOps {
         |      (sqrt(list_sum(list_transform(q.qe, x -> x*x))) *
         |       sqrt(list_sum(list_transform(e.emb, x -> x*x)))) AS c
         |  FROM q JOIN e ON e.vec_id != q.qid)
+        |SELECT qid, rnk, nid, round(c, 6) AS cos
+        |FROM (SELECT qid, nid, c,
+        |        row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rnk
+        |      FROM p)
+        |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    "sim_filtered_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS qid, emb AS qe, label AS ql FROM e
+        |      WHERE vec_id % 50 = 0),
+        |p AS (
+        |  SELECT q.qid, e.vec_id AS nid,
+        |    list_sum(list_transform(list_zip(q.qe, e.emb), s -> s[1]*s[2])) /
+        |      (sqrt(list_sum(list_transform(q.qe, x -> x*x))) *
+        |       sqrt(list_sum(list_transform(e.emb, x -> x*x)))) AS c
+        |  FROM q JOIN e ON e.label = q.ql AND e.vec_id != q.qid)
         |SELECT qid, rnk, nid, round(c, 6) AS cos
         |FROM (SELECT qid, nid, c,
         |        row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rnk
