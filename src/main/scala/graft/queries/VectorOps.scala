@@ -189,6 +189,32 @@ object VectorOps {
       .orderBy("qid", "rnk")
   }
 
+  /** Exact filtered top-k: like [[bruteForceTopK]] but each query only
+    * competes within its own label class. The label equality is an equi key,
+    * so Catalyst plans a broadcast HASH join (the unfiltered baseline needs
+    * a nested loop) — the filter makes the exact path cheaper, not dearer.
+    * Shared exact baseline for `sim_filtered_topk` and the filtered-IVF
+    * recall gate. */
+  private[queries] def filteredExactTopK(s: SparkSession, d: String, topK: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val en = withNorm(Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"),
+        col("label")))
+    val q = broadcast(en.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("nrm").as("qn"), col("label").as("ql")))
+    val scored = en.join(q,
+        col("label") === col("ql") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("c"))
+    val w = Window.partitionBy("qid").orderBy(col("c").desc, col("nid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nid"),
+        round(col("c"), 6).as("cos"))
+      .orderBy("qid", "rnk")
+  }
+
   /** One-row recall certificate: fraction of query points whose exact top-1
     * neighbor appears in the approximate top-k, gated at `floor`. The DuckDB
     * oracle states the expected outcome from the data alone (`n_queries` =
@@ -338,6 +364,47 @@ object VectorOps {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)
       .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nid"), round(col("c"), 6).as("cos"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Filtered IVF top-k: the metadata predicate composed with cell pruning.
+    * The inverted file carries the filter attribute (label) alongside the
+    * cell id — the standard way vector stores serve filtered ANN without
+    * post-filtering away the whole shortlist. Candidate generation joins on
+    * BOTH (cell, label) as equi keys, so a query scans only the slice of
+    * each probed cell that already satisfies its predicate; at 100 TB that
+    * is nProbe/k of the corpus further cut by label selectivity, and the
+    * join stays a plain hash join on a composite key. */
+  private[queries] def annIvfFilteredTopK(s: SparkSession, d: String,
+      k: Int, nProbe: Int, topK: Int): DataFrame = {
+    val sample = indexSample(embOf(s, d), d)
+    val centers = lloyd(sample, k, iters = 10)
+    val assignU = udf((e: Seq[Double]) => nearestCells(centers, e.toArray, 1).head)
+    val embL = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"),
+        col("label"))
+    // label-carrying inverted file: its own durable artifact (same cells as
+    // the unfiltered index, plus the filterable attribute per entry)
+    val inverted = shared(s, s"ivf_inverted_flt:$d:${dataFp(d)}:$k")(
+      withNorm(embL).withColumn("cell", assignU(col("e")))
+        .select(col("vec_id"), col("label"), col("cell"), col("e"), col("nrm")))
+    val probe = udf((qe: Seq[Double]) => nearestCells(centers, qe.toArray, nProbe))
+    val queries = inverted.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("nrm").as("qn"), col("label").as("ql"))
+      .withColumn("qcell", explode(probe(col("qe"))))
+    val corpus = inverted.select(col("vec_id").as("nid"), col("label").as("nl"),
+      col("cell").as("ncell"), col("e"), col("nrm"))
+    val w = Window.partitionBy("qid").orderBy(col("c").desc, col("nid"))
+    queries.join(corpus,
+        col("qcell") === col("ncell") && col("ql") === col("nl"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("c"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nid"),
+        round(col("c"), 6).as("cos"))
       .orderBy("qid", "rnk")
   }
 
@@ -581,27 +648,9 @@ object VectorOps {
     // key, so the broadcast query sample hash-joins on label and the
     // non-equi self-exclusion is a residual — per-query scoring work drops
     // from |corpus| to |label class|, and Catalyst picks a hash join where
-    // the unfiltered baseline needs a nested loop. With an IVF index the
-    // same predicate composes with cell pruning (filter the inverted file
-    // before ADC scoring).
-    "sim_filtered_topk" -> ((s, d) => {
-      val en = withNorm(Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"),
-          col("label")))
-      val q = broadcast(en.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("e").as("qe"),
-          col("nrm").as("qn"), col("label").as("ql")))
-      val scored = en.join(q,
-          col("label") === col("ql") && col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("nid"),
-          (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("c"))
-      val w = Window.partitionBy("qid").orderBy(col("c").desc, col("nid"))
-      scored.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
-        .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nid"),
-          round(col("c"), 6).as("cos"))
-        .orderBy("qid", "rnk")
-    }),
+    // the unfiltered baseline needs a nested loop. The IVF-composed variant
+    // (`ann_ivf_filtered_topk`) prunes by cell AND label together.
+    "sim_filtered_topk" -> ((s, d) => filteredExactTopK(s, d, topK = 3)),
 
     // ---- approximate ANN: multi-table sign-LSH, compare within buckets ----
     // Standard OR-amplification: L tables of k hyperplane sign bits each; a
@@ -853,6 +902,23 @@ object VectorOps {
         annIvfTopK(s, emb, d, k = 16, nProbe = 4, topK = 3), floor = 0.5)
     }),
 
+    // ---- filtered IVF ANN: cell pruning composed with the label filter ----
+    // Approximate counterpart of sim_filtered_topk: the inverted file
+    // carries the label, candidates come from an equi-join on (cell,
+    // label). No SQL oracle (trained codebook); the recall gate below
+    // compares against the exact filtered baseline.
+    // nProbe 8 (vs 4 unfiltered): under a selective filter the nearest
+    // QUALIFYING neighbor is farther than the nearest overall, so filtered
+    // search widens the probe set — the standard filtered-ANN remedy.
+    "ann_ivf_filtered_topk" -> ((s, d) =>
+      annIvfFilteredTopK(s, d, k = 16, nProbe = 8, topK = 3)),
+
+    // ---- driver-green recall gate for ann_ivf_filtered_topk (floor 0.5) ----
+    "ann_ivf_filtered_recall_gate" -> ((s, d) =>
+      recallGate(
+        shared(s, s"bf_filt_top1:$d:${dataFp(d)}")(filteredExactTopK(s, d, 1)),
+        annIvfFilteredTopK(s, d, k = 16, nProbe = 8, topK = 3), floor = 0.5)),
+
     // ---- PQ-ADC ANN: product-quantized codes + asymmetric distance ----
     // The memory-compression scale path (codes + norm instead of raw
     // vectors at query time); exact re-rank of the PQ shortlist. No SQL
@@ -1004,6 +1070,14 @@ object VectorOps {
     "ann_ivf_recall_gate" ->
       """SELECT count(*) AS n_queries, true AS recall_ok
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+    // n_queries counts only queries with >=1 same-label neighbor: a query
+    // alone in its label class has no exact top-1, so the gate's per-query
+    // join drops it on both engines.
+    "ann_ivf_filtered_recall_gate" ->
+      """SELECT count(*) AS n_queries, true AS recall_ok
+        |FROM embeddings q WHERE q.vec_id % 50 = 0
+        |  AND EXISTS (SELECT 1 FROM embeddings e
+        |              WHERE e.label = q.label AND e.vec_id != q.vec_id)""".stripMargin,
     "ann_pq_recall_gate" ->
       """SELECT count(*) AS n_queries, true AS recall_ok
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
