@@ -52,8 +52,15 @@ object Bench {
       errors: Map[String, String], total: Double, sfDir: String,
       budget: Int = LineBudget): String = {
     def jstr(s: String): String = Json.str(s)
+    // Errors render GROUPED BY MESSAGE — {"<msg>": ["name", ...]} — because
+    // failures are correlated: round 7's single root cause produced 48
+    // identical 200-char messages, and a flat name->msg map blew the line
+    // budget so hard that every per-query timing was evicted. Grouped, a
+    // shared root cause costs its message once plus the name list.
     def errsJson(es: Map[String, String]): String =
-      es.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+      es.groupBy(_._2).toSeq.sortBy(_._1).map { case (msg, kvs) =>
+        s"${jstr(msg)}:${kvs.keys.toSeq.sorted.map(jstr).mkString("[", ",", "]")}"
+      }.mkString("{", ",", "}")
     var errs = errsJson(errors)
     val families: Seq[(String, String => Boolean)] = Seq(
       "wdi_stats_total" -> (n => n.startsWith("wdi_") && n != "wdi_front_half"),
@@ -91,6 +98,29 @@ object Bench {
         foldN += famKey -> in.size
         line = render(entries, foldN)
       }
+    }
+    // Fold FAILED entries by family only when healthy folding wasn't enough:
+    // every failed name stays visible in the message-grouped errors map, so
+    // the v<0 convention degrades to per-family negative sums instead of
+    // evicting healthy timings (round 7 lost every per-query time to 48
+    // correlated failures; the timings matter more than 48 copies of -0.5).
+    val failIt = families.iterator
+    while (line.length > budget && failIt.hasNext) {
+      val (famKey, pred) = failIt.next()
+      val (in, out) = entries.partition { case (n, v) => pred(n) && v < 0 }
+      if (in.nonEmpty) {
+        val k = famKey.stripSuffix("_total") + "_failed_total"
+        entries = out :+ (k -> in.map(_._2).sum)
+        foldN += k -> in.size
+        line = render(entries, foldN)
+      }
+    }
+    // shrink error messages before evicting any timing data: grouped errors
+    // keep all NAMES; only the message text loses detail (full text is in
+    // the bench_full.json sidecar)
+    if (line.length > budget) {
+      errs = errsJson(errors.map { case (k, v) => k -> v.take(60) })
+      line = render(entries, foldN)
     }
     if (line.length > budget) // last resort: totals plus FAILED entries only
       // (a failed query's negative time must stay visible alongside its

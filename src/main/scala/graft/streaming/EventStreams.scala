@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Structured Streaming surface over the `events` schema.
   *
@@ -24,6 +25,50 @@ case class Session(user_id: Long, session_start: Timestamp,
 case class OpenSession(start: Long, last: Long, n: Long, total: Double)
 
 object EventStreams {
+
+  /** Open a parquet file-stream of event files with `ts` normalized to
+    * TimestampType event time, the read schema DERIVED FROM THE PARQUET
+    * FOOTER — never pinned. The driver has shipped events.ts as int64 nanos
+    * and as timestamp[us] across data generations, and a pinned `ts BIGINT`
+    * schema turned the latter into silently 1000x-shrunk timestamps (the
+    * round-7 regression: windows/sessions/join-intervals collapsed with no
+    * error). Branching on the footer's logical type makes wrong-scale event
+    * time structurally impossible; an unknown encoding throws at build.
+    * `opts` go to BOTH the schema-discovery batch read and the stream source
+    * (pathGlobFilter must filter identically for the schema to match). */
+  private def openEventsStream(s: SparkSession, dir: String,
+      opts: Map[String, String] = Map.empty): DataFrame = {
+    val fileSchema =
+      opts.foldLeft(s.read)((r, kv) => r.option(kv._1, kv._2)).parquet(dir).schema
+    val df = opts.foldLeft(s.readStream.schema(fileSchema))(
+      (r, kv) => r.option(kv._1, kv._2)).parquet(dir)
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType    => df
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts: unhandled stream encoding $other — extend openEventsStream")
+    }
+  }
+
+  /** Write `part` as a SINGLE parquet file named `name` inside `tmp`: the
+    * file-stream source orders micro-batches by mtime, which callers pin
+    * explicitly after staging. Staged frames carry ts as TimestampType (the
+    * openEventsStream no-conversion branch), so a staged directory has ONE
+    * schema regardless of the source file's physical ts encoding. */
+  private def stageFile(tmp: java.nio.file.Path, name: String, part: DataFrame): Unit = {
+    val dir = tmp.resolve(name + "_dir")
+    part.coalesce(1).write.parquet(dir.toString)
+    val file = java.nio.file.Files.list(dir)
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.move(file, tmp.resolve(name))
+    new scala.reflect.io.Directory(dir.toFile).deleteRecursively()
+  }
+
+  /** Batch events normalized for staging: ts as TimestampType (epoch-micros
+    * exact — `timestamp_micros`, not a lossy double division). */
+  private def stagedEvents(s: SparkSession, d: String): DataFrame =
+    graft.Tables.events(s, d).withColumn("ts", timestamp_micros(col("ts")))
 
   /** Tumbling event-time window counts per event type; late data beyond the
     * watermark is dropped, so state per (window, type) is finite. */
@@ -138,16 +183,10 @@ object EventStreams {
     * EAGER BY DESIGN: the drain runs at construction (it IS the streaming
     * execution under test); the returned plan reads the memory sink. */
   def drainWindowedCounts(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "set spark.sql.legacy.parquet.nanosAsLong=true at session build to read events.parquet")
     val name = "graft_stream_win_counts"
-    val src = s.readStream
-      .schema("event_id BIGINT, user_id BIGINT, ts BIGINT, event_type STRING, value DOUBLE")
-      // the streaming file source wants a DIRECTORY; select just the events
-      // file out of the shared sfDir (raw nanos under nanosAsLong)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // the streaming file source wants a DIRECTORY; select just the events
+    // file out of the shared sfDir
+    val src = openEventsStream(s, d, Map("pathGlobFilter" -> "events.parquet"))
     val q = windowedTypeCounts(src, windowLen = "1 day", watermark = "1 hour")
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Complete())
@@ -169,39 +208,27 @@ object EventStreams {
     * totals are rounded to absorb sequential-double vs exact-decimal ulps.
     * EAGER BY DESIGN: the drain runs at construction. */
   def drainSessions(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "set spark.sql.legacy.parquet.nanosAsLong=true at session build to read events.parquet")
     import s.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sess")
     sys.addShutdownHook {
       new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
     }
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(d, "events.parquet"), tmp.resolve("a_events.parquet"))
-    def sentinel(name: String, nanos: Long): Unit = {
-      val dir = tmp.resolve(name + "_dir")
-      Seq((-1L, -1L, nanos, "sentinel", 0.0))
-        .toDF("event_id", "user_id", "ts", "event_type", "value")
-        .coalesce(1).write.parquet(dir.toString)
-      val part = java.nio.file.Files.list(dir).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
-      java.nio.file.Files.move(part, tmp.resolve(name))
-      new scala.reflect.io.Directory(dir.toFile).deleteRecursively()
-    }
-    // ~2100-01-01 and +1 day, in nanos; mtime order a_ < y_ < z_ is set
-    // explicitly so the file source's oldest-first ordering is deterministic
-    sentinel("y_sentinel1.parquet", 4102444800L * 1000000000L)
-    sentinel("z_sentinel2.parquet", 4102531200L * 1000000000L)
+    stageFile(tmp, "a_events.parquet", stagedEvents(s, d))
+    def sentinel(name: String, micros: Long): Unit =
+      stageFile(tmp, name,
+        Seq((-1L, -1L, micros, "sentinel", 0.0))
+          .toDF("event_id", "user_id", "ts", "event_type", "value")
+          .withColumn("ts", timestamp_micros(col("ts"))))
+    // ~2100-01-01 and +1 day; mtime order a_ < y_ < z_ is set explicitly so
+    // the file source's oldest-first ordering is deterministic
+    sentinel("y_sentinel1.parquet", 4102444800L * 1000000L)
+    sentinel("z_sentinel2.parquet", 4102531200L * 1000000L)
     Seq("a_events.parquet", "y_sentinel1.parquet", "z_sentinel2.parquet")
       .zipWithIndex.foreach { case (f, i) =>
         java.nio.file.Files.setLastModifiedTime(tmp.resolve(f),
           java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
       }
-    val src = s.readStream
-      .schema("event_id BIGINT, user_id BIGINT, ts BIGINT, event_type STRING, value DOUBLE")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(tmp.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = openEventsStream(s, tmp.toString, Map("maxFilesPerTrigger" -> "1"))
       .as[Event]
     val name = "graft_stream_sessions"
     val q = sessionize(src, gapMinutes = 30, watermark = "1 hour")
@@ -228,23 +255,18 @@ object EventStreams {
     * the finite gate data is the point.)
     * EAGER BY DESIGN: the drain runs at construction. */
   def drainDedup(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "set spark.sql.legacy.parquet.nanosAsLong=true at session build to read events.parquet")
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
     sys.addShutdownHook {
       new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
     }
+    stageFile(tmp, "a_events.parquet", stagedEvents(s, d))
+    java.nio.file.Files.copy(
+      tmp.resolve("a_events.parquet"), tmp.resolve("b_replay.parquet"))
     Seq("a_events.parquet", "b_replay.parquet").zipWithIndex.foreach { case (f, i) =>
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(d, "events.parquet"), tmp.resolve(f))
       java.nio.file.Files.setLastModifiedTime(tmp.resolve(f),
         java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
     }
-    val src = s.readStream
-      .schema("event_id BIGINT, user_id BIGINT, ts BIGINT, event_type STRING, value DOUBLE")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(tmp.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = openEventsStream(s, tmp.toString, Map("maxFilesPerTrigger" -> "1"))
     val name = "graft_stream_dedup"
     val q = dedupStream(src, watermark = "36500 days")
       .writeStream.format("memory").queryName(name)
@@ -266,13 +288,7 @@ object EventStreams {
     * emits every qualifying pair; the oracle is the equivalent batch
     * self-join. EAGER BY DESIGN: the drain runs at construction. */
   def drainIntervalJoin(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "set spark.sql.legacy.parquet.nanosAsLong=true at session build to read events.parquet")
-    def src() = s.readStream
-      .schema("event_id BIGINT, user_id BIGINT, ts BIGINT, event_type STRING, value DOUBLE")
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def src() = openEventsStream(s, d, Map("pathGlobFilter" -> "events.parquet"))
     val clicks = src().filter(col("event_type") === "click")
     val buys = src().filter(col("event_type") === "purchase")
     val name = "graft_stream_ijoin"
@@ -297,12 +313,7 @@ object EventStreams {
     * oracle runs. Decimal sums keep totals independent of micro-batch
     * boundaries. EAGER BY DESIGN: the drain runs at construction. */
   def drainStreamStaticJoin(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "set spark.sql.legacy.parquet.nanosAsLong=true at session build to read events.parquet")
-    val src = s.readStream
-      .schema("event_id BIGINT, user_id BIGINT, ts BIGINT, event_type STRING, value DOUBLE")
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
+    val src = openEventsStream(s, d, Map("pathGlobFilter" -> "events.parquet"))
     val dim = graft.Tables.customer(s, d)
       .select(col("c_custkey"), col("c_mktsegment"))
     val name = "graft_stream_static"
@@ -361,38 +372,27 @@ object EventStreams {
     * doubles), which is exactly the incremental == batch claim.
     * EAGER BY DESIGN: the drain runs at construction. */
   def drainEwma(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "set spark.sql.legacy.parquet.nanosAsLong=true at session build to read events.parquet")
     import s.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ewma")
     sys.addShutdownHook {
       new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
     }
-    // raw nanos under nanosAsLong; same null filter as the batch kernel
-    val raw = s.read.parquet(s"$d/events.parquet").filter(col("value").isNotNull)
+    // normalized epoch-micros view (same null filter as the batch kernel);
+    // the midpoint math runs on the BIGINT micros column
+    val raw = graft.Tables.events(s, d).filter(col("value").isNotNull)
     val bounds = raw.agg(min(col("ts")), max(col("ts"))).head()
     val mid = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
-    def stage(name: String, part: DataFrame): Unit = {
-      val dir = tmp.resolve(name + "_dir")
-      part.coalesce(1).write.parquet(dir.toString)
-      val file = java.nio.file.Files.list(dir)
-        .filter(_.toString.endsWith(".parquet")).findFirst().get()
-      java.nio.file.Files.move(file, tmp.resolve(name))
-      new scala.reflect.io.Directory(dir.toFile).deleteRecursively()
-    }
     // strict split: a key's batch-1 rows all precede its batch-2 rows in
     // event time, so per-key order across batches is preserved by mtime
-    stage("a_early.parquet", raw.filter(col("ts") < mid))
-    stage("b_late.parquet", raw.filter(col("ts") >= mid))
+    def staged(part: DataFrame): DataFrame =
+      part.withColumn("ts", timestamp_micros(col("ts")))
+    stageFile(tmp, "a_early.parquet", staged(raw.filter(col("ts") < mid)))
+    stageFile(tmp, "b_late.parquet", staged(raw.filter(col("ts") >= mid)))
     Seq("a_early.parquet", "b_late.parquet").zipWithIndex.foreach { case (f, i) =>
       java.nio.file.Files.setLastModifiedTime(tmp.resolve(f),
         java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
     }
-    val src = s.readStream
-      .schema("event_id BIGINT, user_id BIGINT, ts BIGINT, event_type STRING, value DOUBLE")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(tmp.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = openEventsStream(s, tmp.toString, Map("maxFilesPerTrigger" -> "1"))
       .as[Event]
     val name = "graft_stream_ewma"
     val q = ewmaStream(src, alpha = 0.2, beta = 0.8)
@@ -407,12 +407,13 @@ object EventStreams {
       .orderBy("event_id")
   }
 
-  /** Batch view of the events parquet as the streaming Event dataset. */
+  /** Batch view of the events parquet as the streaming Event dataset
+    * (`timestamp_micros` — exact, not a lossy double division). */
   def batchEvents(spark: SparkSession, sfDir: String): Dataset[Event] = {
     import spark.implicits._
     graft.Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"),
-        (col("ts") / 1000000L).cast("timestamp").as("ts"),
+        timestamp_micros(col("ts")).as("ts"),
         col("event_type"), col("value"))
       .as[Event]
   }

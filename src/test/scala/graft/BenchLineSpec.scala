@@ -36,7 +36,30 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.length <= Bench.LineBudget)
     assert(line.contains("\"text_broken_query\":-0.5"),
       s"failed query's negative time folded away: $line")
-    assert(line.contains("\"text_broken_query\":\"boom\""))
+    assert(line.contains("\"boom\":[\"text_broken_query\"]"))
+  }
+
+  test("50 same-message failures stay compact and timings survive") {
+    // round 7: one root cause -> 48 identical errors -> flat errors map blew
+    // the budget and evicted EVERY timing. Grouped by message, the healthy
+    // queries' numbers must survive alongside the failures.
+    val msg = "[DATATYPE_MISMATCH.BINARY_OP_DIFF_TYPES] Cannot resolve " +
+      "\"(ts div 1000)\" due to data type mismatch: the left and right " +
+      "operands of the binary operator have incompatible types " +
+      "(\"TIMESTAMP_NTZ\" and \"BIGINT\")."
+    val failed = (1 to 50).map(i => s"events_failing_query_$i")
+    val results = (1 to 60).map(i => s"tpch_q$i" -> 0.4) ++
+      (1 to 60).map(i => s"text_op_number_$i" -> 0.1) ++
+      failed.map(_ -> -0.5)
+    val line = Bench.foldedLine(results, failed.map(_ -> msg).toMap,
+      36.0, "/tmp/sf")
+    assert(line.length <= Bench.LineBudget, s"line is ${line.length} chars")
+    assert(parseable(line))
+    // the shared message appears ONCE, and per-query timing data survived
+    assert(line.indexOf("BINARY_OP_DIFF_TYPES") ==
+      line.lastIndexOf("BINARY_OP_DIFF_TYPES"))
+    assert(line.contains("_total\":") || line.contains("\"tpch_q1\":0.400"),
+      s"healthy timings evicted: $line")
   }
 
   test("a small registry stays flat (no folding)") {
