@@ -193,6 +193,46 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // ---- DSIR-style importance resampling toward a target domain ----
+    // Data Selection via Importance Resampling (Xie et al. 2023): score
+    // every raw doc by how target-like it is — log w(x) = log p_t(x) -
+    // log p_r(x) under add-1-smoothed unigram LMs fit on the target slice
+    // (lang = 'en', the domain to upweight) and on the whole corpus — then
+    // draw WITHOUT replacement via Gumbel-top-k: rank by lw + Gumbel noise
+    // and keep the top 100. The Gumbel uses the same deterministic
+    // multiplicative-hash uniform as sample_mixture (exact integer
+    // arithmetic, identical both engines), so the "random" draw is
+    // reproducible, shard-stable, and oracle-checkable. Scale shape: both
+    // LMs are one vocab-sized groupBy broadcast back onto a single exploded
+    // pass; scoring is per-row; selection is a global top-k (TakeOrdered —
+    // never a full sort); the 100-row window ranks AFTER the limit.
+    "sample_dsir" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"), col("lang"), explode(toks).as("w"))
+      val raw = tok.groupBy("w").agg(count(lit(1)).as("cr"))
+      val tgt = tok.filter(col("lang") === "en")
+        .groupBy("w").agg(count(lit(1)).as("ct"))
+      val st = raw.agg(sum("cr").as("nr"), count(lit(1)).as("v"))
+        .crossJoin(tok.filter(col("lang") === "en").agg(count(lit(1)).as("nt")))
+      val lm = raw.join(tgt, Seq("w"), "left")
+        .select(col("w"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+      val lw = tok.join(broadcast(lm), "w").crossJoin(broadcast(st))
+        .groupBy("doc_id")
+        .agg(sum(
+          log((col("ct") + 1).cast("double") / (col("nt") + col("v"))) -
+            log((col("cr") + 1).cast("double") / (col("nr") + col("v")))).as("lw"))
+      val u = ((col("doc_id") % 16777216L) * 2654435761L % 16777216L +
+        lit(0.5)) / lit(16777216.0)
+      val scored = lw.join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("score", round(col("lw") - log(-log(u)), 6))
+        .select("doc_id", "lang", "score")
+      scored.orderBy(col("score").desc, col("doc_id")).limit(100)
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .orderBy("rnk")
+    }),
+
     // ---- per-source winsorized robust stats (outlier-clipped moments) ----
     // The curation primitive for length-outlier handling: per source, find
     // the exact p05/p95 of n_chars (Spark `percentile` and DuckDB
@@ -430,6 +470,33 @@ object Curation {
         |JOIN uni pu ON pairs.p = pu.w
         |JOIN uni cu ON pairs.c = cu.w, tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "sample_dsir" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |raw AS (SELECT w, count(*) AS cr FROM tok GROUP BY w),
+        |tgt AS (SELECT w, count(*) AS ct FROM tok WHERE lang = 'en'
+        |        GROUP BY w),
+        |st AS (SELECT (SELECT count(*) FROM tok) AS nr,
+        |              (SELECT count(*) FROM tok WHERE lang = 'en') AS nt,
+        |              (SELECT count(*) FROM raw) AS v),
+        |lm AS (SELECT raw.w, raw.cr, coalesce(tgt.ct, 0) AS ct
+        |       FROM raw LEFT JOIN tgt USING (w)),
+        |lw AS (
+        |  SELECT t.doc_id,
+        |    sum(ln(CAST(lm.ct + 1 AS DOUBLE) / (st.nt + st.v)) -
+        |        ln(CAST(lm.cr + 1 AS DOUBLE) / (st.nr + st.v))) AS lw
+        |  FROM tok t JOIN lm ON t.w = lm.w, st GROUP BY t.doc_id),
+        |k AS (
+        |  SELECT d.doc_id, d.lang,
+        |    round(lw.lw - ln(-ln(
+        |      ((d.doc_id % 16777216) * 2654435761 % 16777216 + 0.5)
+        |        / 16777216.0)), 6) AS score
+        |  FROM lw JOIN documents d USING (doc_id))
+        |SELECT doc_id, lang, score, rnk FROM (
+        |  SELECT doc_id, lang, score,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+        |  FROM k) WHERE rnk <= 100 ORDER BY rnk""".stripMargin,
     "f8_higher_order_fns" ->
       """SELECT doc_id,
         |  CAST(len(l) AS BIGINT) AS n_tok,

@@ -408,48 +408,56 @@ object VectorOps {
       .orderBy("qid", "rnk")
   }
 
-  /** Deterministic ±1 hyperplanes from md5 — w(p,i) = +1 iff the low bit of
-    * the first byte of md5("hp_<p>_<i>") is set, which is exactly the parity
-    * of `substring(md5('hp_' || p || '_' || i), 2, 1)` in DuckDB. The planes
-    * are therefore a pure cross-engine function of (p, i): the oracle SQL
-    * rebuilds them and the whole index becomes hash-checkable, unlike the
-    * trained k-means codebooks of the IVF family. */
-  private[queries] def md5SignPlanes(nPlanes: Int, dim: Int): Array[Array[Double]] =
-    Array.tabulate(nPlanes, dim) { (p, i) =>
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"hp_${p}_$i".getBytes("UTF-8"))
-      if ((h(0) & 1) == 1) 1.0 else -1.0
-    }
+  /** The 16 deterministic anchor ids: an arithmetic progression over vec_id
+    * (7, 38, ..., 472 — every corpus SF has them), so both engines name the
+    * same 16 corpus vectors with zero training. */
+  private val AnchorIds: Seq[Long] = (0 until 16).map(i => 7L + 31L * i)
 
-  /** Filtered ANN with a DETERMINISTIC coarse quantizer — the fully-oracled
-    * member of the filtered-ANN family. Cells are 4 sign bits of md5-derived
-    * hyperplane projections (16 cells); each query probes its own cell plus
-    * the 4 Hamming-1 neighbors (flipping one sign bit is exactly the "close
-    * to a plane" failure mode of sign quantization), so candidate generation
-    * is an equi-join on (cell, label) scanning ~5/16 of the label class.
-    * Projections are computed with [[graft.functions.VecDot]], whose
-    * left-to-right IEEE summation matches DuckDB's list_sum bit-for-bit —
-    * the sign bits, and hence the candidate sets and the final top-k, are
-    * identical on both engines, giving this entry an EXACT SQL oracle where
-    * the k-means IVF variant can only offer a recall gate. */
-  private[queries] def annHashFilteredTopK(s: SparkSession, d: String,
+  /** Filtered ANN over a DETERMINISTIC data-anchored inverted file — the
+    * fully-oracled member of the filtered-ANN family. The 16 coarse cells
+    * are anchored on corpus vectors picked by a pure id rule ([[AnchorIds]]
+    * — "random data points as centers", the classic IVF seeding); every
+    * vector belongs to its argmax-cosine anchor, and a query probes its 8
+    * nearest anchors composed with the label equi-key. Anchors are DATA
+    * (not a trained codebook) and every cosine is computed with
+    * [[graft.functions.VecDot]], whose left-to-right IEEE summation is
+    * bit-identical to DuckDB's list_sum — so cells, probe sets and the
+    * final top-k are all reproducible in SQL and the driver hash-checks the
+    * ENTIRE approximate pipeline, where the k-means IVF variant can only
+    * offer a recall floor. (Sign-LSH cells were tried first and measured
+    * 20-30% recall at this data's ~70° neighbor angles; data-adapted
+    * anchors at the same 8/16 probe budget measure 60% at sf0.01 — between
+    * untrained hashing and the trained IVF's 90%, with full oracle coverage
+    * neither of those can offer.)
+    *
+    * Scale shape: anchors broadcast (16 rows); assignment/probing rank the
+    * THIN (vec_id, aid, score) triples — 16 rows per vector, three columns,
+    * never the embedding — and vectors re-join by vec_id afterwards;
+    * candidate generation is an equi-join on (cell, label). */
+  private[queries] def annAnchorFilteredTopK(s: SparkSession, d: String,
       topK: Int): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val planes = md5SignPlanes(4, 64)
-    def planeCol(p: Int) = array(planes(p).toSeq.map(lit): _*)
     val en = withNorm(Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"),
         col("label")))
-    val withCell = en.withColumn("cell",
-      (0 until 4).map(p =>
-        when(dot(col("e"), planeCol(p)) > 0, 1 << p).otherwise(0)).reduce(_ + _))
-    val corpus = withCell.select(col("vec_id").as("nid"), col("label").as("nl"),
-      col("cell").as("ncell"), col("e"), col("nrm"))
-    val queries = withCell.filter(col("vec_id") % 50 === 0)
+    val anchors = broadcast(en.filter(col("vec_id").isin(AnchorIds: _*))
+      .select(expr("(vec_id - 7) div 31").as("aid"),
+        col("e").as("ae"), col("nrm").as("an")))
+    // thin ranking rows: per vector its 16 anchor cosines, ids + score only
+    val ranked = en.crossJoin(anchors)
+      .select(col("vec_id"),
+        col("aid"), (dot(col("e"), col("ae")) / (col("nrm") * col("an"))).as("ac"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ac").desc, col("aid"))))
+    val corpus = en.join(ranked.filter(col("r") === 1)
+        .select(col("vec_id"), col("aid").as("ncell")), "vec_id")
+      .select(col("vec_id").as("nid"), col("label").as("nl"), col("ncell"),
+        col("e"), col("nrm"))
+    val queries = en.filter(col("vec_id") % 50 === 0)
+      .join(ranked.filter(col("r") <= 8)
+        .select(col("vec_id"), col("aid").as("qcell")), "vec_id")
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
-        col("label").as("ql"),
-        explode(array(col("cell") +:
-          Seq(1, 2, 4, 8).map(b => col("cell").bitwiseXOR(lit(b))): _*)).as("qcell"))
+        col("label").as("ql"), col("qcell"))
     val w = Window.partitionBy("qid").orderBy(col("c").desc, col("nid"))
     queries.join(corpus,
         col("qcell") === col("ncell") && col("ql") === col("nl"))
@@ -974,13 +982,13 @@ object VectorOps {
         shared(s, s"bf_filt_top1:$d:${dataFp(d)}")(filteredExactTopK(s, d, 1)),
         annIvfFilteredTopK(s, d, k = 16, nProbe = 8, topK = 3), floor = 0.5)),
 
-    // ---- filtered ANN, deterministic quantizer: EXACT SQL oracle ----
-    // Same filtered-ANN shape as ann_ivf_filtered_topk but the coarse
-    // quantizer is 4 md5-derived hyperplane sign bits instead of a trained
+    // ---- filtered ANN, deterministic anchored quantizer: EXACT oracle ----
+    // Same filtered-ANN shape as ann_ivf_filtered_topk but the coarse cells
+    // anchor on 16 id-selected corpus vectors instead of a trained
     // codebook, so the DuckDB oracle rebuilds the index in SQL and the
     // driver hash-checks the ENTIRE approximate pipeline — cells, probing,
     // candidate sets, scores — not just a recall floor.
-    "ann_hash_filtered_topk" -> ((s, d) => annHashFilteredTopK(s, d, topK = 3)),
+    "ann_anchor_filtered_topk" -> ((s, d) => annAnchorFilteredTopK(s, d, topK = 3)),
 
     // ---- PQ-ADC ANN: product-quantized codes + asymmetric distance ----
     // The memory-compression scale path (codes + norm instead of raw
@@ -1184,39 +1192,38 @@ object VectorOps {
         |        row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rnk
         |      FROM p)
         |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
-    // The deterministic-quantizer filtered ANN is fully reconstructible in
-    // SQL: the ±1 planes come from md5 parity (same bytes both engines),
-    // projections use list_sum's left-to-right order (bit-identical to
-    // VecDot), so cells, probe sets and the final top-k all hash-match.
-    "ann_hash_filtered_topk" ->
-      """WITH pw AS (
-        |  SELECT p, list_transform(range(64), i ->
-        |    CASE WHEN substring(md5('hp_' || p || '_' || i), 2, 1)
-        |         IN ('1','3','5','7','9','b','d','f')
-        |         THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS w
-        |  FROM range(4) t(p)),
-        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
-        |      FROM embeddings),
-        |cells AS (
-        |  SELECT e.vec_id,
-        |    sum(CASE WHEN list_sum(list_transform(list_zip(e.emb, pw.w),
-        |                 s -> s[1]*s[2])) > 0
-        |        THEN (1 << pw.p) ELSE 0 END)::BIGINT AS cell
-        |  FROM e, pw GROUP BY e.vec_id),
-        |ec AS (SELECT e.*, c.cell FROM e JOIN cells c USING (vec_id)),
-        |q AS (SELECT vec_id AS qid, emb AS qe, label AS ql, cell AS qc
-        |      FROM ec WHERE vec_id % 50 = 0),
-        |probe AS (
-        |  SELECT qid, qe, ql,
-        |    UNNEST([qc, xor(qc, 1), xor(qc, 2), xor(qc, 4), xor(qc, 8)]) AS pc
-        |  FROM q),
+    // The anchored-quantizer filtered ANN is fully reconstructible in SQL:
+    // anchors are corpus rows named by a pure id rule, and every cosine
+    // uses list_sum's left-to-right order (bit-identical to VecDot), so
+    // cells, probe sets and the final top-k all hash-match.
+    "ann_anchor_filtered_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+        |           FROM embeddings),
+        |a AS (SELECT (vec_id - 7) // 31 AS aid, emb AS ae FROM e
+        |      WHERE vec_id IN (7, 38, 69, 100, 131, 162, 193, 224, 255, 286,
+        |                       317, 348, 379, 410, 441, 472)),
+        |rk AS (
+        |  SELECT e.vec_id, a.aid,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_sum(list_transform(list_zip(e.emb, a.ae), s -> s[1]*s[2])) /
+        |        (sqrt(list_sum(list_transform(e.emb, x -> x*x))) *
+        |         sqrt(list_sum(list_transform(a.ae, x -> x*x)))) DESC,
+        |      a.aid) AS r
+        |  FROM e, a),
+        |ec AS (SELECT e.*, c.aid AS cell
+        |       FROM e JOIN (SELECT vec_id, aid FROM rk WHERE r = 1) c
+        |       USING (vec_id)),
+        |q AS (SELECT p.qid, e.emb AS qe, e.label AS ql, p.pc
+        |      FROM (SELECT vec_id AS qid, aid AS pc FROM rk
+        |            WHERE r <= 8 AND vec_id % 50 = 0) p
+        |      JOIN e ON e.vec_id = p.qid),
         |p AS (
-        |  SELECT probe.qid, ec.vec_id AS nid,
-        |    list_sum(list_transform(list_zip(probe.qe, ec.emb), s -> s[1]*s[2])) /
-        |      (sqrt(list_sum(list_transform(probe.qe, x -> x*x))) *
+        |  SELECT q.qid, ec.vec_id AS nid,
+        |    list_sum(list_transform(list_zip(q.qe, ec.emb), s -> s[1]*s[2])) /
+        |      (sqrt(list_sum(list_transform(q.qe, x -> x*x))) *
         |       sqrt(list_sum(list_transform(ec.emb, x -> x*x)))) AS c
-        |  FROM probe JOIN ec ON ec.label = probe.ql AND ec.cell = probe.pc
-        |    AND ec.vec_id != probe.qid)
+        |  FROM q JOIN ec ON ec.label = q.ql AND ec.cell = q.pc
+        |    AND ec.vec_id != q.qid)
         |SELECT qid, rnk, nid, round(c, 6) AS cos
         |FROM (SELECT qid, nid, c,
         |        row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rnk

@@ -83,4 +83,26 @@ class CurationSpec extends SparkSpec {
       s"quoting doc should overlap in 4 shingles, got ${hits.get(7L)}")
     assert(!hits.contains(8L), "clean doc must not be flagged")
   }
+
+  test("sample_dsir selects 100 docs, deterministically, biased toward the target") {
+    val sel = graft.SparkEntry.queries("sample_dsir")(spark, Sf).collect()
+    assert(sel.length == 100)
+    assert(sel.map(_.getAs[Long]("rnk")).toSeq == (1L to 100L).toSeq,
+      "ranks must be contiguous 1..100")
+    val scores = sel.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "Gumbel-perturbed scores must be non-increasing in rank")
+    // deterministic redraw: the Gumbel noise is a pure doc_id function
+    val again = graft.SparkEntry.queries("sample_dsir")(spark, Sf)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(again == sel.map(_.getAs[Long]("doc_id")).toSeq,
+      "resampling must reproduce the identical draw")
+    // importance weighting must overrepresent the target domain (lang=en)
+    // relative to its corpus share (fixed data: 43 vs ~38.6 at sf0.001)
+    val enSel = sel.count(_.getAs[String]("lang") == "en")
+    val docs = graft.Tables.documents(spark, Sf)
+    val enShare = docs.filter(col("lang") === "en").count().toDouble / docs.count()
+    assert(enSel > enShare * 100,
+      s"selected en count $enSel not above corpus share ${enShare * 100}")
+  }
 }

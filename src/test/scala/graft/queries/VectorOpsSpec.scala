@@ -85,4 +85,37 @@ class VectorOpsSpec extends SparkSpec {
     assert(lsh == exact,
       s"LSH missed ${(exact -- lsh).take(5)}, extra ${(lsh -- exact).take(5)}")
   }
+
+  test("anchored filtered ANN: neighbors share the query's label, ranks are sane") {
+    val labels = graft.Tables.embeddings(spark, Sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Number]("label").longValue()).toMap
+    val rows = VectorOps.queries("ann_anchor_filtered_topk")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    // the label predicate composed with cell pruning must never leak a
+    // cross-label candidate into the results
+    assert(rows.forall(r =>
+      labels(r.getAs[Long]("qid")) == labels(r.getAs[Long]("nid"))),
+      "a neighbor escaped the label filter")
+    // per query: ranks start at 1, are contiguous, and cosines non-increasing
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq == (1L to sorted.length).toSeq,
+        s"query $q ranks not contiguous")
+      val cs = sorted.map(_.getAs[Double]("cos")).toSeq
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+        s"query $q cosines not non-increasing")
+    }
+    // the anchored index must beat blind hashing: exact filtered top-1
+    // found in the approximate top-3 for at least a third of the queries
+    // (measured 60% at sf0.01; sign-LSH cells managed 20-30%)
+    val exact = VectorOps.queries("sim_filtered_topk")(spark, Sf)
+      .collect().filter(_.getAs[Long]("rnk") == 1L)
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("nid")).toMap
+    val approx = rows.groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("nid")).toSet).toMap
+    val hits = exact.count { case (q, n1) => approx.getOrElse(q, Set.empty).contains(n1) }
+    assert(hits.toDouble / exact.size >= 1.0 / 3,
+      s"anchored recall ${hits.toDouble / exact.size} of ${exact.size} queries")
+  }
 }
