@@ -578,6 +578,14 @@ object LlmText {
     "stream_interval_join" -> ((s, d) =>
       graft.streaming.EventStreams.drainIntervalJoin(s, d)),
 
+    // ---- streaming drain: LEFT-OUTER interval join, driver-checked ----
+    // The outer variant exercises state EVICTION: an unmatched click is
+    // held until no purchase can still match, then emitted null-extended —
+    // watermark-advancing sentinel batches flush every held row before the
+    // stream ends. Must hash-match the batch LEFT JOIN oracle.
+    "stream_interval_join_outer" -> ((s, d) =>
+      graft.streaming.EventStreams.drainIntervalJoinOuter(s, d)),
+
     // ---- streaming drain: stream-static enrichment join, driver-checked --
     // Stateless per-micro-batch broadcast join against the static customer
     // dimension; the drained aggregate must equal the batch join oracle.
@@ -986,6 +994,14 @@ object LlmText {
         |FROM events c JOIN events p
         |  ON c.user_id = p.user_id
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 15 MINUTE
+        |ORDER BY left_id, right_id""".stripMargin,
+    "stream_interval_join_outer" ->
+      """SELECT c.user_id, c.event_id AS left_id, epoch_us(c.ts) AS left_us,
+        |       p.event_id AS right_id, epoch_us(p.ts) AS right_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
         | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 15 MINUTE
         |ORDER BY left_id, right_id""".stripMargin,
     "stream_static_join" ->

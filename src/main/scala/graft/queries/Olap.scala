@@ -133,6 +133,31 @@ object Olap {
         .orderBy("event_id")
     }),
 
+    // ---- daily anomaly flags: z-score of per-type event volume ----
+    // The data-quality monitor every ingest pipeline runs: aggregate
+    // events to (event_type, day) counts, score each day against its
+    // type's own mean/sd, flag |z| > 2. Two thin aggregations — the daily
+    // rollup partial-aggregates on a bounded key space (types x days),
+    // and the per-type moments are a window over that ALREADY-AGGREGATED
+    // frame (partition size = days per type, never raw events). The
+    // z-score and flag are per-row arithmetic; round(6) absorbs
+    // stddev-path ulps as in a3. sd is NULL for a single-day type on both
+    // engines (flag false via null comparison semantics -> coalesce).
+    "events_anomaly" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("event_type"), expr("ts div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type")
+      daily.select(col("event_type"), col("day"), col("n"),
+          avg(col("n")).over(w).as("mu"),
+          stddev_samp(col("n")).over(w).as("sd"))
+        .select(col("event_type"), col("day"), col("n"),
+          round((col("n") - col("mu")) / col("sd"), 6).as("z"),
+          coalesce(abs((col("n") - col("mu")) / col("sd")) > 2, lit(false))
+            .as("is_anomaly"))
+        .orderBy("event_type", "day")
+    }),
+
     // ---- W8: value window functions (first/last/nth/lead) over an
     // explicit full-partition frame and a total per-user order ----
     "w8_value_windows" -> ((s, d) => {
@@ -417,6 +442,20 @@ object Olap {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_ff
         |FROM g LEFT JOIN d ON g.user_id = d.user_id AND g.day = d.day
         |ORDER BY g.user_id, g.day""".stripMargin,
+    "events_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         count(*) AS n
+        |  FROM events GROUP BY event_type, day),
+        |m AS (
+        |  SELECT event_type, day, n,
+        |    avg(n) OVER (PARTITION BY event_type) AS mu,
+        |    stddev_samp(n) OVER (PARTITION BY event_type) AS sd
+        |  FROM daily)
+        |SELECT event_type, day, n,
+        |  round((n - mu) / sd, 6) AS z,
+        |  coalesce(abs((n - mu) / sd) > 2, false) AS is_anomaly
+        |FROM m ORDER BY event_type, day""".stripMargin,
     "a10_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -834,7 +834,33 @@ object VectorOps {
         .groupBy("cluster_rep").agg(count(lit(1)).as("cluster_size"))
         .groupBy("cluster_size")
         .agg(count(lit(1)).cast("long").as("n_clusters"))
-        .orderBy("cluster_size"))
+        .orderBy("cluster_size")),
+
+    // ---- graph analytics: triangle counts over the near-dup graph ----
+    // Triangles measure how CLIQUE-LIKE each dup cluster is — the dedup
+    // auditor's signal that a component is one tight copy-family rather
+    // than a chain of borderline pairs bridged by threshold noise. The
+    // id-ordered edge list (id_a < id_b from minhashPairs) enumerates each
+    // triangle exactly once via the standard two-join wedge-close: e1(a,b)
+    // ⋈ e2(b,c) makes wedges, e3(a,c) closes them. All three legs are
+    // EQUI-joins on node ids. At 100 TB the classic refinement is to
+    // orient edges low-degree → high-degree instead of by id (bounds wedge
+    // fan-out by sqrt(|E|) under skew); near-dup graphs are small sparse
+    // clusters (the hot-bucket cap upstream bounds any one component), so
+    // id orientation keeps the oracle trivially identical. Per-node counts
+    // emit for participating nodes only.
+    "graph_triangles" -> ((s, d) => {
+      val e = minhashPairs(s, d).select("id_a", "id_b").localCheckpoint(false)
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.id_b") === col("e2.id_a"))
+        .join(e.as("e3"), col("e3.id_a") === col("e1.id_a") &&
+          col("e3.id_b") === col("e2.id_b"))
+        .select(col("e1.id_a").as("a"), col("e1.id_b").as("b"),
+          col("e2.id_b").as("c"))
+      tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+        .orderBy("doc_id")
+    })
   )
 
   /** MinHash-LSH near-duplicate pairs (see the `dedup_minhash_lsh` entry
@@ -1376,6 +1402,32 @@ object VectorOps {
         |  SELECT rep, count(*) AS cluster_size FROM clusters GROUP BY rep)
         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
         |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+    // same all-pairs jaccard >= 0.9 pair CTE as dedup_minhash_lsh, plus the
+    // ordered two-join wedge-close — each triangle counted once per corner
+    "graph_triangles" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+        |         ELSE list_distinct(list_transform(
+        |            range(1, len(string_split(text, ' ')) - 1),
+        |            i -> string_split(text, ' ')[i] || ' ' ||
+        |                 string_split(text, ' ')[i + 1] || ' ' ||
+        |                 string_split(text, ' ')[i + 2]))
+        |    END AS w
+        |  FROM documents),
+        |e AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.w, b.w))::DOUBLE
+        |        / len(list_distinct(a.w || b.w)) >= 0.9),
+        |tri AS (
+        |  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e1.id_b = e2.id_a
+        |  JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b)
+        |SELECT doc_id, count(*) AS n_triangles
+        |FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_minhash_lsh" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -305,6 +305,77 @@ object EventStreams {
       .orderBy("left_id", "right_id")
   }
 
+  /** Drain the LEFT-OUTER watermarked stream-stream interval join: every
+    * click emits either its qualifying purchases (as they arrive, like the
+    * inner join) or, once the watermark passes the end of its join window,
+    * exactly one null-extended row — the state-EVICTION semantics an inner
+    * join never exercises (an unmatched left row must be held until no
+    * right row can still match, then emitted with nulls and dropped).
+    * Two far-future sentinel files staged as extra single-file micro-batches
+    * advance the watermark past every real event (batch N's watermark is
+    * computed from batch N-1's max event time — the drainSessions trick), so
+    * all unmatched clicks flush before the stream ends. The watermark is
+    * applied BEFORE the event-type filter so the sentinel rows advance it on
+    * both input streams; they are filtered from the join inputs and the
+    * result. Oracle: the equivalent batch LEFT JOIN.
+    * EAGER BY DESIGN: the drain runs at construction. */
+  def drainIntervalJoinOuter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ijoin_outer")
+    sys.addShutdownHook {
+      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
+    }
+    stageFile(tmp, "a_events.parquet", stagedEvents(s, d))
+    // Sentinels are a click + purchase PAIR (user -1, filtered from the
+    // result): Catalyst pushes the event_type filter below the
+    // EventTimeWatermark node, so a 'sentinel'-typed row would never reach
+    // the watermark tracker and the join's eviction clock would freeze at
+    // the real data's max (measured: every unmatched click inside the final
+    // watermark+window horizon stayed unflushed). Typed as click/purchase,
+    // the sentinels survive both sides' pushed filters and advance both
+    // watermarks; the same-instant pair matches itself and is dropped by
+    // the user_id >= 0 result filter.
+    def sentinel(name: String, micros: Long): Unit =
+      stageFile(tmp, name,
+        Seq((-1L, -1L, micros, "click", 0.0), (-2L, -1L, micros, "purchase", 0.0))
+          .toDF("event_id", "user_id", "ts", "event_type", "value")
+          .withColumn("ts", timestamp_micros(col("ts"))))
+    // three watermark-advancing batches: state cleanup consumes the
+    // watermark computed from the PREVIOUS batch, so the last real
+    // unmatched rows flush one batch after the first sentinel lands
+    sentinel("y_sentinel1.parquet", 4102444800L * 1000000L)
+    sentinel("z_sentinel2.parquet", 4102531200L * 1000000L)
+    sentinel("zz_sentinel3.parquet", 4102617600L * 1000000L)
+    Seq("a_events.parquet", "y_sentinel1.parquet", "z_sentinel2.parquet",
+        "zz_sentinel3.parquet")
+      .zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.setLastModifiedTime(tmp.resolve(f),
+          java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+      }
+    def src() = openEventsStream(s, tmp.toString, Map("maxFilesPerTrigger" -> "1"))
+      .withWatermark("ts", "30 minutes")
+    val clicks = src().filter(col("event_type") === "click").alias("l")
+    val buys = src().filter(col("event_type") === "purchase").alias("r")
+    val name = "graft_stream_ijoin_outer"
+    val q = clicks.join(buys,
+        col("l.user_id") === col("r.user_id") &&
+          col("l.ts") <= col("r.ts") &&
+          col("l.ts") >= col("r.ts") - expr("INTERVAL 15 minutes"),
+        "leftOuter")
+      .select(col("l.user_id").as("user_id"),
+        col("l.event_id").as("left_id"), col("l.ts").as("left_ts"),
+        col("r.event_id").as("right_id"), col("r.ts").as("right_ts"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).filter(col("user_id") >= 0)
+      .select(col("user_id"), col("left_id"), unix_micros(col("left_ts")).as("left_us"),
+        col("right_id"), unix_micros(col("right_ts")).as("right_us"))
+      .orderBy("left_id", "right_id")
+  }
+
   /** Drain a stream-static enrichment join: the event file-stream joins the
     * static customer dimension at ingest — the canonical "enrich facts with
     * dims" streaming shape. The static side is re-planned (and broadcast)

@@ -37,7 +37,11 @@ class PlanQualitySpec extends SparkSpec {
     // the z-order layout pass broadcasts its one-row octile cut-point
     // table onto the scan; the gate joins its two one-row span averages;
     // the t-test joins its two one-row group-moment branches
-    "layout_zorder", "layout_zorder_gate", "a16_welch_ttest")
+    "layout_zorder", "layout_zorder_gate", "a16_welch_ttest",
+    // DSIR broadcasts its one-row LM-normalizer totals (nr/nt/|V|);
+    // the anchored filtered ANN scores every vector against its 16-row
+    // broadcast anchor table (the assignment pass of any IVF build)
+    "sample_dsir", "ann_anchor_filtered_topk")
 
   test("filters are pushed into the parquet scan") {
     val plan = SparkEntry.queries("p2_filter_in")(spark, Sf)

@@ -147,4 +147,48 @@ class EventStreamsSpec extends SparkSpec {
       assert(got == Set((1L, 101L), (2L, 101L)), s"got $got")
     } finally q.stop()
   }
+
+  test("left-outer interval join emits null-extended rows once the watermark passes") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    // same join shape as drainIntervalJoinOuter (watermark ahead of use)
+    val l = clicks.toDF().withWatermark("ts", "30 minutes").alias("l")
+    val r = buys.toDF().withWatermark("ts", "30 minutes").alias("r")
+    val q = l.join(r,
+        col("l.user_id") === col("r.user_id") &&
+          col("l.ts") <= col("r.ts") &&
+          col("l.ts") >= col("r.ts") - expr("INTERVAL 15 minutes"),
+        "leftOuter")
+      .select(col("l.event_id").as("left_id"), col("r.event_id").as("right_id"))
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val b = 10000L
+      // user 1's click is matched; user 2's click has no purchase at all —
+      // it must surface as a null-extended row, but ONLY after the
+      // watermark proves no future purchase can still match it
+      clicks.addData(ev(1, 1, b + 0), ev(3, 2, b + 0))
+      buys.addData(ev(101, 1, b + 12, "purchase"))
+      q.processAllAvailable()
+      assert(spark.table("attrib_outer")
+        .filter(col("right_id").isNull).count() == 0,
+        "null row emitted before the watermark closed the join window")
+      // advance both watermarks well past click 3's window, repeatedly:
+      // state cleanup consumes the PREVIOUS batch's watermark
+      (1 to 3).foreach { k =>
+        clicks.addData(ev(100L + k, 9, b + 600L * k))
+        buys.addData(ev(200L + k, 8, b + 600L * k, "purchase"))
+        q.processAllAvailable()
+      }
+      val got = spark.table("attrib_outer")
+        .filter(col("left_id") <= 3)
+        .collect()
+        .map(row => (row.getLong(0),
+          if (row.isNullAt(1)) -1L else row.getLong(1))).toSet
+      assert(got == Set((1L, 101L), (3L, -1L)), s"got $got")
+    } finally q.stop()
+  }
 }
