@@ -158,6 +158,43 @@ object Olap {
         .orderBy("event_type", "day")
     }),
 
+    // ---- O5: keyset pagination — the 100 TB page-walk ----
+    // o4_limit_offset documents that deep offsets degrade linearly; this is
+    // the production alternative it points to, as a checked entry: resume
+    // from the last seen key with a pushed-down range predicate + ordered
+    // take. The filter reaches the parquet scan (PushedFilters) and the
+    // take is TakeOrderedAndProject — page cost is O(page), independent of
+    // how deep into the table the cursor is. The cursor value is a
+    // deterministic literal (a key every SF has) so both engines page from the
+    // same position.
+    "o5_keyset_page" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") > 1000L)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+        .limit(20)),
+
+    // ---- event-type transition matrix (order-1 Markov over journeys) ----
+    // The journey-analytics aggregate behind events_paths: per user, order
+    // events by time and count (previous type -> type) transitions, then
+    // normalize per source type. One user_id exchange for the lag window
+    // (the same partitioning every per-user operator reuses), then a hash
+    // agg on the tiny (prev, cur) key space; the normalizer is a window
+    // over that ALREADY-AGGREGATED matrix, not the event stream. First
+    // events (no predecessor) drop on both engines via lag's null.
+    "events_markov" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
+      trans.select(col("prev_type"), col("event_type"), col("n"),
+          round(col("n") / sum(col("n")).over(Window.partitionBy("prev_type")), 6)
+            .as("p"))
+        .orderBy("prev_type", "event_type")
+    }),
+
     // ---- W8: value window functions (first/last/nth/lead) over an
     // explicit full-partition frame and a total per-user order ----
     "w8_value_windows" -> ((s, d) => {
@@ -442,6 +479,23 @@ object Olap {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_ff
         |FROM g LEFT JOIN d ON g.user_id = d.user_id AND g.day = d.day
         |ORDER BY g.user_id, g.day""".stripMargin,
+    "o5_keyset_page" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey > 1000
+        |ORDER BY o_orderkey LIMIT 20""".stripMargin,
+    "events_markov" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (
+        |  SELECT prev_type, event_type, count(*) AS n
+        |  FROM t WHERE prev_type IS NOT NULL
+        |  GROUP BY prev_type, event_type)
+        |SELECT prev_type, event_type, n,
+        |  round(n / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+        |FROM c ORDER BY prev_type, event_type""".stripMargin,
     "events_anomaly" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,

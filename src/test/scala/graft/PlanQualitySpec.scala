@@ -159,6 +159,15 @@ class PlanQualitySpec extends SparkSpec {
       s"join-side shuffle not elided by bucketing:\n$plan")
   }
 
+  test("keyset pagination pushes its cursor predicate and takes one ordered page") {
+    val plan = SparkEntry.queries("o5_keyset_page")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(o_orderkey,1000)"),
+      s"cursor predicate not pushed into the parquet scan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"page should be a per-partition heap take, not a global sort:\n$plan")
+  }
+
   test("no registered query plans a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, Sf).queryExecution.executedPlan.toString
