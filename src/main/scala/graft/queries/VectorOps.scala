@@ -413,6 +413,28 @@ object VectorOps {
     * same 16 corpus vectors with zero training. */
   private val AnchorIds: Seq[Long] = (0 until 16).map(i => 7L + 31L * i)
 
+  /** The shared anchor-index build: (en, ranked) where `en` is the normed
+    * corpus and `ranked` carries, per vector, its 16 anchor cosines as THIN
+    * (vec_id, aid, ac, r) rows ranked best-first. r=1 is the vector's cell;
+    * r<=nProbe is a query's probe set. Used by the filtered ANN, the
+    * cluster report, and cluster-balanced sampling. */
+  private def anchorRanked(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(s)
+    val en = withNorm(Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"),
+        col("label")))
+    val anchors = broadcast(en.filter(col("vec_id").isin(AnchorIds: _*))
+      .select(expr("(vec_id - 7) div 31").as("aid"),
+        col("e").as("ae"), col("nrm").as("an")))
+    // thin ranking rows: per vector its 16 anchor cosines, ids + score only
+    val ranked = en.crossJoin(anchors)
+      .select(col("vec_id"),
+        col("aid"), (dot(col("e"), col("ae")) / (col("nrm") * col("an"))).as("ac"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ac").desc, col("aid"))))
+    (en, ranked)
+  }
+
   /** Filtered ANN over a DETERMINISTIC data-anchored inverted file — the
     * fully-oracled member of the filtered-ANN family. The 16 coarse cells
     * are anchored on corpus vectors picked by a pure id rule ([[AnchorIds]]
@@ -436,19 +458,7 @@ object VectorOps {
     * candidate generation is an equi-join on (cell, label). */
   private[queries] def annAnchorFilteredTopK(s: SparkSession, d: String,
       topK: Int): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    val en = withNorm(Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"),
-        col("label")))
-    val anchors = broadcast(en.filter(col("vec_id").isin(AnchorIds: _*))
-      .select(expr("(vec_id - 7) div 31").as("aid"),
-        col("e").as("ae"), col("nrm").as("an")))
-    // thin ranking rows: per vector its 16 anchor cosines, ids + score only
-    val ranked = en.crossJoin(anchors)
-      .select(col("vec_id"),
-        col("aid"), (dot(col("e"), col("ae")) / (col("nrm") * col("an"))).as("ac"))
-      .withColumn("r", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("ac").desc, col("aid"))))
+    val (en, ranked) = anchorRanked(s, d)
     val corpus = en.join(ranked.filter(col("r") === 1)
         .select(col("vec_id"), col("aid").as("ncell")), "vec_id")
       .select(col("vec_id").as("nid"), col("label").as("nl"), col("ncell"),
@@ -1016,6 +1026,40 @@ object VectorOps {
     // candidate sets, scores — not just a recall floor.
     "ann_anchor_filtered_topk" -> ((s, d) => annAnchorFilteredTopK(s, d, topK = 3)),
 
+    // ---- semantic cluster report over the anchored cells ----
+    // The corpus-topology report a curation pipeline reads before choosing
+    // sampling weights: per anchor cell, how many vectors landed there and
+    // how tight the cluster is (mean cosine to its anchor). Reuses the
+    // deterministic anchor index, so the whole report — assignment included
+    // — hash-matches an exact SQL oracle. One thin (vec_id, aid, ac) pass +
+    // one 16-group agg; the embedding column is never shuffled.
+    "embed_cluster_stats" -> ((s, d) => {
+      val (_, ranked) = anchorRanked(s, d)
+      ranked.filter(col("r") === 1)
+        .groupBy(col("aid").as("cell"))
+        .agg(count(lit(1)).as("n"), round(avg(col("ac")), 6).as("avg_cos"))
+        .orderBy("cell")
+    }),
+
+    // ---- cluster-balanced sampling: per-cell cap, deterministic draw ----
+    // The SemDeDup/DataComp-style balancing step: cap every semantic
+    // cluster at 30 docs so giant topics can't dominate the mixture, with
+    // the survivors chosen by the deterministic multiplicative vec_id hash
+    // (reproducible under any partitioning, exactly recomputable by the
+    // oracle). The cap window partitions by cell — state bounded by cell
+    // population — over rows that carry only (vec_id, cell, hash).
+    "sample_cluster_balanced" -> ((s, d) => {
+      val (_, ranked) = anchorRanked(s, d)
+      val h = (col("vec_id") % 16777216L) * 2654435761L % 16777216L
+      val w = Window.partitionBy("cell").orderBy(col("h"), col("vec_id"))
+      ranked.filter(col("r") === 1)
+        .select(col("vec_id"), col("aid").as("cell"), h.as("h"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 30)
+        .select(col("vec_id"), col("cell"))
+        .orderBy("vec_id")
+    }),
+
     // ---- PQ-ADC ANN: product-quantized codes + asymmetric distance ----
     // The memory-compression scale path (codes + norm instead of raw
     // vectors at query time); exact re-rank of the PQ shortlist. No SQL
@@ -1428,6 +1472,49 @@ object VectorOps {
         |SELECT doc_id, count(*) AS n_triangles
         |FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the anchored-cell report and balanced sample rebuild the same
+    // deterministic assignment CTE as ann_anchor_filtered_topk
+    "embed_cluster_stats" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings),
+        |a AS (SELECT (vec_id - 7) // 31 AS aid, emb AS ae FROM e
+        |      WHERE vec_id IN (7, 38, 69, 100, 131, 162, 193, 224, 255, 286,
+        |                       317, 348, 379, 410, 441, 472)),
+        |sc AS (
+        |  SELECT e.vec_id, a.aid,
+        |    list_sum(list_transform(list_zip(e.emb, a.ae), s -> s[1]*s[2])) /
+        |      (sqrt(list_sum(list_transform(e.emb, x -> x*x))) *
+        |       sqrt(list_sum(list_transform(a.ae, x -> x*x)))) AS ac
+        |  FROM e, a),
+        |rk AS (SELECT vec_id, aid, ac,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY ac DESC, aid) AS r
+        |       FROM sc)
+        |SELECT aid AS cell, count(*) AS n, round(avg(ac), 6) AS avg_cos
+        |FROM rk WHERE r = 1 GROUP BY aid ORDER BY cell""".stripMargin,
+    "sample_cluster_balanced" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings),
+        |a AS (SELECT (vec_id - 7) // 31 AS aid, emb AS ae FROM e
+        |      WHERE vec_id IN (7, 38, 69, 100, 131, 162, 193, 224, 255, 286,
+        |                       317, 348, 379, 410, 441, 472)),
+        |sc AS (
+        |  SELECT e.vec_id, a.aid,
+        |    list_sum(list_transform(list_zip(e.emb, a.ae), s -> s[1]*s[2])) /
+        |      (sqrt(list_sum(list_transform(e.emb, x -> x*x))) *
+        |       sqrt(list_sum(list_transform(a.ae, x -> x*x)))) AS ac
+        |  FROM e, a),
+        |rk AS (SELECT vec_id, aid,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY ac DESC, aid) AS r
+        |       FROM sc),
+        |cells AS (SELECT vec_id, aid AS cell FROM rk WHERE r = 1),
+        |k AS (SELECT vec_id, cell,
+        |        row_number() OVER (PARTITION BY cell
+        |          ORDER BY (vec_id % 16777216) * 2654435761 % 16777216,
+        |                   vec_id) AS rk2
+        |      FROM cells)
+        |SELECT vec_id, cell FROM k WHERE rk2 <= 30 ORDER BY vec_id""".stripMargin,
     "dedup_minhash_lsh" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -39,9 +39,11 @@ class PlanQualitySpec extends SparkSpec {
     // the t-test joins its two one-row group-moment branches
     "layout_zorder", "layout_zorder_gate", "a16_welch_ttest",
     // DSIR broadcasts its one-row LM-normalizer totals (nr/nt/|V|);
-    // the anchored filtered ANN scores every vector against its 16-row
-    // broadcast anchor table (the assignment pass of any IVF build)
-    "sample_dsir", "ann_anchor_filtered_topk")
+    // the anchored filtered ANN, cluster report, and balanced sample all
+    // score every vector against the 16-row broadcast anchor table (the
+    // assignment pass of any IVF build)
+    "sample_dsir", "ann_anchor_filtered_topk", "embed_cluster_stats",
+    "sample_cluster_balanced")
 
   test("filters are pushed into the parquet scan") {
     val plan = SparkEntry.queries("p2_filter_in")(spark, Sf)
