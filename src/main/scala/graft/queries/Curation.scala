@@ -209,13 +209,16 @@ object Curation {
     "sample_dsir" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val tok = docs.select(col("doc_id"), col("lang"), explode(toks).as("w"))
-      val raw = tok.groupBy("w").agg(count(lit(1)).as("cr"))
-      val tgt = tok.filter(col("lang") === "en")
-        .groupBy("w").agg(count(lit(1)).as("ct"))
-      val st = raw.agg(sum("cr").as("nr"), count(lit(1)).as("v"))
-        .crossJoin(tok.filter(col("lang") === "en").agg(count(lit(1)).as("nt")))
-      val lm = raw.join(tgt, Seq("w"), "left")
-        .select(col("w"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+      // ONE counting pass builds both LMs: a conditional count per word
+      // gives the target counts alongside the raw counts, and the
+      // normalizers (token totals, |V|) are an aggregate OF THE VOCAB
+      // table — the corpus is tokenized twice total (count, then score),
+      // not four times
+      val lm = tok.groupBy("w").agg(
+        count(lit(1)).as("cr"),
+        count(when(col("lang") === "en", 1)).as("ct"))
+      val st = lm.agg(sum("cr").as("nr"), sum("ct").as("nt"),
+        count(lit(1)).as("v"))
       val lw = tok.join(broadcast(lm), "w").crossJoin(broadcast(st))
         .groupBy("doc_id")
         .agg(sum(

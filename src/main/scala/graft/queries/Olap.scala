@@ -151,9 +151,15 @@ object Olap {
       daily.select(col("event_type"), col("day"), col("n"),
           avg(col("n")).over(w).as("mu"),
           stddev_samp(col("n")).over(w).as("sd"))
+        // sd > 0 guard on BOTH engines: with sd = 0 (all days equal) the
+        // IEEE division yields NaN, and NaN > 2 is false in Spark but TRUE
+        // in DuckDB (NaN sorts last there) — an ungated flag would diverge
+        // exactly when the data is perfectly regular
         .select(col("event_type"), col("day"), col("n"),
-          round((col("n") - col("mu")) / col("sd"), 6).as("z"),
-          coalesce(abs((col("n") - col("mu")) / col("sd")) > 2, lit(false))
+          when(col("sd") > 0,
+            round((col("n") - col("mu")) / col("sd"), 6)).as("z"),
+          coalesce(col("sd") > 0 &&
+            abs((col("n") - col("mu")) / col("sd")) > 2, lit(false))
             .as("is_anomaly"))
         .orderBy("event_type", "day")
     }),
@@ -507,8 +513,8 @@ object Olap {
         |    stddev_samp(n) OVER (PARTITION BY event_type) AS sd
         |  FROM daily)
         |SELECT event_type, day, n,
-        |  round((n - mu) / sd, 6) AS z,
-        |  coalesce(abs((n - mu) / sd) > 2, false) AS is_anomaly
+        |  CASE WHEN sd > 0 THEN round((n - mu) / sd, 6) END AS z,
+        |  coalesce(sd > 0 AND abs((n - mu) / sd) > 2, false) AS is_anomaly
         |FROM m ORDER BY event_type, day""".stripMargin,
     "a10_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

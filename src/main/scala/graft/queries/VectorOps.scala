@@ -426,12 +426,18 @@ object VectorOps {
     val anchors = broadcast(en.filter(col("vec_id").isin(AnchorIds: _*))
       .select(expr("(vec_id - 7) div 31").as("aid"),
         col("e").as("ae"), col("nrm").as("an")))
-    // thin ranking rows: per vector its 16 anchor cosines, ids + score only
-    val ranked = en.crossJoin(anchors)
-      .select(col("vec_id"),
-        col("aid"), (dot(col("e"), col("ae")) / (col("nrm") * col("an"))).as("ac"))
-      .withColumn("r", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("ac").desc, col("aid"))))
+    // thin ranking rows: per vector its 16 anchor cosines, ids + score
+    // only. Routed through the shared/durable artifact store like every
+    // other index artifact: three registry entries (filtered ANN, cluster
+    // report, balanced sample) consume this assignment, and inside the ANN
+    // entry the frame is referenced twice (cells + probes) — without the
+    // store each consumer would re-run the |corpus|x16 assignment pass.
+    val ranked = shared(s, s"anchor_ranked:$d:${dataFp(d)}")(
+      en.crossJoin(anchors)
+        .select(col("vec_id"),
+          col("aid"), (dot(col("e"), col("ae")) / (col("nrm") * col("an"))).as("ac"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("ac").desc, col("aid")))))
     (en, ranked)
   }
 

@@ -45,7 +45,14 @@ object EventStreams {
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampType    => df
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        // same guard as Tables.events: the NTZ→TZ cast reads wall-clock in
+        // the session zone, so a non-UTC session would silently shift every
+        // event time — throw instead
+        require(s.conf.get("spark.sql.session.timeZone", "") == "UTC",
+          "events.ts is TIMESTAMP_NTZ: set spark.sql.session.timeZone=UTC at " +
+            "session build so stream event time matches the oracle's epoch_us")
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case other => throw new IllegalStateException(
         s"events.ts: unhandled stream encoding $other — extend openEventsStream")
     }
@@ -59,8 +66,12 @@ object EventStreams {
   private def stageFile(tmp: java.nio.file.Path, name: String, part: DataFrame): Unit = {
     val dir = tmp.resolve(name + "_dir")
     part.coalesce(1).write.parquet(dir.toString)
-    val file = java.nio.file.Files.list(dir)
-      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    // Files.list holds an open DirectoryStream — close it or leak an fd
+    // per staged file
+    val listing = java.nio.file.Files.list(dir)
+    val file =
+      try listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
+      finally listing.close()
     java.nio.file.Files.move(file, tmp.resolve(name))
     new scala.reflect.io.Directory(dir.toFile).deleteRecursively()
   }

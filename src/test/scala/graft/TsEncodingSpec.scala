@@ -39,8 +39,10 @@ class TsEncodingSpec extends SparkSpec {
     java.nio.file.Files.createDirectories(sfDir)
     val stage = sfDir.resolve("stage")
     df.coalesce(1).write.parquet(stage.toString)
-    val part = java.nio.file.Files.list(stage)
-      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val listing = java.nio.file.Files.list(stage)
+    val part =
+      try listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
+      finally listing.close()
     java.nio.file.Files.move(part, sfDir.resolve("events.parquet"))
     new scala.reflect.io.Directory(stage.toFile).deleteRecursively()
     sfDir.toString
