@@ -40,17 +40,24 @@ object Bench {
   /** The driver keeps only the last ~2000 chars of the log, so the printed
     * line must fit there WITH margin (round 3's flat ~7 KB line overflowed
     * the capture and the round's bench was recorded unparseable). When over
-    * budget, query families fold into "<family>_total" sums —
-    * largest/least-interesting families first — until the line fits.
-    * Queries that FAILED are never folded (their negative time and errors
-    * entry must stay visible). Full per-query precision always goes to the
-    * bench_full.json sidecar. Extracted (and spec-covered in BenchLineSpec)
-    * because an overflowing line silently costs a whole round's bench. */
+    * budget the line degrades in stages, least information lost first:
+    *  1. HEALTHY query families fold into "<family>_total" sums
+    *     (largest/least-interesting families first) until the line fits;
+    *  2. still over: FAILED entries fold into "<family>_failed_total"
+    *     negative sums — every failed NAME stays visible in the
+    *     message-grouped errors map, only per-query failure timings merge
+    *     (round 7: 48 correlated failures evicted every healthy timing);
+    *  3. still over: error messages truncate to 60 chars (names survive);
+    *  4. last resort: only failed entries render, then the errors map itself
+    *     shrinks until the line is parseable at any failure count.
+    * Full per-query precision always goes to the bench_full.json sidecar.
+    * Extracted (and spec-covered in BenchLineSpec) because an overflowing
+    * line silently costs a whole round's bench. */
   private[graft] val LineBudget = 1850 // chars; tail is 2000, line prints
   // after spark.stop() with the sbt banner as the only trailing noise
   private[graft] def foldedLine(results: Seq[(String, Double)],
       errors: Map[String, String], total: Double, sfDir: String,
-      budget: Int = LineBudget): String = {
+      budget: Int = LineBudget, meta: String = ""): String = {
     def jstr(s: String): String = Json.str(s)
     // Errors render GROUPED BY MESSAGE — {"<msg>": ["name", ...]} — because
     // failures are correlated: round 7's single root cause produced 48
@@ -84,7 +91,7 @@ object Bench {
         if (foldN.isEmpty) ""
         else foldN.map { case (k, n) => s"${jstr(k)}:$n" }
           .mkString(""","fold_n":{""", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size},"queries":$qs$fn,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size}$meta,"queries":$qs$fn,"errors":$errs,"sf":"$sfDir"}"""
     }
     var entries: Seq[(String, Double)] = results
     var foldN = Map.empty[String, Int]
@@ -144,9 +151,23 @@ object Bench {
     line
   }
 
+  /** 1-minute system load average, -1 where the JVM can't read it. Emitted
+    * at bench start AND end: r6-r8 each had one perf number confused by run
+    * contention (another job sharing the 32 cores inflates a family up to
+    * 3x with no code change), and the pair of load readings is the evidence
+    * that separates "regression" from "contended run" when a family total
+    * jumps. load >> 1 at either end of a local[32] run that should own the
+    * machine means the numbers are not trustworthy. */
+  private def loadAvg(): Double = {
+    val v = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    math.round(v * 100.0) / 100.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val loadStart = loadAvg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -173,7 +194,9 @@ object Bench {
       .format("noop").mode("overwrite").save()
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
-    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    // SPARK_GRAFT_BENCH_REPEAT is an accepted alias for SPARK_GRAFT_BENCH_RUNS
+    val runs = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_REPEAT")
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_RUNS")).getOrElse("3").toInt)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // Construct each DataFrame ONCE outside the timed region: a few entries
     // are eager by design at build time (the sink round-trips write their
@@ -215,7 +238,12 @@ object Bench {
     val qsFull = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line = foldedLine(results, errors.toMap, total, sfDir)
+    // runs + start/end load in the parsed line: per-query times are already
+    // the median of `runs` back-to-back executions, and the load pair shows
+    // whether anything else shared the cores during the run (the difference
+    // between a real regression and a contended reading — see loadAvg).
+    val meta = s""","runs":$runs,"load":[$loadStart,${loadAvg()}]"""
+    val line = foldedLine(results, errors.toMap, total, sfDir, meta = meta)
 
     // Full-precision sidecar for local analysis (the printed line is rounded).
     try {

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, unix_micros}
+import org.apache.spark.sql.functions.{col, expr, max, min, unix_micros}
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's synthetic parquet tables (TESTDATA.md).
@@ -33,6 +33,11 @@ object Tables {
     * fresh micros data into 1000x-shrunk event times). */
   def normalizeTsMicros(df: DataFrame): DataFrame = df.schema("ts").dataType match {
     case LongType      => df.withColumn("ts", expr("ts div 1000")) // int64 nanos
+      // int64 carries no unit: the div-1000 above ASSUMES nanos, and an
+      // int64-MICROS generation would silently shrink every timestamp 1000x
+      // — the exact regression class this loader exists to prevent. Callers
+      // that know the source path run checkInt64Nanos first (events below);
+      // the magnitude window there turns unit ambiguity into a loud failure.
     case TimestampType => df.withColumn("ts", unix_micros(col("ts")))
     case TimestampNTZType =>
       // the NTZ→TZ cast reads wall-clock time in the session zone; graft
@@ -44,12 +49,39 @@ object Tables {
         s"events.ts: unhandled physical encoding $other — extend Tables.normalizeTsMicros")
   }
 
+  /** One bounded min/max probe per (process, path): the int64 branch of
+    * [[normalizeTsMicros]] assumes NANOS, and a fourth plausible encoding —
+    * int64 MICROS — would pass the dtype branch and silently shrink every
+    * timestamp 1000x. Epoch-nanos for any post-1973 / pre-2096 instant lies
+    * in [1e17, 4e18); epoch-MICROS data (~1.7e15) falls three decades below
+    * the window and epoch-millis further still, so either mis-encoding fails
+    * loudly here instead of corrupting every event-time operator. Cached per
+    * path: one tiny agg job per process, not one per query construction. */
+  private val int64TsChecked =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private def checkInt64Nanos(df: DataFrame, path: String): Unit =
+    int64TsChecked.getOrElseUpdate(path, {
+      val r = df.agg(min(col("ts")), max(col("ts"))).head()
+      if (!r.isNullAt(0)) {
+        val (lo, hi) = (r.getLong(0), r.getLong(1))
+        require(lo >= 100000000000000000L && hi < 4000000000000000000L,
+          s"events.ts is int64 with range [$lo, $hi] — not plausible " +
+            "epoch-NANOS (expected [1e17, 4e18) ~ years 1973-2096). A micros/" +
+            "millis int64 encoding needs its own Tables.normalizeTsMicros branch.")
+      }
+      true
+    })
+
   def events(s: SparkSession, d: String): DataFrame = {
     val df = table(s, d, "events")
-    if (df.schema("ts").dataType == TimestampNTZType)
-      require(s.conf.get("spark.sql.session.timeZone", "") == "UTC",
-        "events.ts is TIMESTAMP_NTZ: set spark.sql.session.timeZone=UTC at session " +
-          "build so the epoch-micros normalization matches the oracle's epoch_us")
+    df.schema("ts").dataType match {
+      case LongType => checkInt64Nanos(df, s"$d/events.parquet")
+      case TimestampNTZType =>
+        require(s.conf.get("spark.sql.session.timeZone", "") == "UTC",
+          "events.ts is TIMESTAMP_NTZ: set spark.sql.session.timeZone=UTC at session " +
+            "build so the epoch-micros normalization matches the oracle's epoch_us")
+      case _ => ()
+    }
     normalizeTsMicros(df)
   }
 

@@ -144,6 +144,12 @@ object Olap {
     // stddev-path ulps as in a3. sd is NULL for a single-day type on both
     // engines (flag false via null comparison semantics -> coalesce).
     "events_anomaly" -> ((s, d) => {
+      // Spark `div` truncates toward zero; DuckDB's `//` on BIGINT operands
+      // ALSO truncates toward zero (verified on duckdb 1.0.0:
+      // SELECT (-7)//2 → -3, not the -4 floor division would give), so the
+      // day-bucketing pairing here — and the identical pairing in
+      // events_retention / ts_resample_ffill — is equivalent for ANY epoch
+      // sign, not just the post-1970 data the driver generates.
       val daily = Tables.events(s, d)
         .select(col("event_type"), expr("ts div 86400000000").as("day"))
         .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
