@@ -110,6 +110,40 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // ---- NEAR-dup benchmark contamination (the MinHash variant) ----
+    // text_contamination counts exact shared 3-grams, so a lightly
+    // PARAPHRASED benchmark passage — same content, a few words swapped —
+    // slips through. This is the screen a real curation pipeline runs:
+    // MinHash-band BOTH sides (32 bands x 2 rows from the shared signature
+    // pass — at the 0.8 jaccard threshold a qualifying pair misses all 32
+    // bands with p = (1-0.8²)^32 ≈ 6e-15), candidates are train docs
+    // sharing any (band, sig) with any benchmark doc, and exact shingle
+    // jaccard verifies candidates only. The benchmark side is 5% of the
+    // corpus (doc_id % 20 — the 1% slice has no planted near-dups at the
+    // driver's sf0.01 gate, which would make the entry vacuous), so its
+    // band rows broadcast; the train side streams through one signature
+    // pass + one equi-join — never train x bench pairs. The
+    // oracle IS the all-pairs scan the banding avoids, so any lost
+    // candidate fails the hash compare.
+    "text_contamination_fuzzy" -> ((s, d) => {
+      val bands = VectorOps.minhashBandRows(s, d, nBands = 32, rowsPerBand = 2)
+      val bench = bands.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("bench_id"), col("band_id"), col("sig"))
+      val cand = bands.filter(col("doc_id") % 20 =!= 0)
+        .join(broadcast(bench), Seq("band_id", "sig"))
+        .select(col("doc_id"), col("bench_id")).distinct()
+      val docs = VectorOps.shingleSets(s, d)
+      val wt = docs.select(col("doc_id"), col("w").as("wt"))
+      val wb = docs.select(col("doc_id").as("bench_id"), col("w").as("wb"))
+      cand.join(wt, "doc_id").join(broadcast(wb), "bench_id")
+        .withColumn("jac",
+          size(array_intersect(col("wt"), col("wb"))).cast("double") /
+            size(array_union(col("wt"), col("wb"))))
+        .filter(col("jac") >= 0.8)
+        .select(col("doc_id"), col("bench_id"), round(col("jac"), 6).as("jac"))
+        .orderBy("doc_id", "bench_id")
+    }),
+
     // ---- fuzzy string self-join (edit distance <= 1) ----
     // The FastSS deletion-neighborhood trick, over the corpus's source
     // identifiers (the fuzzy entity-resolution shape: near-identical
@@ -420,6 +454,28 @@ object Curation {
         |SELECT c.doc_id, count(*) AS n_overlap
         |FROM c JOIN b USING (s)
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    // the all-pairs train x benchmark scan the MinHash banding avoids:
+    // banded candidates + exact verify must reproduce it exactly
+    "text_contamination_fuzzy" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+        |         ELSE list_distinct(list_transform(
+        |            range(1, len(string_split(text, ' ')) - 1),
+        |            i -> string_split(text, ' ')[i] || ' ' ||
+        |                 string_split(text, ' ')[i + 1] || ' ' ||
+        |                 string_split(text, ' ')[i + 2]))
+        |    END AS w
+        |  FROM documents),
+        |b AS (SELECT doc_id AS bench_id, w AS wb FROM t WHERE doc_id % 20 = 0),
+        |c AS (SELECT doc_id, w AS wt FROM t WHERE doc_id % 20 <> 0)
+        |SELECT c.doc_id, b.bench_id,
+        |  round(len(list_intersect(wt, wb))::DOUBLE
+        |        / len(list_distinct(wt || wb)), 6) AS jac
+        |FROM c CROSS JOIN b
+        |WHERE len(list_intersect(wt, wb))::DOUBLE
+        |      / len(list_distinct(wt || wb)) >= 0.8
+        |ORDER BY c.doc_id, b.bench_id""".stripMargin,
     "fuzzy_word_join" ->
       """WITH v AS (SELECT DISTINCT source AS w FROM documents)
         |SELECT a.w AS w1, b.w AS w2,

@@ -186,6 +186,38 @@ object Olap {
         .orderBy("o_orderkey")
         .limit(20)),
 
+    // ---- O6: composite-cursor keyset pagination ----
+    // The real-world page walk sorts by a non-unique column with a unique
+    // tie-break — (o_orderdate, o_orderkey) — so the cursor is a ROW VALUE
+    // (d0, k0) and "after the cursor" is the row-value comparison
+    // (o_orderdate, o_orderkey) > (d0, k0). Spark and parquet have no
+    // row-value predicate, so it is rewritten as the standard disjunction
+    //   o_orderdate > d0 OR (o_orderdate = d0 AND o_orderkey > k0)
+    // whose every leaf is a pushable comparison: the scan receives
+    // Or(GreaterThan(date), And(EqualTo(date), GreaterThan(key))) as a
+    // PushedFilter (row groups entirely before the cursor date never
+    // decompress) and the page is one TakeOrderedAndProject on the same
+    // (date, key) order — O(page) whatever the cursor depth, like o5.
+    // PlanQualitySpec pins both plan properties.
+    "o6_keyset_multi" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      // cursor literal cast to the COLUMN's loaded dtype (TIMESTAMP_NTZ in
+      // current testdata): a TZ-typed literal would make Spark coerce the
+      // column side instead, and a cast above the scan kills the pushdown
+      // this entry exists to demonstrate. The epoch-micros projection casts
+      // NTZ→TZ under the session's pinned UTC — the normalizeTsMicros
+      // convention, matching the oracle's epoch_us.
+      val d0 = lit("1998-01-01 00:00:00").cast(orders.schema("o_orderdate").dataType)
+      orders
+        .filter(col("o_orderdate") > d0 ||
+          (col("o_orderdate") === d0 && col("o_orderkey") > 1000L))
+        .select(col("o_orderkey"), col("o_custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_date_us"),
+          col("o_totalprice"))
+        .orderBy("o_date_us", "o_orderkey")
+        .limit(20)
+    }),
+
     // ---- event-type transition matrix (order-1 Markov over journeys) ----
     // The journey-analytics aggregate behind events_paths: per user, order
     // events by time and count (previous type -> type) transitions, then
@@ -495,6 +527,14 @@ object Olap {
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_orderkey > 1000
         |ORDER BY o_orderkey LIMIT 20""".stripMargin,
+    "o6_keyset_multi" ->
+      """SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS o_date_us,
+        |       o_totalprice
+        |FROM orders
+        |WHERE o_orderdate > TIMESTAMP '1998-01-01 00:00:00'
+        |   OR (o_orderdate = TIMESTAMP '1998-01-01 00:00:00'
+        |       AND o_orderkey > 1000)
+        |ORDER BY o_date_us, o_orderkey LIMIT 20""".stripMargin,
     "events_markov" ->
       """WITH t AS (
         |  SELECT event_type,

@@ -894,43 +894,59 @@ object VectorOps {
   private[queries] def minhashPairs(s: SparkSession, d: String): DataFrame =
     shared(s, s"minhash_pairs:$d:${dataFp(d)}")(minhashPairsBuild(s, d))
 
+  /** (doc_id, band_id, sig) MinHash band rows over word-3-gram shingles:
+    * nBands bands of rowsPerBand minhashes each, from nBands*rowsPerBand
+    * base hash functions (seed 42). One tight signature pass per document;
+    * only the thin band rows ever shuffle. Shared by dedup_minhash_lsh
+    * (16 bands x 4 rows — tuned for the 0.9 near-dup threshold) and the
+    * fuzzy-contamination screen (32 x 2 — band collision p = j², so at its
+    * looser 0.8 threshold the per-pair miss probability stays (1-0.64)^32
+    * ≈ 6e-15 and banded candidates still reproduce the all-pairs oracle). */
+  private[queries] def minhashBandRows(s: SparkSession, d: String,
+      nBands: Int, rowsPerBand: Int): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val nHash = nBands * rowsPerBand
+    val seeds = Hashing.seeds(nHash, seed = 42L)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .repartition(col("doc_id")) // parallelize the CPU-bound signature pass
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val mins = Array.fill(nHash)(Long.MaxValue)
+        shingles3(text).foreach { sh =>
+          val h = Hashing.hash64(sh)
+          var k = 0
+          while (k < nHash) {
+            val v = Hashing.mix(h ^ seeds(k))
+            if (v < mins(k)) mins(k) = v
+            k += 1
+          }
+        }
+        (0 until nBands).map { b =>
+          var acc = 1125899906842597L
+          var j = 0
+          while (j < rowsPerBand) { acc = acc * 31 + mins(b * rowsPerBand + j); j += 1 }
+          (id, b, acc)
+        }
+      }.toDF("doc_id", "band_id", "sig")
+  }
+
+  /** Documents as (doc_id, w: array<string>) distinct word-3-gram shingle
+    * sets — the exact-verification feature both MinHash consumers share. */
+  private[queries] def shingleSets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), shingleCol(col("text"), "toks").as("w"))
+
   private def minhashPairsBuild(s: SparkSession, d: String): DataFrame = {
-      val spark = s
-      import spark.implicits._
-      val nHash = 64
-      val nBands = 16
-      val rows = nHash / nBands
-      val seeds = Hashing.seeds(nHash, seed = 42L)
-      val bands = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"))
-        .repartition(col("doc_id")) // parallelize the CPU-bound signature pass
-        .as[(Long, String)]
-        .flatMap { case (id, text) =>
-          val mins = Array.fill(nHash)(Long.MaxValue)
-          shingles3(text).foreach { sh =>
-            val h = Hashing.hash64(sh)
-            var k = 0
-            while (k < nHash) {
-              val v = Hashing.mix(h ^ seeds(k))
-              if (v < mins(k)) mins(k) = v
-              k += 1
-            }
-          }
-          (0 until nBands).map { b =>
-            var acc = 1125899906842597L
-            var j = 0
-            while (j < rows) { acc = acc * 31 + mins(b * rows + j); j += 1 }
-            (id, b, acc)
-          }
-        }.toDF("doc_id", "band_id", "sig")
+      val bands = minhashBandRows(s, d, nBands = 16, rowsPerBand = 4)
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band_id") === col("y.band_id") && col("x.sig") === col("y.sig") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
         .distinct()
-      val docs = Tables.documents(s, d)
-        .withColumn("toks", split(col("text"), " "))
-        .select(col("doc_id"), shingleCol(col("text"), "toks").as("w"))
+      val docs = shingleSets(s, d)
       val wa = docs.select(col("doc_id").as("id_a"), col("w").as("wa"))
       val wb = docs.select(col("doc_id").as("id_b"), col("w").as("wb"))
       cand.join(wa, "id_a").join(wb, "id_b")

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -154,6 +154,42 @@ object Warehouse {
           floor(col(sc) / halfHourUs), floor(col(ec) / halfHourUs)))))
       val a = bucketed(intervals("purchase", "a_id", "a_s", "a_e"), "a_s", "a_e")
       val b = bucketed(intervals("error", "b_id", "b_s", "b_e"), "b_s", "b_e")
+      a.join(b, Seq("user_id", "bucket"))
+        .where(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+        .select("a_id", "b_id", "user_id").distinct()
+        .orderBy("a_id", "b_id")
+    }),
+
+    // ---- J10: VARIABLE-length interval-overlap join, max-span bucketing ----
+    // The j9 generalization for heterogeneous spans (meeting rooms, ad
+    // flights, maintenance windows — real intervals are never one width):
+    // purchase windows run 15-60 min and error windows 10-30 min, each
+    // span a deterministic function of the row. Bucket width = the MAX
+    // span across both sets (60 min), and every interval replicates to
+    // ALL buckets it touches — sequence(s div B, e div B), i.e.
+    // span/bucket + 1 rows, ≤ 2 here. Because each interval covers a
+    // CONTIGUOUS bucket range, two time-overlapping intervals always share
+    // at least one bucket (their bucket ranges intersect), so the
+    // (user_id, bucket) equi-join + residual overlap predicate is lossless
+    // at any span mix — the property fixed-width j9 only has when every
+    // span equals the bucket. Shuffle volume stays O(Σ span/B + n): thin
+    // (id, user, s, e, bucket) rows, never a pair blow-up; a skewed long
+    // interval costs its own replication only. distinct() collapses pairs
+    // that share 2 buckets, exactly as in j9.
+    "j10_interval_varlen" -> ((s, d) => {
+      val bucketUs = 3600000000L // 60 min — the max span in either set
+      def intervals(tpe: String, spanUs: Column, idAs: String, sAs: String,
+          eAs: String) =
+        Tables.events(s, d).filter(col("event_type") === tpe)
+          .select(col("event_id").as(idAs), col("user_id"),
+            col("ts").as(sAs), (col("ts") + spanUs).as(eAs))
+      def bucketed(df: DataFrame, sc: String, ec: String) =
+        df.withColumn("bucket", explode(sequence(
+          expr(s"$sc div $bucketUs"), expr(s"$ec div $bucketUs"))))
+      val spanA = (lit(1L) + col("event_id") % 4) * lit(900000000L) // 15-60 min
+      val spanB = (lit(1L) + col("user_id") % 3) * lit(600000000L) // 10-30 min
+      val a = bucketed(intervals("purchase", spanA, "a_id", "a_s", "a_e"), "a_s", "a_e")
+      val b = bucketed(intervals("error", spanB, "b_id", "b_s", "b_e"), "b_s", "b_e")
       a.join(b, Seq("user_id", "bucket"))
         .where(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
         .select("a_id", "b_id", "user_id").distinct()
@@ -496,6 +532,19 @@ object Warehouse {
         |           FROM events WHERE event_type = 'purchase'),
         |b AS (SELECT event_id AS b_id, user_id, epoch_us(ts) AS b_s,
         |             epoch_us(ts) + 1800000000 AS b_e
+        |      FROM events WHERE event_type = 'error')
+        |SELECT a_id, b_id, user_id
+        |FROM a JOIN b USING (user_id)
+        |WHERE a_s <= b_e AND b_s <= a_e
+        |ORDER BY a_id, b_id""".stripMargin,
+    // heterogeneous spans: the oracle is the plain inequality join over the
+    // same per-row span formulas — bucketing must not change the pair set
+    "j10_interval_varlen" ->
+      """WITH a AS (SELECT event_id AS a_id, user_id, epoch_us(ts) AS a_s,
+        |                  epoch_us(ts) + (1 + event_id % 4) * 900000000 AS a_e
+        |           FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT event_id AS b_id, user_id, epoch_us(ts) AS b_s,
+        |             epoch_us(ts) + (1 + user_id % 3) * 600000000 AS b_e
         |      FROM events WHERE event_type = 'error')
         |SELECT a_id, b_id, user_id
         |FROM a JOIN b USING (user_id)

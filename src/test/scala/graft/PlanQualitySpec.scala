@@ -170,6 +170,21 @@ class PlanQualitySpec extends SparkSpec {
       s"page should be a per-partition heap take, not a global sort:\n$plan")
   }
 
+  test("composite keyset cursor pushes the row-value disjunction and takes one page") {
+    val plan = SparkEntry.queries("o6_keyset_multi")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    // the (date, key) > (d0, k0) row-value cursor must reach the scan as
+    // Or(GreaterThan(date), And(EqualTo(date), GreaterThan(key))) — a cast
+    // above the scan (e.g. a TZ literal coercing the NTZ column) breaks this
+    // (the rendered PushedFilters list truncates mid-expression, so assert
+    // the two leading conjuncts rather than the full inner GreaterThan)
+    assert(plan.contains("PushedFilters: [Or(GreaterThan(o_orderdate") &&
+      plan.contains("And(EqualTo(o_orderdate"),
+      s"row-value cursor disjunction not pushed into the parquet scan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"page should be a per-partition heap take, not a global sort:\n$plan")
+  }
+
   test("no registered query plans a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, Sf).queryExecution.executedPlan.toString
