@@ -1,0 +1,261 @@
+package graft.queries
+
+/** DuckDB-SQL reconstruction of the TRAINED ANN indexes, so the driver can
+  * hash-check the k-means IVF / PQ / IVFPQ pipelines end-to-end instead of
+  * settling for a recall-floor certificate.
+  *
+  * This is possible because the whole index build is deterministic and every
+  * floating-point operation has a defined order on both engines:
+  *
+  *  - the codebook sample is `ORDER BY vec_id LIMIT 4096`
+  *    ([[VectorOps.indexSample]]) — reproducible as a SQL window;
+  *  - [[VectorOps.lloyd]] seeds centers by the pure id rule
+  *    `sample((i*step) % n)` and runs a FIXED number of iterations; its
+  *    per-cell sums accumulate in sample (= vec_id) order, so the SQL mirror
+  *    sums with `list_sum(list(v ORDER BY sid))` — bit-identical IEEE adds;
+  *  - [[VectorOps.nearestCells]] accumulates squared distance left-to-right
+  *    and breaks ties on the lower cell index (stable sort), which SQL
+  *    mirrors as `row_number() OVER (ORDER BY l2, cid)`;
+  *  - every dot product / norm on the Spark side is the codegen
+  *    [[graft.functions.VecDot]] (strict left-to-right fold), already proven
+  *    bit-identical to DuckDB's `list_sum(list_transform(list_zip(..)))`
+  *    by the anchor-quantizer oracle (`ann_anchor_filtered_topk`).
+  *
+  * Every CTE is MATERIALIZED: DuckDB inlines plain CTEs per reference, and a
+  * 10-iteration chain where each step references the previous 2-3 times
+  * would otherwise expand exponentially (measured: the un-materialized form
+  * does not finish; the materialized form runs in seconds).
+  */
+private[queries] object AnnOracleSql {
+  private val Dim = 64
+  private val SampleLimit = 4096
+  private val Iters = 10 // VectorOps.lloyd call sites all use iters = 10
+
+  private def l2(v: String, c: String): String =
+    s"list_sum(list_transform(list_zip($v, $c), p -> (p[1]-p[2])*(p[1]-p[2])))"
+  private def dot(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), s -> s[1]*s[2]))"
+  private def nrm(a: String): String =
+    s"sqrt(list_sum(list_transform($a, x -> x*x)))"
+
+  /** (vec_id, emb, label) + the ordered bounded sample (sid, v). */
+  private val baseCtes: Seq[String] = Seq(
+    """e AS MATERIALIZED (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+      |  FROM embeddings)""".stripMargin,
+    s"""sm AS MATERIALIZED (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS sid, emb AS v
+      |  FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT $SampleLimit))"""
+      .stripMargin)
+
+  /** The Lloyd chain for all `m` subspaces at once over source CTE `src`
+    * (must provide (sid, v: DOUBLE[])). Emits s$tag exploded by subspace and
+    * c$tag0..c$tag$Iters; the final codebook CTE c$tag$Iters has
+    * (sub, cid, c: DOUBLE[]). sub*subDim slicing is 1-based inclusive. */
+  private def kmeansCtes(tag: String, src: String, k: Int, m: Int,
+      subDim: Int): Seq[String] = {
+    val s = scala.collection.mutable.ArrayBuffer[String]()
+    s += s"""s$tag AS MATERIALIZED (
+      |  SELECT sid, r.sub, v[(r.sub*$subDim+1):((r.sub+1)*$subDim)] AS v
+      |  FROM $src, range($m) r(sub))""".stripMargin
+    s += s"""c${tag}0 AS MATERIALIZED (
+      |  SELECT s.sub, i.cid, s.v AS c
+      |  FROM (SELECT cid,
+      |          (cid * GREATEST(1, (SELECT count(*) FROM $src) // $k))
+      |            % (SELECT count(*) FROM $src) AS sid
+      |        FROM range($k) t(cid)) i
+      |  JOIN s$tag s USING (sid))""".stripMargin
+    for (it <- 0 until Iters) {
+      s += s"""a$tag$it AS MATERIALIZED (
+        |  SELECT sid, sub, cid FROM (
+        |    SELECT s.sid, s.sub, c.cid,
+        |      row_number() OVER (PARTITION BY s.sid, s.sub
+        |        ORDER BY ${l2("s.v", "c.c")}, c.cid) AS rn
+        |    FROM s$tag s JOIN c$tag$it c USING (sub)) WHERE rn = 1)"""
+        .stripMargin
+      s += s"""u$tag$it AS MATERIALIZED (
+        |  SELECT a.sub, a.cid, x.pos,
+        |    list_sum(list(x.ev ORDER BY a.sid)) / count(*) AS cv
+        |  FROM a$tag$it a JOIN
+        |    (SELECT sid, sub, generate_subscripts(v, 1) AS pos, unnest(v) AS ev
+        |     FROM s$tag) x USING (sid, sub)
+        |  GROUP BY a.sub, a.cid, x.pos)""".stripMargin
+      s += s"""c$tag${it + 1} AS MATERIALIZED (
+        |  SELECT p.sub, p.cid, coalesce(nw.c, p.c) AS c
+        |  FROM c$tag$it p LEFT JOIN
+        |    (SELECT sub, cid, list(cv ORDER BY pos) AS c
+        |     FROM u$tag$it GROUP BY sub, cid) nw USING (sub, cid))"""
+        .stripMargin
+    }
+    s.toSeq
+  }
+
+  /** Cell ranking of `srcRows` (must provide (vec_id, emb)) against the
+    * m=1 codebook `book`: row_number (l2, cid) — rn=1 is the vector's cell,
+    * rn<=nProbe a query's probe set. */
+  private def cellRank(name: String, srcRows: String, book: String): String =
+    s"""$name AS MATERIALIZED (
+      |  SELECT vec_id, cid, rn FROM (
+      |    SELECT s.vec_id, c.cid,
+      |      row_number() OVER (PARTITION BY s.vec_id
+      |        ORDER BY ${l2("s.emb", "c.c")}, c.cid) AS rn
+      |    FROM $srcRows s, $book c))""".stripMargin
+
+  private def withClause(ctes: Seq[String], select: String): String =
+    "WITH " + ctes.mkString(",\n") + "\n" + select
+
+  private def topKSelect(topK: Int): String =
+    s"""SELECT qid, rnk, nid, round(c, 6) AS cos
+      |FROM (SELECT qid, nid, c,
+      |        row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rnk
+      |      FROM p)
+      |WHERE rnk <= $topK ORDER BY qid, rnk""".stripMargin
+
+  /** Oracle for [[VectorOps.annIvfTopK]] / [[VectorOps.annIvfFilteredTopK]]:
+    * trained coarse quantizer, corpus cell assignment, nProbe probing,
+    * exact cosine inside probed cells (optionally label-composed). */
+  def ivfTopK(k: Int, nProbe: Int, topK: Int, filtered: Boolean): String = {
+    val labelJoin = if (filtered) " AND en.label = q.ql" else ""
+    val qLabel = if (filtered) ", eq.label AS ql" else ""
+    val ctes = baseCtes ++ kmeansCtes("v", "sm", k, m = 1, subDim = Dim) ++ Seq(
+      cellRank("cr", "e", s"cv$Iters"),
+      s"""en AS MATERIALIZED (
+        |  SELECT e.vec_id, e.emb, e.label, ${nrm("e.emb")} AS nrm,
+        |    cr.cid AS cell
+        |  FROM e JOIN cr ON cr.vec_id = e.vec_id AND cr.rn = 1)""".stripMargin,
+      s"""q AS MATERIALIZED (
+        |  SELECT eq.vec_id AS qid, eq.emb AS qe, eq.nrm AS qn$qLabel,
+        |    cr.cid AS cell
+        |  FROM en eq JOIN cr ON cr.vec_id = eq.vec_id AND cr.rn <= $nProbe
+        |  WHERE eq.vec_id % 50 = 0)""".stripMargin,
+      s"""p AS MATERIALIZED (
+        |  SELECT q.qid, en.vec_id AS nid,
+        |    ${dot("q.qe", "en.emb")} / (q.qn * en.nrm) AS c
+        |  FROM q JOIN en ON en.cell = q.cell$labelJoin
+        |    AND en.vec_id != q.qid)""".stripMargin)
+    withClause(ctes, topKSelect(topK))
+  }
+
+  /** Oracle for [[VectorOps.annPqTopK]]: per-subspace trained codebooks,
+    * corpus nibble codes, per-query ADC table, full ADC scan (sum of table
+    * lookups in subspace order — the order pq_adc folds in), shortlist
+    * topK*10, exact cosine re-rank. */
+  def pqTopK(m: Int, k: Int, topK: Int): String = {
+    val sub = Dim / m
+    val ctes = baseCtes ++ kmeansCtes("p", "sm", k, m, sub) ++ Seq(
+      s"""esub AS MATERIALIZED (
+        |  SELECT vec_id, r.sub, emb[(r.sub*$sub+1):((r.sub+1)*$sub)] AS v
+        |  FROM e, range($m) r(sub))""".stripMargin,
+      s"""codes AS MATERIALIZED (
+        |  SELECT vec_id AS nid, sub, cid FROM (
+        |    SELECT s.vec_id, s.sub, c.cid,
+        |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+        |        ORDER BY ${l2("s.v", "c.c")}, c.cid) AS rn
+        |    FROM esub s JOIN cp$Iters c USING (sub)) WHERE rn = 1)"""
+        .stripMargin,
+      s"""qtab AS MATERIALIZED (
+        |  SELECT s.vec_id AS qid, s.sub, c.cid, ${dot("s.v", "c.c")} AS t
+        |  FROM esub s JOIN cp$Iters c USING (sub)
+        |  WHERE s.vec_id % 50 = 0)""".stripMargin,
+      s"""en AS MATERIALIZED (
+        |  SELECT vec_id, emb, ${nrm("emb")} AS nrm FROM e)""".stripMargin,
+      s"""adc AS MATERIALIZED (
+        |  SELECT qt.qid, cd.nid, list_sum(list(qt.t ORDER BY qt.sub)) AS s
+        |  FROM codes cd JOIN qtab qt
+        |    ON qt.sub = cd.sub AND qt.cid = cd.cid AND qt.qid != cd.nid
+        |  GROUP BY qt.qid, cd.nid)""".stripMargin,
+      s"""short AS MATERIALIZED (
+        |  SELECT qid, nid FROM (
+        |    SELECT adc.qid, adc.nid,
+        |      row_number() OVER (PARTITION BY adc.qid
+        |        ORDER BY (adc.s / (qn.nrm * nn.nrm)) DESC, adc.nid) AS prnk
+        |    FROM adc JOIN en qn ON qn.vec_id = adc.qid
+        |      JOIN en nn ON nn.vec_id = adc.nid)
+        |  WHERE prnk <= ${topK * 10})""".stripMargin,
+      s"""p AS MATERIALIZED (
+        |  SELECT short.qid, short.nid,
+        |    ${dot("qe.emb", "ne.emb")} / (qe.nrm * ne.nrm) AS c
+        |  FROM short JOIN en qe ON qe.vec_id = short.qid
+        |    JOIN en ne ON ne.vec_id = short.nid)""".stripMargin)
+    withClause(ctes, topKSelect(topK))
+  }
+
+  /** Oracle for [[VectorOps.annIvfPqTopK]]: coarse quantizer, RESIDUAL
+    * subspace codebooks (trained on sample residuals vs final coarse
+    * centers), cell+code corpus encoding, probe with per-cell <q, c_cell>,
+    * ADC = qc + sum of residual-table lookups, shortlist, exact re-rank. */
+  def ivfPqTopK(kc: Int, nProbe: Int, m: Int, k: Int, topK: Int): String = {
+    val sub = Dim / m
+    val ctes = baseCtes ++
+      kmeansCtes("c", "sm", kc, m = 1, subDim = Dim) ++ Seq(
+      // residual sample: sample vector minus its (final) coarse center
+      s"""rs AS MATERIALIZED (
+        |  SELECT sm.sid, list_transform(list_zip(sm.v, cb.c), p -> p[1] - p[2]) AS v
+        |  FROM sm
+        |  JOIN (SELECT sid, cid FROM (
+        |          SELECT s.sid, c.cid,
+        |            row_number() OVER (PARTITION BY s.sid
+        |              ORDER BY ${l2("s.v", "c.c")}, c.cid) AS rn
+        |          FROM sm s, cc$Iters c) WHERE rn = 1) asn USING (sid)
+        |  JOIN cc$Iters cb ON cb.cid = asn.cid)""".stripMargin) ++
+      kmeansCtes("r", "rs", k, m, sub) ++ Seq(
+      // corpus: coarse cell + full-dim residual
+      cellRank("crk", "e", s"cc$Iters"),
+      s"""rese AS MATERIALIZED (
+        |  SELECT e.vec_id, crk.cid AS cell,
+        |    list_transform(list_zip(e.emb, cb.c), p -> p[1] - p[2]) AS remb
+        |  FROM e JOIN crk ON crk.vec_id = e.vec_id AND crk.rn = 1
+        |  JOIN cc$Iters cb ON cb.cid = crk.cid)""".stripMargin,
+      s"""rcodes AS MATERIALIZED (
+        |  SELECT vec_id AS nid, sub, cid FROM (
+        |    SELECT s.vec_id, s.sub, c.cid,
+        |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+        |        ORDER BY ${l2("s.v", "c.c")}, c.cid) AS rn
+        |    FROM (SELECT vec_id,
+        |            r.sub, remb[(r.sub*$sub+1):((r.sub+1)*$sub)] AS v
+        |          FROM rese, range($m) r(sub)) s
+        |    JOIN cr$Iters c ON c.sub = s.sub) WHERE rn = 1)""".stripMargin,
+      s"""en AS MATERIALIZED (
+        |  SELECT vec_id, emb, ${nrm("emb")} AS nrm FROM e)""".stripMargin,
+      // query probes: nProbe nearest coarse cells each with <q, c_cell>
+      s"""qprobe AS MATERIALIZED (
+        |  SELECT qid, cid AS cell, qc FROM (
+        |    SELECT e.vec_id AS qid, c.cid, ${dot("e.emb", "c.c")} AS qc,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${l2("e.emb", "c.c")}, c.cid) AS rn
+        |    FROM e, cc$Iters c WHERE e.vec_id % 50 = 0)
+        |  WHERE rn <= $nProbe)""".stripMargin,
+      // per-query ADC table over the RESIDUAL books, raw query subvectors
+      s"""qtab AS MATERIALIZED (
+        |  SELECT qs.qid, qs.sub, c.cid, ${dot("qs.v", "c.c")} AS t
+        |  FROM (SELECT vec_id AS qid, r.sub,
+        |          emb[(r.sub*$sub+1):((r.sub+1)*$sub)] AS v
+        |        FROM e, range($m) r(sub) WHERE vec_id % 50 = 0) qs
+        |  JOIN cr$Iters c USING (sub))""".stripMargin,
+      s"""cand AS MATERIALIZED (
+        |  SELECT qp.qid, re.vec_id AS nid, qp.qc
+        |  FROM qprobe qp JOIN rese re ON re.cell = qp.cell
+        |    AND re.vec_id != qp.qid)""".stripMargin,
+      s"""adc AS MATERIALIZED (
+        |  SELECT cand.qid, cand.nid,
+        |    cand.qc + list_sum(list(qt.t ORDER BY qt.sub)) AS s
+        |  FROM cand JOIN rcodes rc ON rc.nid = cand.nid
+        |    JOIN qtab qt ON qt.qid = cand.qid AND qt.sub = rc.sub
+        |      AND qt.cid = rc.cid
+        |  GROUP BY cand.qid, cand.nid, cand.qc)""".stripMargin,
+      s"""short AS MATERIALIZED (
+        |  SELECT qid, nid FROM (
+        |    SELECT adc.qid, adc.nid,
+        |      row_number() OVER (PARTITION BY adc.qid
+        |        ORDER BY (adc.s / (qn.nrm * nn.nrm)) DESC, adc.nid) AS prnk
+        |    FROM adc JOIN en qn ON qn.vec_id = adc.qid
+        |      JOIN en nn ON nn.vec_id = adc.nid)
+        |  WHERE prnk <= ${topK * 10})""".stripMargin,
+      s"""p AS MATERIALIZED (
+        |  SELECT short.qid, short.nid,
+        |    ${dot("qe.emb", "ne.emb")} / (qe.nrm * ne.nrm) AS c
+        |  FROM short JOIN en qe ON qe.vec_id = short.qid
+        |    JOIN en ne ON ne.vec_id = short.nid)""".stripMargin)
+    withClause(ctes, topKSelect(topK))
+  }
+}

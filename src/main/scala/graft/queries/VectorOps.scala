@@ -1011,8 +1011,9 @@ object VectorOps {
     // The cluster-index scale path: train a small codebook, assign every
     // vector to its nearest centroid (the inverted file), then answer each
     // query by exact cosine over only the nProbe nearest cells (~nProbe/k
-    // of the corpus scanned). No SQL oracle (trained codebook); recall vs
-    // brute force is pinned in VectorOpsSpec.
+    // of the corpus scanned). EXACT oracle: AnnOracleSql rebuilds the
+    // deterministic Lloyd training + probing in SQL; recall vs brute force
+    // additionally pinned in VectorOpsSpec.
     "ann_ivf_topk" -> ((s, d) =>
       annIvfTopK(s, embOf(s, d), d, k = 16, nProbe = 4, topK = 3)),
 
@@ -1026,8 +1027,9 @@ object VectorOps {
     // ---- filtered IVF ANN: cell pruning composed with the label filter ----
     // Approximate counterpart of sim_filtered_topk: the inverted file
     // carries the label, candidates come from an equi-join on (cell,
-    // label). No SQL oracle (trained codebook); the recall gate below
-    // compares against the exact filtered baseline.
+    // label). EXACT oracle: AnnOracleSql rebuilds the trained index in SQL;
+    // the recall gate below additionally floors quality vs the exact
+    // filtered baseline.
     // nProbe 8 (vs 4 unfiltered): under a selective filter the nearest
     // QUALIFYING neighbor is farther than the nearest overall, so filtered
     // search widens the probe set — the standard filtered-ANN remedy.
@@ -1084,9 +1086,10 @@ object VectorOps {
 
     // ---- PQ-ADC ANN: product-quantized codes + asymmetric distance ----
     // The memory-compression scale path (codes + norm instead of raw
-    // vectors at query time); exact re-rank of the PQ shortlist. No SQL
-    // oracle (trained codebooks); the recall gate below is the
-    // driver-green certificate and AnnPqSpec pins recall in sbt test.
+    // vectors at query time); exact re-rank of the PQ shortlist. EXACT
+    // oracle: AnnOracleSql rebuilds the per-subspace codebooks, codes and
+    // ADC tables in SQL; the recall gate below additionally floors recall
+    // and AnnPqSpec pins it in sbt test.
     "ann_pq_topk" -> ((s, d) =>
       annPqTopK(s, embOf(s, d), d, m = 16, k = 16, topK = 3)),
 
@@ -1128,9 +1131,10 @@ object VectorOps {
     // ---- composed IVF+PQ ANN: coarse pruning + residual-code compression ----
     // The production index shape at 100 TB: IVF restricts each query to
     // nProbe/kc of the corpus, PQ residual codes make every scored row a few
-    // bytes, and candidate scoring is an equi-join on cell id. No SQL oracle
-    // (two trained codebook layers); the recall gate below is driver-green
-    // and AnnIvfPqSpec pins the floor in sbt test.
+    // bytes, and candidate scoring is an equi-join on cell id. EXACT oracle:
+    // AnnOracleSql rebuilds BOTH trained codebook layers (coarse + residual)
+    // in SQL; the recall gate below stays as the quality floor and
+    // AnnIvfPqSpec pins it in sbt test.
     "ann_ivfpq_topk" -> ((s, d) =>
       annIvfPqTopK(s, embOf(s, d), d,
         kc = 16, nProbe = 4, m = 16, k = 16, topK = 3)),
@@ -1223,6 +1227,18 @@ object VectorOps {
     baseQueries ++ moreQueries
 
   val oracles: Map[String, String] = Map(
+    // Trained-index ANN oracles: the full k-means IVF / PQ / IVFPQ pipelines
+    // are rebuilt in DuckDB SQL — deterministic sample, Lloyd iterations
+    // with order-defined summation, probing, ADC, re-rank — so the driver
+    // hash-checks the ENTIRE approximate answer, not just a recall floor.
+    // See AnnOracleSql for why this is bit-exact.
+    "ann_ivf_topk" ->
+      AnnOracleSql.ivfTopK(k = 16, nProbe = 4, topK = 3, filtered = false),
+    "ann_ivf_filtered_topk" ->
+      AnnOracleSql.ivfTopK(k = 16, nProbe = 8, topK = 3, filtered = true),
+    "ann_pq_topk" -> AnnOracleSql.pqTopK(m = 16, k = 16, topK = 3),
+    "ann_ivfpq_topk" ->
+      AnnOracleSql.ivfPqTopK(kc = 16, nProbe = 4, m = 16, k = 16, topK = 3),
     // Gate oracles: the expected certificate is fully determined by the data
     // (query-sample size / doc count) plus the contract that the gate holds
     // (recall_ok / sets_equal = true). A quality regression flips the
