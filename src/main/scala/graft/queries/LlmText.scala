@@ -601,6 +601,17 @@ object LlmText {
     "stream_ewma" -> ((s, d) =>
       graft.streaming.EventStreams.drainEwma(s, d)),
 
+    // ---- streaming drain: EWMA over a DISORDERED source ----
+    // Same recurrence, but with a watermark-delayed per-key reorder buffer
+    // in front of the fold, drained over a staging that deliberately
+    // withholds a day of odd-id rows into the SECOND micro-batch. Closes
+    // ewmaStream's ordered-source caveat: incremental == batch on
+    // out-of-order input (bounded by the watermark delay), proven by
+    // hash-matching the SAME batch ts_ewma oracle.
+    // See EventStreams.drainEwmaReordered.
+    "stream_ewma_reorder" -> ((s, d) =>
+      graft.streaming.EventStreams.drainEwmaReordered(s, d)),
+
     // ---- cohort retention: users active k days after first seen ----
     // The product-analytics staple. first_seen is a per-user min (hash agg
     // on the high-cardinality key), joined back on user_id (the same
@@ -973,6 +984,24 @@ object LlmText {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // identical to the batch ts_ewma oracle: incremental == batch
     "stream_ewma" ->
+      """WITH o AS (
+        |  SELECT event_id, user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events WHERE value IS NOT NULL),
+        |l AS (
+        |  SELECT user_id, list(value ORDER BY rn) AS xs,
+        |         list(event_id ORDER BY rn) AS ids
+        |  FROM o GROUP BY user_id)
+        |SELECT unnest(ids) AS event_id,
+        |  unnest(list_transform(range(1, len(xs) + 1),
+        |    i -> round(list_reduce(xs[1:i],
+        |                           (acc, x) -> 0.2 * x + 0.8 * acc), 6)))
+        |    AS ewma
+        |FROM l ORDER BY event_id""".stripMargin,
+    // identical oracle again: the reorder buffer must converge to the same
+    // fold as the ordered drain despite the scrambled second micro-batch
+    "stream_ewma_reorder" ->
       """WITH o AS (
         |  SELECT event_id, user_id, value,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)

@@ -24,6 +24,11 @@ case class Session(user_id: Long, session_start: Timestamp,
 
 case class OpenSession(start: Long, last: Long, n: Long, total: Double)
 
+/** Reorder-buffer state for [[EventStreams.ewmaReorderedStream]]: rows not
+  * yet passed by the watermark as (tsMicros, event_id, value), plus the
+  * recurrence accumulator over everything already folded. */
+case class EwmaReorder(pending: Seq[(Long, Long, Double)], acc: Option[Double])
+
 object EventStreams {
 
   /** Open a parquet file-stream of event files with `ts` normalized to
@@ -485,6 +490,120 @@ object EventStreams {
       .start()
     q.awaitTermination()
     s.table(name)
+      .select(col("event_id"), round(col("ewma_raw"), 6).as("ewma"))
+      .orderBy("event_id")
+  }
+
+  /** Out-of-order-safe streaming EWMA: a watermark-delayed per-key REORDER
+    * BUFFER in front of the [[ewmaStream]] fold. [[ewmaStream]] is correct
+    * only when ingestion preserves per-key event-time order across
+    * micro-batches; this form drops that requirement — any source whose
+    * disorder is bounded by the watermark delay folds identically to batch.
+    *
+    * Mechanics: rows buffer in state until the event-time watermark passes
+    * them (a row at time t is safe to fold once watermark >= t, because any
+    * unseen row earlier than t would be late beyond the delay and dropped
+    * by the watermark filter on both engines' definitions). Each invocation
+    * flushes the now-safe prefix in (ts, event_id) order through the
+    * recurrence and re-arms an event-time timeout at the earliest still
+    * buffered row, so the tail flushes on watermark advance even with no
+    * further data for the key. State per key = one double + only the rows
+    * inside the watermark horizon (delay x per-key rate — bounded by the
+    * same contract that bounds every watermarked stateful op here; the
+    * whole-series buffer the batch kernel needs never materializes). */
+  def ewmaReorderedStream(events: Dataset[Event], alpha: Double, beta: Double,
+      watermark: String): Dataset[(Long, Double)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def micros(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: Long, batch: Iterator[Event], state: GroupState[EwmaReorder]) => {
+          val prior = state.getOption.getOrElse(EwmaReorder(Nil, None))
+          val incoming = batch.map(e => (micros(e.ts), e.event_id, e.value))
+          val wmMs = state.getCurrentWatermarkMs()
+          // safe = can no longer be preceded by an unseen earlier row
+          val (safe, pending) = (prior.pending ++ incoming)
+            .partition(r => Math.floorDiv(r._1, 1000L) < wmMs)
+          var acc = prior.acc
+          val out = safe.sortBy(r => (r._1, r._2)).map { case (_, id, x) =>
+            val next = acc match {
+              case Some(p) => alpha * x + beta * p
+              case None    => x // seed: e_0 = x_0, same as the batch kernel
+            }
+            acc = Some(next)
+            (id, next)
+          }
+          state.update(EwmaReorder(pending, acc))
+          if (pending.nonEmpty)
+            // re-arm at the earliest buffered row (strictly past the
+            // current watermark, as the API requires)
+            state.setTimeoutTimestamp(
+              math.max(Math.floorDiv(pending.map(_._1).min, 1000L), wmMs + 1))
+          out.iterator
+        })
+  }
+
+  /** Drain [[ewmaReorderedStream]] over a DELIBERATELY DISORDERED staging:
+    * the events file splits at the global event-time midpoint, but the
+    * odd-event_id rows of the day BEFORE the midpoint are withheld from
+    * batch 1 and arrive in batch 2 — after batch 2's later data is already
+    * known to the source. Cross-batch disorder (bounded by the 2-day
+    * watermark delay > 1-day displacement, so nothing is late-dropped) is
+    * exactly what [[ewmaStream]]'s ordered-source contract cannot absorb;
+    * the reorder buffer must interleave the stragglers back into each key's
+    * fold. Two far-future sentinel rows (user -1, filtered from the result)
+    * advance the watermark so every buffered row flushes before the drain
+    * ends. Must hash-match the SAME oracle as the batch ts_ewma kernel:
+    * incremental == batch on disordered input, bit-for-bit.
+    * EAGER BY DESIGN: the drain runs at construction. */
+  def drainEwmaReordered(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ewma_ro")
+    sys.addShutdownHook {
+      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
+    }
+    val raw = graft.Tables.events(s, d).filter(col("value").isNotNull)
+    val bounds = raw.agg(min(col("ts")), max(col("ts"))).head()
+    val mid = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+    val dayUs = 86400L * 1000000L
+    // stragglers: the day before the midpoint, odd event_ids only
+    val straggler = col("ts") >= mid - dayUs && col("ts") < mid &&
+      col("event_id") % 2 === 1
+    def staged(part: DataFrame): DataFrame =
+      part.withColumn("ts", timestamp_micros(col("ts")))
+    stageFile(tmp, "a_early.parquet", staged(raw.filter(col("ts") < mid && !straggler)))
+    stageFile(tmp, "b_late.parquet",
+      staged(raw.filter(col("ts") >= mid || straggler)))
+    def sentinel(name: String, micros: Long): Unit =
+      stageFile(tmp, name,
+        Seq((-1L, -1L, micros, "sentinel", 0.0))
+          .toDF("event_id", "user_id", "ts", "event_type", "value")
+          .withColumn("ts", timestamp_micros(col("ts"))))
+    sentinel("y_sentinel1.parquet", 4102444800L * 1000000L)
+    sentinel("z_sentinel2.parquet", 4102531200L * 1000000L)
+    val files = Seq("a_early.parquet", "b_late.parquet",
+      "y_sentinel1.parquet", "z_sentinel2.parquet")
+    files.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.setLastModifiedTime(tmp.resolve(f),
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+    }
+    val src = openEventsStream(s, tmp.toString, Map("maxFilesPerTrigger" -> "1"))
+      .as[Event]
+    val name = "graft_stream_ewma_reorder"
+    val q = ewmaReorderedStream(src, alpha = 0.2, beta = 0.8,
+        watermark = "48 hours")
+      .toDF("event_id", "ewma_raw")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).filter(col("event_id") >= 0)
       .select(col("event_id"), round(col("ewma_raw"), 6).as("ewma"))
       .orderBy("event_id")
   }
