@@ -121,6 +121,43 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("reordered EWMA folds out-of-order batches in event-time order") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = ewmaReorderedStream(in.toDS(), alpha = 0.2, beta = 0.8,
+        watermark = "30 minutes")
+      .toDF("event_id", "ewma")
+      .writeStream.format("memory").queryName("ewma_reorder")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1's series in event time is minutes 10,20,30,40 with values
+      // 1,2,3,4 — delivered DISORDERED across micro-batches: the newest
+      // event first, the two middle ones a batch later (late but inside
+      // the 30-minute delay). A naive cross-batch fold would smooth in
+      // arrival order; the reorder buffer must reconstruct time order.
+      in.addData(ev(4, 1, 40, value = 4.0), ev(1, 1, 10, value = 1.0))
+      q.processAllAvailable()
+      in.addData(ev(3, 1, 30, value = 3.0), ev(2, 1, 20, value = 2.0))
+      q.processAllAvailable()
+      // two far-future sentinels: the first advances the watermark past
+      // every buffered row, the second's batch lets the resulting
+      // event-time timeouts fire and flush the tails
+      in.addData(ev(900, 99, 100000))
+      q.processAllAvailable()
+      in.addData(ev(901, 99, 200000))
+      q.processAllAvailable()
+      val got = spark.table("ewma_reorder").filter($"event_id" < 100)
+        .as[(Long, Double)].collect().toMap
+      // the fold in (ts, event_id) order: 1.0, .2*2+.8*1, .2*3+.8*1.2,
+      // .2*4+.8*1.56 — any other order produces different doubles
+      val want = Map(1L -> 1.0, 2L -> 1.2, 3L -> 1.56, 4L -> 2.048)
+      assert(got.keySet == want.keySet, s"got $got")
+      want.foreach { case (k, v) =>
+        assert(math.abs(got(k) - v) < 1e-12, s"id $k: ${got(k)} != $v") }
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes right events to in-window left events") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
