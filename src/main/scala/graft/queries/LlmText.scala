@@ -20,6 +20,100 @@ import graft.Tables
   */
 object LlmText {
 
+  /** BPE merge-loop training — the sequential half of tokenizer training,
+    * shaped the way production trainers scale: ONE corpus-wide pass builds
+    * the word-frequency table (Zipf-bounded vocabulary, not the corpus),
+    * then every merge round runs against that table only. Rounds are
+    * inherently sequential (round i+1's pair counts depend on round i's
+    * fusion), so each round is one vocab-sized distributed aggregation whose
+    * single argmax row is collected — 5 one-row collects, the same bounded
+    * driver-side training pattern as the IVF/PQ codebooks (EAGER BY DESIGN:
+    * training runs at construction; Bench times query execution only).
+    *
+    * Symbol sequences are encoded as separator-anchored (U+001F) strings (every symbol
+    * wrapped SEP·sym·SEP), which makes "apply merge (l, r)" a plain
+    * left-to-right non-overlapping `replace(s, ⟨l⟩⟨r⟩, ⟨lr⟩)` — exactly the
+    * greedy BPE merge scan: anchoring rules out mid-symbol matches, and
+    * textual overlap of the pattern with itself is only possible
+    * full-symbol-aligned (l = r runs), where non-overlapping left-to-right
+    * replacement fuses alternate pairs just like the scan. Both engines'
+    * `replace` share these semantics, so the DuckDB oracle replays the
+    * identical training loop as chained CTEs. */
+  private[queries] def bpeTrainMerges(s: SparkSession, d: String,
+      rounds: Int): DataFrame = {
+    val SEP = "\u001f" // absent from the corpus alphabet (letters + space)
+    val words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("s", regexp_replace(col("w"), "(.)", s"$SEP$$1$SEP"))
+      .persist()
+    try {
+      var cur = words.select(col("cnt"), col("s"))
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      for (it <- 1 to rounds) {
+        val best = cur
+          .withColumn("syms", split(trim(col("s"), SEP), SEP + SEP))
+          .filter(size(col("syms")) >= 2)
+          .select(col("cnt"), explode(expr(
+            """transform(sequence(1, size(syms) - 1),
+              |  j -> struct(element_at(syms, j) AS lhs,
+              |              element_at(syms, j + 1) AS rhs))""".stripMargin))
+            .as("p"))
+          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+          .agg(sum(col("cnt")).as("pcnt"))
+          .orderBy(col("pcnt").desc, col("lhs"), col("rhs"))
+          .limit(1).head()
+        val (l, r) = (best.getString(0), best.getString(1))
+        merges += ((it, l, r, best.getLong(2)))
+        cur = cur.withColumn("s", call_function("replace", col("s"),
+          lit(SEP + l + SEP + SEP + r + SEP), lit(SEP + l + r + SEP)))
+      }
+      val spark = s
+      import spark.implicits._
+      merges.result().toDF("it", "lhs", "rhs", "pcnt")
+        .select(col("it").cast("int").as("it"), col("lhs"), col("rhs"),
+          col("pcnt"))
+        .orderBy("it")
+    } finally { words.unpersist(false); () }
+  }
+
+  /** Chained-CTE DuckDB replay of [[bpeTrainMerges]] (same word table, same
+    * pair weighting, same (pcnt DESC, lhs, rhs) argmax, same anchored
+    * replace), generated for `rounds` iterations. */
+  private def bpeTrainOracle(rounds: Int): String = {
+    val sep = "chr(31)"
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      s"""w1 AS MATERIALIZED (
+        |  SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |    regexp_replace(w, '(.)', $sep || '\\1' || $sep, 'g') AS s
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) > 0 GROUP BY w)""".stripMargin)
+    for (i <- 1 to rounds) {
+      ctes += s"""p$i AS MATERIALIZED (
+        |  SELECT pr[1] AS lhs, pr[2] AS rhs, CAST(sum(cnt) AS BIGINT) AS pcnt
+        |  FROM (SELECT cnt, unnest(list_transform(range(1, len(syms)),
+        |            j -> [syms[j], syms[j + 1]])) AS pr
+        |        FROM (SELECT cnt,
+        |                string_split(trim(s, $sep), $sep || $sep) AS syms
+        |              FROM w$i)
+        |        WHERE len(syms) >= 2)
+        |  GROUP BY pr[1], pr[2])""".stripMargin
+      ctes += s"""b$i AS MATERIALIZED (
+        |  SELECT CAST($i AS INTEGER) AS it, lhs, rhs, pcnt FROM p$i
+        |  ORDER BY pcnt DESC, lhs, rhs LIMIT 1)""".stripMargin
+      if (i < rounds)
+        ctes += s"""w${i + 1} AS MATERIALIZED (
+          |  SELECT cnt, replace(s,
+          |      (SELECT $sep || lhs || $sep || $sep || rhs || $sep FROM b$i),
+          |      (SELECT $sep || lhs || rhs || $sep FROM b$i)) AS s
+          |  FROM w$i)""".stripMargin
+    }
+    "WITH " + ctes.mkString(",\n") + "\n" +
+      (1 to rounds).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ") +
+      " ORDER BY it"
+  }
+
   private val StopWords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
   private def stopList = inList(StopWords)
@@ -321,6 +415,15 @@ object LlmText {
           size(split(col("text"), " ")).cast("long").as("ws_tokens"),
           expr("regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')").cast("long").as("re_tokens"))
         .orderBy("doc_id")),
+
+    // ---- BPE training: the actual merge LOOP, 5 rounds ----
+    // text_bpe_pairs is iteration 0; this entry runs the real trainer:
+    // per round, count adjacent symbol pairs weighted by word frequency,
+    // fuse the argmax pair in every word, repeat. Output = the learned
+    // merge table (round, lhs, rhs, count) — the artifact a tokenizer
+    // ships. See bpeTrainMerges for the scale shape and the greedy-merge
+    // equivalence argument the oracle relies on.
+    "text_bpe_train" -> ((s, d) => bpeTrainMerges(s, d, rounds = 5)),
 
     // ---- BPE training, merge iteration 0: corpus pair counts ----
     // The distributed half of tokenizer training: count adjacent character
@@ -865,6 +968,7 @@ object LlmText {
         |  len(string_split(text, ' ')) AS ws_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS re_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_bpe_train" -> bpeTrainOracle(rounds = 5),
     "text_bpe_pairs" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
         |p AS (SELECT unnest(list_transform(range(1, length(w)),
