@@ -136,6 +136,58 @@ private[queries] object AnnOracleSql {
     withClause(ctes, topKSelect(topK))
   }
 
+  /** Oracle for [[VectorOps.annLshTopK]]: even the seeded RNG is replayed
+    * in SQL. [[VectorOps.hyperplanes]] draws +-1 plane coefficients from
+    * `java.util.Random(seed).nextBoolean()` — a 48-bit LCG (seed' =
+    * (seed * 0x5DEECE66D + 0xB) mod 2^48, boolean = bit 47 of the updated
+    * seed) whose sequence a recursive CTE regenerates exactly (HUGEINT
+    * intermediate for the 82-bit product). Coefficients fill row-major
+    * (plane-major, then dimension), planes group kBits-per-table; a
+    * vector's bucket in a table sets bit p iff its dot with plane p is
+    * strictly positive (the same left-to-right summation both engines
+    * share); candidates are bucket collisions in any table, scored with
+    * exact cosine and ranked. */
+  def lshTopK(kBits: Int, nTables: Int, seed: Long, topK: Int): String = {
+    val steps = nTables * kBits * Dim
+    val s0 = (seed ^ 0x5DEECE66DL) & ((1L << 48) - 1)
+    val ctes = Seq(
+      s"""RECURSIVE lcg(i, s) AS (
+        |  SELECT 0, CAST($s0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT i + 1, CAST((CAST(s AS HUGEINT) * 25214903917 + 11)
+        |                     % 281474976710656 AS BIGINT)
+        |  FROM lcg WHERE i < $steps)""".stripMargin,
+      s"""pv AS MATERIALIZED (
+        |  SELECT tbl, bit, list(coef ORDER BY j) AS p FROM (
+        |    SELECT ((i - 1) // $Dim) // $kBits AS tbl,
+        |           ((i - 1) // $Dim) % $kBits AS bit,
+        |           (i - 1) % $Dim AS j,
+        |           CASE WHEN (s >> 47) & 1 = 1 THEN 1.0 ELSE -1.0 END AS coef
+        |    FROM lcg WHERE i >= 1)
+        |  GROUP BY tbl, bit)""".stripMargin,
+      """e AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings)""".stripMargin,
+      s"""sg AS MATERIALIZED (
+        |  SELECT e.vec_id, pv.tbl,
+        |    CAST(sum(CASE WHEN ${dot("e.emb", "pv.p")} > 0
+        |             THEN (1 << pv.bit) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM e, pv GROUP BY e.vec_id, pv.tbl)""".stripMargin,
+      """cand AS MATERIALIZED (
+        |  SELECT DISTINCT q.vec_id AS qid, y.vec_id AS nid
+        |  FROM sg q JOIN sg y ON y.tbl = q.tbl AND y.bucket = q.bucket
+        |    AND y.vec_id != q.vec_id
+        |  WHERE q.vec_id % 50 = 0)""".stripMargin,
+      s"""en AS MATERIALIZED (
+        |  SELECT vec_id, emb, ${nrm("emb")} AS nrm FROM e)""".stripMargin,
+      s"""p AS MATERIALIZED (
+        |  SELECT cand.qid, cand.nid,
+        |    ${dot("qe.emb", "ne.emb")} / (qe.nrm * ne.nrm) AS c
+        |  FROM cand JOIN en qe ON qe.vec_id = cand.qid
+        |    JOIN en ne ON ne.vec_id = cand.nid)""".stripMargin)
+    withClause(ctes, topKSelect(topK))
+  }
+
   /** Oracle for [[VectorOps.annPqTopK]]: per-subspace trained codebooks,
     * corpus nibble codes, per-query ADC table, full ADC scan (sum of table
     * lookups in subspace order — the order pq_adc folds in), shortlist

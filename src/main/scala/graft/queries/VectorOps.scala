@@ -735,9 +735,12 @@ object VectorOps {
     // Standard OR-amplification: L tables of k hyperplane sign bits each; a
     // pair is a candidate if it collides in ANY table (recall ~1-(1-p^k)^L).
     // The signature table carries only (id, table, bucket) — candidate
-    // generation shuffles ids, never embeddings. No SQL oracle (hyperplanes
-    // live in code); recall vs brute force is driver-checked by
-    // ann_lsh_recall_gate and pinned in VectorOpsSpec.
+    // generation shuffles ids, never embeddings. EXACT oracle: the seeded
+    // java.util.Random hyperplane draw is a 48-bit LCG that
+    // AnnOracleSql.lshTopK replays as a recursive CTE, so buckets,
+    // candidates and the final top-k all hash-match; recall vs brute force
+    // additionally driver-checked by ann_lsh_recall_gate and pinned in
+    // VectorOpsSpec.
     "ann_lsh_topk" -> ((s, d) => annLshTopK(s, embOf(s, d), d)),
 
     // ---- driver-green recall gate for ann_lsh_topk ----
@@ -1232,6 +1235,8 @@ object VectorOps {
     // with order-defined summation, probing, ADC, re-rank — so the driver
     // hash-checks the ENTIRE approximate answer, not just a recall floor.
     // See AnnOracleSql for why this is bit-exact.
+    "ann_lsh_topk" ->
+      AnnOracleSql.lshTopK(kBits = 5, nTables = 24, seed = 42L, topK = 3),
     "ann_ivf_topk" ->
       AnnOracleSql.ivfTopK(k = 16, nProbe = 4, topK = 3, filtered = false),
     "ann_ivf_filtered_topk" ->
