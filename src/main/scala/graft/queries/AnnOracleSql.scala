@@ -311,3 +311,99 @@ private[queries] object AnnOracleSql {
     withClause(ctes, topKSelect(topK))
   }
 }
+
+/** DuckDB-SQL replay of [[Hashing.hash64]] (two Scala
+  * `MurmurHash3.stringHash` passes) and the Charikar SimHash built on it,
+  * so `dedup_simhash` gets an exact hash-checked oracle instead of only the
+  * blocked≡all-pairs certificate gate.
+  *
+  * The murmur mix is 32-bit modular arithmetic (wrap-around multiply,
+  * rotate-left, xor, logical shifts) over UTF-16 code units consumed in
+  * PAIRS — all expressible on non-negative BIGINTs with a HUGEINT
+  * intermediate for the 64-bit products, and `unicode(substring(w, i, 1))`
+  * for the code units (the corpus is single-code-unit text). The per-word
+  * state machine runs as a recursive CTE over the DISTINCT token set (the
+  * same values Scala computes per occurrence), stepping two characters per
+  * iteration exactly like the Scala while-loop; the odd tail and the
+  * length-finalize apply on the terminal state. Validated against JVM
+  * ground truth before wiring (see git history). The sign-extension split
+  * `(h1.toLong << 32) | (h2 & 0xffffffff)` never needs materializing:
+  * SimHash only reads bits, and bit b of the 64-bit hash is bit b of h2
+  * for b<32, else bit b-32 of h1. */
+private[queries] object HashOracleSql {
+  private def mul32(a: String, b: Long): String =
+    s"CAST((CAST($a AS HUGEINT) * $b) % 4294967296 AS BIGINT)"
+  private def rotl(k: String, r: Int): String =
+    s"((($k << $r) & 4294967295) | ($k >> ${32 - r}))"
+  private def mixLast(h: String, d: String): String =
+    s"xor($h, ${mul32(rotl(mul32(d, 0xcc9e2d51L & 0xffffffffL), 15), 0x1b873593L)})"
+  private def mix(h: String, d: String): String =
+    s"CAST((CAST(${rotl(mixLast(h, d), 13)} AS HUGEINT) * 5 + ${0xe6546b64L & 0xffffffffL}) % 4294967296 AS BIGINT)"
+  private def avalanche(h: String): String = {
+    val a1 = s"xor($h, $h >> 16)"
+    // bind each stage in SQL via nested replace-free composition: the
+    // expression tree just repeats the prior stage where referenced
+    val a2 = mul32(a1, 0x85ebca6bL)
+    val a3 = s"xor($a2, $a2 >> 13)"
+    val a4 = mul32(a3, 0xc2b2ae35L)
+    s"xor($a4, $a4 >> 16)"
+  }
+  private def finalize(h: String, len: String): String =
+    avalanche(s"xor($h, $len)")
+
+  /** Exact all-pairs hamming<=3 oracle for `dedup_simhash` (the blocked
+    * Spark path provably equals all-pairs by pigeonhole — the separate
+    * exactness gate pins that — so the oracle compares against the direct
+    * quadratic form, fine at oracle SF). */
+  def simhashPairs(maxHamming: Int): String = {
+    val seed1 = 0x9747b28cL & 0xffffffffL
+    val seed2 = 0x85ebca6bL & 0xffffffffL
+    val data = "(unicode(substring(w, i + 1, 1)) * 65536 + unicode(substring(w, i + 2, 1)))"
+    val tail = "unicode(substring(w, length(w), 1))"
+    s"""WITH RECURSIVE
+      |tok AS MATERIALIZED (
+      |  SELECT DISTINCT w FROM
+      |    (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+      |hs AS (
+      |  SELECT w, 0 AS i, CAST($seed1 AS BIGINT) AS h1,
+      |    CAST($seed2 AS BIGINT) AS h2
+      |  FROM tok
+      |  UNION ALL
+      |  SELECT w, i + 2, ${mix("h1", data)}, ${mix("h2", data)}
+      |  FROM hs WHERE i + 1 < length(w)),
+      |hf AS MATERIALIZED (
+      |  SELECT w, ${finalize("h1t", "length(w)")} AS h1,
+      |    ${finalize("h2t", "length(w)")} AS h2
+      |  FROM (
+      |    SELECT w,
+      |      CASE WHEN length(w) % 2 = 1 THEN ${mixLast("h1", tail)}
+      |           ELSE h1 END AS h1t,
+      |      CASE WHEN length(w) % 2 = 1 THEN ${mixLast("h2", tail)}
+      |           ELSE h2 END AS h2t
+      |    FROM hs WHERE i >= length(w) - 1)),
+      |bits AS MATERIALIZED (
+      |  SELECT d.doc_id, r.b,
+      |    CASE WHEN sum(CASE WHEN
+      |        (CASE WHEN r.b < 32 THEN h.h2 >> r.b
+      |              ELSE h.h1 >> (r.b - 32) END) & 1 = 1
+      |      THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |        FROM documents) d
+      |  JOIN hf h USING (w), range(64) r(b)
+      |  GROUP BY d.doc_id, r.b),
+      |sig AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN b < 32 THEN bit * (1::BIGINT << b)
+      |             ELSE 0 END) AS BIGINT) AS lo,
+      |    CAST(sum(CASE WHEN b >= 32 THEN bit * (1::BIGINT << (b - 32))
+      |             ELSE 0 END) AS BIGINT) AS hi
+      |  FROM bits GROUP BY doc_id)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+      |       AS INTEGER) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+      |      <= $maxHamming
+      |ORDER BY id_a, id_b""".stripMargin
+  }
+}

@@ -1237,6 +1237,11 @@ object VectorOps {
     // See AnnOracleSql for why this is bit-exact.
     "ann_lsh_topk" ->
       AnnOracleSql.lshTopK(kBits = 5, nTables = 24, seed = 42L, topK = 3),
+    // SimHash pairs: the JVM token hash (two murmur3_32 passes) is replayed
+    // in SQL as a recursive CTE over the distinct token set, then the
+    // Charikar bit-vote and an all-pairs hamming<=3 scan — the blocked
+    // Spark path equals all-pairs by pigeonhole (pinned by the gate below).
+    "dedup_simhash" -> HashOracleSql.simhashPairs(maxHamming = 3),
     "ann_ivf_topk" ->
       AnnOracleSql.ivfTopK(k = 16, nProbe = 4, topK = 3, filtered = false),
     "ann_ivf_filtered_topk" ->
