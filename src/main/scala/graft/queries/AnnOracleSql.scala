@@ -38,15 +38,18 @@ private[queries] object AnnOracleSql {
   private def nrm(a: String): String =
     s"sqrt(list_sum(list_transform($a, x -> x*x)))"
 
-  /** (vec_id, emb, label) + the ordered bounded sample (sid, v). */
-  private val baseCtes: Seq[String] = Seq(
+  /** (vec_id, emb, label) + the ordered bounded sample (sid, v).
+    * `sampleWhere` restricts the training sample (e.g. to the base slice
+    * of an append-maintained index) without restricting the corpus. */
+  private def baseCtes(sampleWhere: String = ""): Seq[String] = Seq(
     """e AS MATERIALIZED (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
       |  FROM embeddings)""".stripMargin,
     s"""sm AS MATERIALIZED (
       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS sid, emb AS v
-      |  FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT $SampleLimit))"""
-      .stripMargin)
+      |  FROM (SELECT vec_id, emb FROM e${
+        if (sampleWhere.nonEmpty) s" WHERE $sampleWhere" else ""}
+      |        ORDER BY vec_id LIMIT $SampleLimit))""".stripMargin)
 
   /** The Lloyd chain for all `m` subspaces at once over source CTE `src`
     * (must provide (sid, v: DOUBLE[])). Emits s$tag exploded by subspace and
@@ -114,10 +117,12 @@ private[queries] object AnnOracleSql {
   /** Oracle for [[VectorOps.annIvfTopK]] / [[VectorOps.annIvfFilteredTopK]]:
     * trained coarse quantizer, corpus cell assignment, nProbe probing,
     * exact cosine inside probed cells (optionally label-composed). */
-  def ivfTopK(k: Int, nProbe: Int, topK: Int, filtered: Boolean): String = {
+  def ivfTopK(k: Int, nProbe: Int, topK: Int, filtered: Boolean,
+      sampleWhere: String = ""): String = {
     val labelJoin = if (filtered) " AND en.label = q.ql" else ""
     val qLabel = if (filtered) ", eq.label AS ql" else ""
-    val ctes = baseCtes ++ kmeansCtes("v", "sm", k, m = 1, subDim = Dim) ++ Seq(
+    val ctes = baseCtes(sampleWhere) ++
+      kmeansCtes("v", "sm", k, m = 1, subDim = Dim) ++ Seq(
       cellRank("cr", "e", s"cv$Iters"),
       s"""en AS MATERIALIZED (
         |  SELECT e.vec_id, e.emb, e.label, ${nrm("e.emb")} AS nrm,
@@ -194,7 +199,7 @@ private[queries] object AnnOracleSql {
     * topK*10, exact cosine re-rank. */
   def pqTopK(m: Int, k: Int, topK: Int): String = {
     val sub = Dim / m
-    val ctes = baseCtes ++ kmeansCtes("p", "sm", k, m, sub) ++ Seq(
+    val ctes = baseCtes() ++ kmeansCtes("p", "sm", k, m, sub) ++ Seq(
       s"""esub AS MATERIALIZED (
         |  SELECT vec_id, r.sub, emb[(r.sub*$sub+1):((r.sub+1)*$sub)] AS v
         |  FROM e, range($m) r(sub))""".stripMargin,
@@ -238,7 +243,7 @@ private[queries] object AnnOracleSql {
     * ADC = qc + sum of residual-table lookups, shortlist, exact re-rank. */
   def ivfPqTopK(kc: Int, nProbe: Int, m: Int, k: Int, topK: Int): String = {
     val sub = Dim / m
-    val ctes = baseCtes ++
+    val ctes = baseCtes() ++
       kmeansCtes("c", "sm", kc, m = 1, subDim = Dim) ++ Seq(
       // residual sample: sample vector minus its (final) coarse center
       s"""rs AS MATERIALIZED (

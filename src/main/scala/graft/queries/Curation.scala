@@ -313,6 +313,36 @@ object Curation {
           exists(col("lens"), _ >= 8).as("has8"))
         .orderBy("doc_id")),
 
+    // ---- F10: JSON round-trip (to_json → from_json/path-extract → agg) --
+    // The semi-structured surface: serialize a nested struct + array per
+    // event, parse it back BOTH ways (schema'd from_json and path-style
+    // get_json_object), and aggregate the extracted fields. Each engine
+    // serializes and parses its own JSON (wire formats differ in spacing),
+    // so the hash compare pins the round-tripped VALUES — parse fidelity,
+    // nested/array access, and numeric extraction. Pure per-row codegen
+    // expressions + one hash agg; JSON never shuffles (only the extracted
+    // columns do).
+    "f10_json_roundtrip" -> ((s, d) => {
+      val js = Tables.events(s, d)
+        .select(col("event_id"),
+          to_json(struct(
+            col("user_id").as("u"),
+            col("event_type").as("ty"),
+            array(concat(lit("t_"), col("event_type")), lit("v2"))
+              .as("tags"))).as("j"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "u BIGINT, ty STRING, tags ARRAY<STRING>")
+      js.select(
+          from_json(col("j"), schema).as("p"),
+          get_json_object(col("j"), "$.tags[0]").as("tag0"))
+        .groupBy(col("p.ty").as("ty"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p.u")).as("sum_u"),
+          min(col("tag0")).as("tag0"),
+          max(element_at(col("p.tags"), 2)).as("tag1"))
+        .orderBy("ty")
+    }),
+
     // ---- cross-corpus dedup (drop training docs matching the eval set) --
     // Content-identity companion of text_contamination: corpus A (90%) is
     // checked against held-out corpus B (doc_id % 10 == 0) on the sorted
@@ -567,6 +597,17 @@ object Curation {
         |        list_transform(string_split(text, ' '), x -> len(x)) AS l
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "f10_json_roundtrip" ->
+      """WITH j AS (
+        |  SELECT to_json(struct_pack(u := user_id, ty := event_type,
+        |           tags := [concat('t_', event_type), 'v2']))::VARCHAR AS j
+        |  FROM events)
+        |SELECT json_extract_string(j, '$.ty') AS ty,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(json_extract(j, '$.u') AS BIGINT)) AS BIGINT) AS sum_u,
+        |  min(json_extract_string(j, '$.tags[0]')) AS tag0,
+        |  max(json_extract_string(j, '$.tags[1]')) AS tag1
+        |FROM j GROUP BY ty ORDER BY ty""".stripMargin,
     "dedup_cross_corpus" ->
       """WITH f AS (
         |  SELECT doc_id,

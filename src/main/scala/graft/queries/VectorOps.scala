@@ -350,6 +350,14 @@ object VectorOps {
     val inverted = shared(s, s"ivf_inverted:$d:${dataFp(d)}:$k")(
       withNorm(emb).withColumn("cell", assignU(col("e")))
         .select(col("vec_id"), col("cell"), col("e"), col("nrm")))
+    ivfQueryTopK(inverted, centers, nProbe, topK)
+  }
+
+  /** The IVF query path shared by the one-shot and append-maintained
+    * indexes: probe each query's nProbe nearest cells, exact cosine inside
+    * probed cells only, rank. `inverted` must have (vec_id, cell, e, nrm). */
+  private def ivfQueryTopK(inverted: DataFrame, centers: Array[Array[Double]],
+      nProbe: Int, topK: Int): DataFrame = {
     val probe = udf((qe: Seq[Double]) => nearestCells(centers, qe.toArray, nProbe))
     val queries = inverted.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
@@ -365,6 +373,33 @@ object VectorOps {
       .filter(col("rnk") <= topK)
       .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nid"), round(col("c"), 6).as("cos"))
       .orderBy("qid", "rnk")
+  }
+
+  /** Incremental IVF index maintenance — the APPEND path of a production
+    * vector store. The codebook trains on the BASE corpus only (vec_id %
+    * 5 != 4); the delta batch (vec_id % 5 == 4) is encoded with that SAME
+    * stale codebook into its own inverted-file artifact and unioned at
+    * query time — retraining would re-encode the whole corpus, appends
+    * must not. Query semantics are identical to ann_ivf_topk over
+    * base ∪ delta; the oracle rebuilds the stale-codebook index in SQL
+    * (training sample restricted to the base slice), so the entire append
+    * lifecycle — stale cells for new data included — is hash-checked. */
+  private[queries] def annIvfAppendTopK(s: SparkSession, d: String,
+      k: Int, nProbe: Int, topK: Int): DataFrame = {
+    val emb = embOf(s, d)
+    val base = emb.filter(col("vec_id") % 5 =!= 4)
+    val delta = emb.filter(col("vec_id") % 5 === 4)
+    val sample = sampleCache.getOrElseUpdate(s"$d#ivfbase",
+      base.orderBy("vec_id").limit(4096).select("e").collect()
+        .map(_.getSeq[Double](0).toArray))
+    val centers = lloyd(sample, k, iters = 10)
+    val assignU = udf((e: Seq[Double]) => nearestCells(centers, e.toArray, 1).head)
+    def encode(part: DataFrame, name: String): DataFrame =
+      shared(s, s"ivf_append_$name:$d:${dataFp(d)}:$k")(
+        withNorm(part).withColumn("cell", assignU(col("e")))
+          .select(col("vec_id"), col("cell"), col("e"), col("nrm")))
+    val inverted = encode(base, "base").unionByName(encode(delta, "delta"))
+    ivfQueryTopK(inverted, centers, nProbe, topK)
   }
 
   /** Filtered IVF top-k: the metadata predicate composed with cell pruning.
@@ -1027,6 +1062,14 @@ object VectorOps {
         annIvfTopK(s, emb, d, k = 16, nProbe = 4, topK = 3), floor = 0.5)
     }),
 
+    // ---- incremental IVF: append a delta batch WITHOUT retraining ----
+    // The index-maintenance lifecycle: codebook trained on the base slice
+    // only, the appended delta encoded with the same stale codebook as its
+    // own artifact, union at query time. EXACT oracle (sample restricted
+    // to the base slice in SQL) — the whole append path is hash-checked.
+    "ann_ivf_append_topk" -> ((s, d) =>
+      annIvfAppendTopK(s, d, k = 16, nProbe = 4, topK = 3)),
+
     // ---- filtered IVF ANN: cell pruning composed with the label filter ----
     // Approximate counterpart of sim_filtered_topk: the inverted file
     // carries the label, candidates come from an equi-join on (cell,
@@ -1244,6 +1287,9 @@ object VectorOps {
     "dedup_simhash" -> HashOracleSql.simhashPairs(maxHamming = 3),
     "ann_ivf_topk" ->
       AnnOracleSql.ivfTopK(k = 16, nProbe = 4, topK = 3, filtered = false),
+    "ann_ivf_append_topk" ->
+      AnnOracleSql.ivfTopK(k = 16, nProbe = 4, topK = 3, filtered = false,
+        sampleWhere = "vec_id % 5 != 4"),
     "ann_ivf_filtered_topk" ->
       AnnOracleSql.ivfTopK(k = 16, nProbe = 8, topK = 3, filtered = true),
     "ann_pq_topk" -> AnnOracleSql.pqTopK(m = 16, k = 16, topK = 3),

@@ -352,6 +352,44 @@ object Warehouse {
             6).as("df"))
     }),
 
+    // ---- U9: CUBE aggregation over (status, priority) ----
+    // All four grouping combinations in ONE pass (Catalyst expands the
+    // cube and partial-aggs each combination before the exchange — no
+    // 4x re-scan), with grouping_id distinguishing the cube-introduced
+    // nulls from data nulls. Decimal sums keep totals exact across the
+    // expanded groups; first grouping column = most significant gid bit
+    // on both engines (verified: Spark grouping_id ≡ DuckDB GROUPING).
+    "u9_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("priority"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total"))
+        .orderBy(col("gid"), col("status"), col("priority"))),
+
+    // ---- A18: exact percentiles (cont + disc) per event type ----
+    // percentile_cont's linear interpolation and percentile_disc's
+    // first-at-or-above-p pick, WITHIN GROUP per event_type. Exact
+    // percentile buffers each group's values — the verification-scale
+    // semantics; at 100 TB the scale path is the sketch the x3 quantile
+    // gate pins (approx_percentile / t-digest), with this entry as its
+    // exactness reference. round(6) absorbs interpolation-expression ulps
+    // between engines, as in a16.
+    "a18_percentiles" -> ((s, d) => {
+      Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"))
+        .createOrReplaceTempView("graft_a18_ev")
+      s.sql("""SELECT event_type,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS p50,
+        |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 6) AS p90,
+        |  round(percentile_cont(0.99) WITHIN GROUP (ORDER BY value), 6) AS p99,
+        |  round(percentile_disc(0.5) WITHIN GROUP (ORDER BY value), 6) AS p50_disc
+        |FROM graft_a18_ev GROUP BY event_type ORDER BY event_type"""
+        .stripMargin)
+    }),
+
     // ---- Z-order (Morton) multi-dimensional layout clustering ----
     // The data-layout pass behind "OPTIMIZE ZORDER BY (a, b)": map each row
     // to a 3-bit-per-dimension grid coordinate via exact octile cut points
@@ -604,6 +642,21 @@ object Warehouse {
       """SELECT (epoch_us(ts) // 86400000000) // 30 AS period,
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val_sum
-        |FROM events GROUP BY period ORDER BY period""".stripMargin
+        |FROM events GROUP BY period ORDER BY period""".stripMargin,
+    "u9_cube" ->
+      """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  o_orderstatus AS status, o_orderpriority AS priority,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority""".stripMargin,
+    "a18_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99,
+        |  round(quantile_disc(value, 0.5), 6) AS p50_disc
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
