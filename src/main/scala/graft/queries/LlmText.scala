@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -39,9 +39,18 @@ object LlmText {
     * replacement fuses alternate pairs just like the scan. Both engines'
     * `replace` share these semantics, so the DuckDB oracle replays the
     * identical training loop as chained CTEs. */
-  private[queries] def bpeTrainMerges(s: SparkSession, d: String,
-      rounds: Int): DataFrame = {
-    val SEP = "\u001f" // absent from the corpus alphabet (letters + space)
+  private val BpeSep = "\u001f" // absent from the corpus alphabet
+
+  /** Trained merge table per (dataset, rounds): training runs once per
+    * process and is shared by the train-table entry and the tokenizer
+    * that applies the merges. */
+  private val bpeMergeCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), Seq[(Int, String, String, Long)]]
+
+  private def bpeMerges(s: SparkSession, d: String,
+      rounds: Int): Seq[(Int, String, String, Long)] =
+    bpeMergeCache.getOrElseUpdate((d, rounds), {
+    val SEP = BpeSep
     val words = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
@@ -69,23 +78,60 @@ object LlmText {
         cur = cur.withColumn("s", call_function("replace", col("s"),
           lit(SEP + l + SEP + SEP + r + SEP), lit(SEP + l + r + SEP)))
       }
-      val spark = s
-      import spark.implicits._
-      merges.result().toDF("it", "lhs", "rhs", "pcnt")
-        .select(col("it").cast("int").as("it"), col("lhs"), col("rhs"),
-          col("pcnt"))
-        .orderBy("it")
+      merges.result()
     } finally { words.unpersist(false); () }
+  })
+
+  private[queries] def bpeTrainMerges(s: SparkSession, d: String,
+      rounds: Int): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    bpeMerges(s, d, rounds).toDF("it", "lhs", "rhs", "pcnt")
+      .select(col("it").cast("int").as("it"), col("lhs"), col("rhs"),
+        col("pcnt"))
+      .orderBy("it")
   }
 
-  /** Chained-CTE DuckDB replay of [[bpeTrainMerges]] (same word table, same
-    * pair weighting, same (pcnt DESC, lhs, rhs) argmax, same anchored
-    * replace), generated for `rounds` iterations. */
-  private def bpeTrainOracle(rounds: Int): String = {
+  /** Tokenize the corpus with the TRAINED merges — the apply half of the
+    * tokenizer lifecycle. Post-merge token counts are computed once per
+    * DISTINCT word (the same anchored replace chain the trainer used, then
+    * a symbol count) and broadcast back onto one exploded corpus pass: the
+    * corpus is touched once, and only (doc_id, word) rows shuffle before
+    * the per-doc sum. */
+  private[queries] def bpeTokenizeTrained(s: SparkSession, d: String,
+      rounds: Int): DataFrame = {
+    val SEP = BpeSep
+    val merges = bpeMerges(s, d, rounds)
+    val wrapped = regexp_replace(col("w"), "(.)", s"$SEP$$1$SEP")
+    val merged = merges.foldLeft[Column](wrapped) { case (c, (_, l, r, _)) =>
+      call_function("replace", c,
+        lit(SEP + l + SEP + SEP + r + SEP), lit(SEP + l + r + SEP))
+    }
+    val wordTokens = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct() // vocabulary-bounded
+      .select(col("w"),
+        size(split(trim(merged, SEP), SEP + SEP)).cast("long").as("toks"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(wordTokens), "w")
+      .groupBy("doc_id")
+      .agg(sum(col("toks")).as("bpe5_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Chained-CTE DuckDB replay of [[bpeMerges]] (same word table, same pair
+    * weighting, same (pcnt DESC, lhs, rhs) argmax, same anchored replace),
+    * generated for `rounds` iterations. The word string `w` rides along so
+    * the tokenize oracle can map each corpus word to its post-merge symbol
+    * sequence w${rounds + 1}. */
+  private def bpeTrainCtes(rounds: Int): Seq[String] = {
     val sep = "chr(31)"
     val ctes = scala.collection.mutable.ArrayBuffer(
       s"""w1 AS MATERIALIZED (
-        |  SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt,
         |    regexp_replace(w, '(.)', $sep || '\\1' || $sep, 'g') AS s
         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |  WHERE length(w) > 0 GROUP BY w)""".stripMargin)
@@ -102,16 +148,32 @@ object LlmText {
       ctes += s"""b$i AS MATERIALIZED (
         |  SELECT CAST($i AS INTEGER) AS it, lhs, rhs, pcnt FROM p$i
         |  ORDER BY pcnt DESC, lhs, rhs LIMIT 1)""".stripMargin
-      if (i < rounds)
-        ctes += s"""w${i + 1} AS MATERIALIZED (
-          |  SELECT cnt, replace(s,
-          |      (SELECT $sep || lhs || $sep || $sep || rhs || $sep FROM b$i),
-          |      (SELECT $sep || lhs || rhs || $sep FROM b$i)) AS s
-          |  FROM w$i)""".stripMargin
+      ctes += s"""w${i + 1} AS MATERIALIZED (
+        |  SELECT w, cnt, replace(s,
+        |      (SELECT $sep || lhs || $sep || $sep || rhs || $sep FROM b$i),
+        |      (SELECT $sep || lhs || rhs || $sep FROM b$i)) AS s
+        |  FROM w$i)""".stripMargin
     }
-    "WITH " + ctes.mkString(",\n") + "\n" +
+    ctes.toSeq
+  }
+
+  private def bpeTrainOracle(rounds: Int): String =
+    "WITH " + bpeTrainCtes(rounds).mkString(",\n") + "\n" +
       (1 to rounds).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ") +
       " ORDER BY it"
+
+  /** Tokenize oracle: replay the training, then map every corpus word to
+    * its post-merge symbol count and sum per document. */
+  private def bpeTokenizeOracle(rounds: Int): String = {
+    val sep = "chr(31)"
+    "WITH " + bpeTrainCtes(rounds).mkString(",\n") + "\n" +
+      s"""SELECT d.doc_id,
+        |  CAST(sum(len(string_split(trim(wm.s, $sep), $sep || $sep)))
+        |       AS BIGINT) AS bpe5_tokens
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |      FROM documents) d
+        |JOIN w${rounds + 1} wm USING (w)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
   }
 
   private val StopWords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -424,6 +486,12 @@ object LlmText {
     // ships. See bpeTrainMerges for the scale shape and the greedy-merge
     // equivalence argument the oracle relies on.
     "text_bpe_train" -> ((s, d) => bpeTrainMerges(s, d, rounds = 5)),
+
+    // ---- BPE tokenize with the TRAINED merges: the apply half ----
+    // Per-distinct-word post-merge symbol counts broadcast onto one
+    // exploded corpus pass; oracle replays training then joins the
+    // post-merge word table. See bpeTokenizeTrained.
+    "text_bpe_tokenize5" -> ((s, d) => bpeTokenizeTrained(s, d, rounds = 5)),
 
     // ---- BPE training, merge iteration 0: corpus pair counts ----
     // The distributed half of tokenizer training: count adjacent character
@@ -969,6 +1037,7 @@ object LlmText {
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS re_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_bpe_train" -> bpeTrainOracle(rounds = 5),
+    "text_bpe_tokenize5" -> bpeTokenizeOracle(rounds = 5),
     "text_bpe_pairs" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
         |p AS (SELECT unnest(list_transform(range(1, length(w)),

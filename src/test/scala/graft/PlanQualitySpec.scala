@@ -15,6 +15,7 @@ class PlanQualitySpec extends SparkSpec {
   // recompute an exact baseline to certify the approximate scale path
   private val nestedLoopAllowed = Set(
     "sim_cosine_topk", "sim_knn_classify", "ann_lsh_topk", "ann_ivf_topk",
+    "ann_ivf_append_topk", // same query path as ann_ivf_topk
     "ann_pq_topk", "ann_pq_recall_gate",
     "ann_lsh_recall_gate", "ann_ivf_recall_gate", "dedup_simhash_exact_gate",
     // single-row corpus-count broadcasts (idf denominator; CMS N bound;
@@ -89,7 +90,7 @@ class PlanQualitySpec extends SparkSpec {
     // rollup/cube/grouping-sets must plan Expand + partial HashAggregate
     // under the exchange: the shuffle carries group rows, not an
     // |input| x |grouping sets| blowup.
-    Seq("a10_rollup", "a11_cube", "a12_grouping_sets").foreach { name =>
+    Seq("a10_rollup", "a11_cube", "a12_grouping_sets", "u9_cube").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, Sf)
         .queryExecution.executedPlan.toString
       assert(plan.contains("Expand"), s"$name: no Expand in plan:\n$plan")
