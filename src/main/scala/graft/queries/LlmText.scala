@@ -208,61 +208,133 @@ object LlmText {
     * at 100 TB you run the same loop on a sample or switch to mini-batch,
     * the per-pass plan is unchanged. Output: per iteration, the
     * POST-update weights plus that pass's pre-update training accuracy. */
-  private[queries] def lrTrain(s: SparkSession, d: String, iters: Int,
-      lr: Double): DataFrame = {
-    val Q = 4194304.0 // 2^22
-    val feats = Tables.documents(s, d)
+  /** Feature frame shared by training and scoring; `withId` adds doc_id
+    * for the per-document inference output. */
+  private def lrFeatures(s: SparkSession, d: String,
+      withId: Boolean): DataFrame = {
+    val base = Tables.documents(s, d)
       .withColumn("w", split(col("text"), " "))
       .withColumn("n_tok", size(col("w")))
       .withColumn("mean_len",
         (col("n_chars") - (col("n_tok") - 1)).cast("double") / col("n_tok"))
-      .select(
-        when(col("n_tok") < 30, 0.0).when(col("n_tok") > 2000, 0.0)
-          .when(col("mean_len") < 2.0, 0.0).when(col("mean_len") > 12.0, 0.0)
-          .otherwise(1.0).as("y"),
-        lit(1.0).as("x0"),
-        (size(expr(s"filter(w, x -> x IN $stopList)")).cast("double") /
-          size(col("w"))).as("x1"),
-        (length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
-          length(col("text"))).as("x2"),
-        ((aggregate(transform(col("w"), t => length(t)), lit(0),
-          (acc, x) => acc + x).cast("double") / size(col("w"))) / 10.0).as("x3"),
-        (least(col("n_tok"), lit(512)).cast("double") / 64.0).as("x4"))
-      .persist()
-    try {
-      val w = Array.fill(5)(0.0)
-      val out = Seq.newBuilder[(Int, Double, Double, Double, Double, Double, Long, Long)]
-      for (it <- 1 to iters) {
-        val z = lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
-          lit(w(2)) * col("x2") + lit(w(3)) * col("x3") + lit(w(4)) * col("x4")
-        val p = lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
-        val withP = feats.withColumn("z", z).withColumn("p", p)
-        def g(j: Int) =
-          sum(floor(col(s"x$j") * (col("p") - col("y")) * Q)
-            .cast("decimal(38,0)")).as(s"g$j")
-        val row = withP.agg(g(0), g(1), g(2), g(3), g(4),
-          sum(when((col("z") > 0) === (col("y") > 0.5), 1L).otherwise(0L))
-            .as("correct"),
-          count(lit(1)).as("n")).head()
-        val n = row.getLong(6)
-        for (j <- 0 until 5)
-          w(j) = w(j) - lr * ((row.getDecimal(j).doubleValue() / Q) / n.toDouble)
-        out += ((it, w(0), w(1), w(2), w(3), w(4), row.getLong(5), n))
-      }
-      val spark = s
-      import spark.implicits._
-      out.result().toDF("it", "w0", "w1", "w2", "w3", "w4", "correct", "n")
-        .select(col("it").cast("int").as("it"), col("w0"), col("w1"),
-          col("w2"), col("w3"), col("w4"), col("correct"), col("n"))
-        .orderBy("it")
-    } finally { feats.unpersist(false); () }
+    val cols = Seq(
+      when(col("n_tok") < 30, 0.0).when(col("n_tok") > 2000, 0.0)
+        .when(col("mean_len") < 2.0, 0.0).when(col("mean_len") > 12.0, 0.0)
+        .otherwise(1.0).as("y"),
+      lit(1.0).as("x0"),
+      (size(expr(s"filter(w, x -> x IN $stopList)")).cast("double") /
+        size(col("w"))).as("x1"),
+      (length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
+        length(col("text"))).as("x2"),
+      ((aggregate(transform(col("w"), t => length(t)), lit(0),
+        (acc, x) => acc + x).cast("double") / size(col("w"))) / 10.0).as("x3"),
+      (least(col("n_tok"), lit(512)).cast("double") / 64.0).as("x4"))
+    base.select((if (withId) col("doc_id") +: cols else cols): _*)
+  }
+
+  private def lrZ(w: Array[Double]): Column =
+    lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
+      lit(w(2)) * col("x2") + lit(w(3)) * col("x3") + lit(w(4)) * col("x4")
+
+  /** Fit results per (dataset, iters, lr): training runs once per process
+    * and is shared by the train-curve entry and the scorer. */
+  private val lrFitCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Double), Seq[(Int, Double, Double, Double, Double, Double, Long, Long)]]
+
+  private def lrFit(s: SparkSession, d: String, iters: Int,
+      lr: Double): Seq[(Int, Double, Double, Double, Double, Double, Long, Long)] =
+    lrFitCache.getOrElseUpdate((d, iters, lr), {
+      val Q = 4194304.0 // 2^22
+      val feats = lrFeatures(s, d, withId = false).persist()
+      try {
+        val w = Array.fill(5)(0.0)
+        val out = Seq.newBuilder[(Int, Double, Double, Double, Double, Double, Long, Long)]
+        for (it <- 1 to iters) {
+          val z = lrZ(w)
+          val p = lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+          val withP = feats.withColumn("z", z).withColumn("p", p)
+          def g(j: Int) =
+            sum(floor(col(s"x$j") * (col("p") - col("y")) * Q)
+              .cast("decimal(38,0)")).as(s"g$j")
+          val row = withP.agg(g(0), g(1), g(2), g(3), g(4),
+            sum(when((col("z") > 0) === (col("y") > 0.5), 1L).otherwise(0L))
+              .as("correct"),
+            count(lit(1)).as("n")).head()
+          val n = row.getLong(6)
+          for (j <- 0 until 5)
+            w(j) = w(j) - lr * ((row.getDecimal(j).doubleValue() / Q) / n.toDouble)
+          out += ((it, w(0), w(1), w(2), w(3), w(4), row.getLong(5), n))
+        }
+        out.result()
+      } finally { feats.unpersist(false); () }
+    })
+
+  private[queries] def lrTrain(s: SparkSession, d: String, iters: Int,
+      lr: Double): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    lrFit(s, d, iters, lr).toDF("it", "w0", "w1", "w2", "w3", "w4", "correct", "n")
+      .select(col("it").cast("int").as("it"), col("w0"), col("w1"),
+        col("w2"), col("w3"), col("w4"), col("correct"), col("n"))
+      .orderBy("it")
+  }
+
+  /** Score the corpus with the FINAL trained weights — the inference half:
+    * one pure per-row pass (the model is five doubles, effectively free to
+    * broadcast), emitting the margin, the model verdict, the rule verdict
+    * it distilled, and their agreement per document. */
+  private[queries] def lrScore(s: SparkSession, d: String, iters: Int,
+      lr: Double): DataFrame = {
+    val fitted = lrFit(s, d, iters, lr).last
+    val w = Array(fitted._2, fitted._3, fitted._4, fitted._5, fitted._6)
+    lrFeatures(s, d, withId = true)
+      .withColumn("z", lrZ(w))
+      .select(col("doc_id"), round(col("z"), 6).as("score"),
+        (col("z") > 0).as("keep_pred"), (col("y") > 0.5).as("keep_rule"),
+        ((col("z") > 0) === (col("y") > 0.5)).as("agree"))
+      .orderBy("doc_id")
   }
 
   /** Chained-CTE replay of [[lrTrain]]: identical features, identical
     * rational sigmoid, identical quantized-integer gradient sums,
     * identical update expression — weights propagate through one CTE pair
     * per iteration. */
-  private def lrTrainOracle(iters: Int, lr: Double): String = {
+  private def lrTrainOracle(iters: Int, lr: Double): String =
+    "WITH " + lrCtes(iters, lr).mkString(",\n") + "\n" +
+      (1 to iters).map(i =>
+        s"""SELECT CAST($i AS INTEGER) AS it, w.w0, w.w1, w.w2, w.w3, w.w4,
+          |  CAST(g.correct AS BIGINT) AS correct, CAST(g.n AS BIGINT) AS n
+          |FROM wt$i w, gr$i g""".stripMargin).mkString("\nUNION ALL\n") +
+      "\nORDER BY it"
+
+  /** Scoring oracle: replay training to wt$iters, then score each document
+    * (same dot order as lrZ) and compare against the rule verdict. */
+  private def lrScoreOracle(iters: Int, lr: Double): String =
+    "WITH " + (lrCtes(iters, lr) :+
+      s"""ftd AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN n_tok < 30 THEN 0.0 WHEN n_tok > 2000 THEN 0.0
+        |         WHEN (n_chars - (n_tok - 1))::DOUBLE / n_tok < 2.0 THEN 0.0
+        |         WHEN (n_chars - (n_tok - 1))::DOUBLE / n_tok > 12.0 THEN 0.0
+        |         ELSE 1.0 END AS y,
+        |    1.0 AS x0,
+        |    len(list_filter(w, x -> x IN $stopList))::DOUBLE / len(w) AS x1,
+        |    len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+        |      / length(text) AS x2,
+        |    (list_sum(list_transform(w, x -> len(x)))::DOUBLE / len(w))
+        |      / 10.0 AS x3,
+        |    LEAST(n_tok, 512)::DOUBLE / 64.0 AS x4
+        |  FROM (SELECT doc_id, n_chars, text, string_split(text, ' ') AS w,
+        |          len(string_split(text, ' ')) AS n_tok
+        |        FROM documents))""".stripMargin).mkString(",\n") + "\n" +
+      s"""SELECT doc_id, round(z, 6) AS score, z > 0 AS keep_pred,
+        |  y > 0.5 AS keep_rule, (z > 0) = (y > 0.5) AS agree
+        |FROM (SELECT f.doc_id, f.y,
+        |        w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3 + w.w4*x4 AS z
+        |      FROM ftd f, wt$iters w)
+        |ORDER BY doc_id""".stripMargin
+
+  private def lrCtes(iters: Int, lr: Double): Seq[String] = {
     val ctes = scala.collection.mutable.ArrayBuffer(
       s"""ft AS MATERIALIZED (
         |  SELECT CASE WHEN n_tok < 30 THEN 0.0 WHEN n_tok > 2000 THEN 0.0
@@ -300,11 +372,7 @@ object LlmText {
         |  SELECT $ws
         |  FROM wt${i - 1} w, gr$i g)""".stripMargin
     }
-    val rows = (1 to iters).map(i =>
-      s"""SELECT CAST($i AS INTEGER) AS it, w.w0, w.w1, w.w2, w.w3, w.w4,
-        |  CAST(g.correct AS BIGINT) AS correct, CAST(g.n AS BIGINT) AS n
-        |FROM wt$i w, gr$i g""".stripMargin).mkString("\nUNION ALL\n")
-    "WITH " + ctes.mkString(",\n") + "\n" + rows + "\nORDER BY it"
+    ctes.toSeq
   }
 
   /** Distinctive function words per language for the langid heuristic. */
@@ -626,6 +694,11 @@ object LlmText {
     // SQL oracle (rational sigmoid + quantized-integer gradient sums).
     // See lrTrain for the determinism argument.
     "quality_lr_train" -> ((s, d) => lrTrain(s, d, iters = 12, lr = 8.0)),
+
+    // ---- quality-classifier INFERENCE with the trained weights ----
+    // The apply half: per-document margin + model verdict vs the rule
+    // verdict it distilled. One per-row pass; the model is five doubles.
+    "quality_lr_score" -> ((s, d) => lrScore(s, d, iters = 12, lr = 8.0)),
 
     // ---- BPE training, merge iteration 0: corpus pair counts ----
     // The distributed half of tokenizer training: count adjacent character
@@ -1173,6 +1246,7 @@ object LlmText {
     "text_bpe_train" -> bpeTrainOracle(rounds = 5),
     "text_bpe_tokenize5" -> bpeTokenizeOracle(rounds = 5),
     "quality_lr_train" -> lrTrainOracle(iters = 12, lr = 8.0),
+    "quality_lr_score" -> lrScoreOracle(iters = 12, lr = 8.0),
     "text_bpe_pairs" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
         |p AS (SELECT unnest(list_transform(range(1, length(w)),
