@@ -827,6 +827,24 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // ---- Holt's linear smoothing: level+trend per series ----
+    // Double exponential smoothing over each user's value series — the
+    // trend-aware sibling of ts_ewma, same kernel shape, same DIRECT
+    // oracle pattern: the two-component (level, trend) state folds in
+    // DuckDB as list_reduce over [x, 0] pairs with the identical literal
+    // weights, so every step is bit-exact. See Kernels.holt.
+    "ts_holt" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .withColumn("t", row_number().over(wUser).cast("double"))
+        .select("event_id", "user_id", "t", "value")
+      GroupKernels
+        .withKernel(base, Seq("user_id"), "t", Seq("value" -> "holt_raw"),
+          (_, y) => Kernels.holt(y))
+        .select(col("event_id"), round(col("holt_raw"), 6).as("holt_level"))
+        .orderBy("event_id")
+    }),
+
     // ---- K3: log-difference growth (reference: dlog.R:83-92) ----
     "k3_dlog" -> ((s, d) => {
       val prev = lag(col("value"), 1).over(wUser)
@@ -845,6 +863,25 @@ object Relational {
       """SELECT CAST(count(*) AS BIGINT) AS n_series, true AS residual_ok
         |FROM (SELECT user_id FROM events WHERE value IS NOT NULL
         |      GROUP BY user_id HAVING count(*) >= 12)""".stripMargin,
+    "ts_holt" ->
+      """WITH o AS (
+        |  SELECT event_id, user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events WHERE value IS NOT NULL),
+        |l AS (
+        |  SELECT user_id, list(value ORDER BY rn) AS xs,
+        |         list(event_id ORDER BY rn) AS ids
+        |  FROM o GROUP BY user_id)
+        |SELECT unnest(ids) AS event_id,
+        |  unnest(list_transform(range(1, len(xs) + 1),
+        |    i -> round(list_reduce(
+        |           list_transform(xs[1:i], x -> [x, 0.0]),
+        |           (acc, xe) -> [0.3*xe[1] + 0.7*(acc[1]+acc[2]),
+        |                         0.4*((0.3*xe[1] + 0.7*(acc[1]+acc[2]))
+        |                              - acc[1]) + 0.6*acc[2]])[1], 6)))
+        |    AS holt_level
+        |FROM l ORDER BY event_id""".stripMargin,
     "ts_ewma" ->
       """WITH o AS (
         |  SELECT event_id, user_id, value,

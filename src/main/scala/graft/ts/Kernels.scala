@@ -196,6 +196,28 @@ object Kernels {
     out
   }
 
+  /** Holt's linear (double exponential) smoothing: level + trend state.
+    * l_0 = x_0, b_0 = 0; l_i = 0.3 x_i + 0.7 (l + b);
+    * b_i = 0.4 (l_i - l) + 0.6 b. The four smoothing weights are FIXED
+    * LITERALS (not 1-α at runtime) so every fold step is the identical
+    * IEEE expression the DuckDB list_reduce oracle evaluates. Returns the
+    * level series. */
+  def holt(x: Array[Double]): Array[Double] = {
+    val out = new Array[Double](x.length)
+    var l = x(0)
+    var b = 0.0
+    out(0) = l
+    var i = 1
+    while (i < x.length) {
+      val lNew = 0.3 * x(i) + 0.7 * (l + b)
+      b = 0.4 * (lNew - l) + 0.6 * b
+      l = lNew
+      out(i) = l
+      i += 1
+    }
+    out
+  }
+
   @inline private def finite(v: Double): Boolean =
     !java.lang.Double.isNaN(v) && !java.lang.Double.isInfinite(v)
 
