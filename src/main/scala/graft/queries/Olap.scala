@@ -133,6 +133,31 @@ object Olap {
         .orderBy("event_id")
     }),
 
+    // ---- W10: the ranking-function family over one window ----
+    // row_number / rank / dense_rank / percent_rank / cume_dist / ntile
+    // per order within its status partition. The tie-sensitive functions
+    // (rank, dense_rank, percent_rank, cume_dist) rank by o_orderdate
+    // alone — day-granular, so ties are REAL and the gap/no-gap/fraction
+    // semantics are actually exercised; the position-sensitive ones
+    // (row_number, ntile) use the (o_orderdate, o_orderkey) total order,
+    // since ties would make their split nondeterministic. percent_rank
+    // and cume_dist are exact divisions of counts — identical doubles on
+    // both engines. One exchange on o_orderstatus serves all six.
+    "w10_rank_family" -> ((s, d) => {
+      val tie = Window.partitionBy("o_orderstatus").orderBy("o_orderdate")
+      val tot = Window.partitionBy("o_orderstatus")
+        .orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          row_number().over(tot).cast("long").as("rn"),
+          rank().over(tie).cast("long").as("rnk"),
+          dense_rank().over(tie).cast("long").as("drnk"),
+          round(percent_rank().over(tie), 6).as("prnk"),
+          round(cume_dist().over(tie), 6).as("cd"),
+          ntile(4).over(tot).cast("long").as("quartile"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- daily anomaly flags: z-score of per-type event volume ----
     // The data-quality monitor every ingest pipeline runs: aggregate
     // events to (event_type, day) counts, score each day against its
@@ -604,6 +629,19 @@ object Olap {
         |    PARTITION BY user_id ORDER BY epoch_us(ts) // 86400000000
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS win_sum
         |FROM events ORDER BY event_id""".stripMargin,
+    "w10_rank_family" ->
+      """SELECT o_orderkey,
+        |  CAST(row_number() OVER tot AS BIGINT) AS rn,
+        |  CAST(rank() OVER tie AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER tie AS BIGINT) AS drnk,
+        |  round(percent_rank() OVER tie, 6) AS prnk,
+        |  round(cume_dist() OVER tie, 6) AS cd,
+        |  CAST(ntile(4) OVER tot AS BIGINT) AS quartile
+        |FROM orders
+        |WINDOW tie AS (PARTITION BY o_orderstatus ORDER BY o_orderdate),
+        |  tot AS (PARTITION BY o_orderstatus
+        |          ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "w9_moving_median" ->
       """SELECT event_id, user_id,
         |  round(quantile_cont(value, 0.5) OVER (
