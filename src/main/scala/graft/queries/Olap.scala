@@ -133,6 +133,28 @@ object Olap {
         .orderBy("event_id")
     }),
 
+    // ---- F11: calendar arithmetic over order dates ----
+    // The date/time function surface (absent from the reference — bare
+    // integer years only): component extraction, month truncation,
+    // end-of-month, month arithmetic with end-clamping, and day diffs
+    // from an epoch anchor. Timestamps compare as epoch micros so the
+    // check pins instants, not rendering. Pure per-row codegen.
+    "f11_datetime_fns" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          quarter(col("o_orderdate")).as("qtr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          unix_micros(date_trunc("month", col("o_orderdate"))).as("month_us"),
+          unix_micros(last_day(col("o_orderdate"))
+            .cast("timestamp")).as("eom_us"),
+          unix_micros(add_months(col("o_orderdate"), 1)
+            .cast("timestamp")).as("next_mo_us"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+            .as("days_since"))
+        .orderBy("o_orderkey")),
+
     // ---- W10: the ranking-function family over one window ----
     // row_number / rank / dense_rank / percent_rank / cume_dist / ntile
     // per order within its status partition. The tie-sensitive functions
@@ -629,6 +651,18 @@ object Olap {
         |    PARTITION BY user_id ORDER BY epoch_us(ts) // 86400000000
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS win_sum
         |FROM events ORDER BY event_id""".stripMargin,
+    "f11_datetime_fns" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |  CAST(day(o_orderdate) AS INTEGER) AS dom,
+        |  epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+        |  epoch_us(last_day(o_orderdate)::TIMESTAMP) AS eom_us,
+        |  epoch_us((o_orderdate + INTERVAL 1 MONTH)::TIMESTAMP) AS next_mo_us,
+        |  CAST(date_diff('day', DATE '1995-01-01', o_orderdate::DATE)
+        |       AS INTEGER) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "w10_rank_family" ->
       """SELECT o_orderkey,
         |  CAST(row_number() OVER tot AS BIGINT) AS rn,
