@@ -970,6 +970,14 @@ object LlmText {
     "stream_static_join" -> ((s, d) =>
       graft.streaming.EventStreams.drainStreamStaticJoin(s, d)),
 
+    // ---- streaming drain: CDC latest-state materialized view ----
+    // Complete-mode max_by aggregation per user: the "current state of
+    // the world" table a CDC pipeline maintains. Split at the event-time
+    // midpoint so batch 2 must overwrite batch 1's winners. Oracle: the
+    // batch argmax. See EventStreams.drainLatestState.
+    "stream_latest_state" -> ((s, d) =>
+      graft.streaming.EventStreams.drainLatestState(s, d)),
+
     // ---- streaming drain: stateful per-key EWMA, driver-checked ----
     // The sequential recurrence as an O(1)-state incremental operator
     // (flatMapGroupsWithState), drained over a file stream split at the
@@ -1381,6 +1389,15 @@ object LlmText {
         |                           (acc, x) -> 0.2 * x + 0.8 * acc), 6)))
         |    AS ewma
         |FROM l ORDER BY event_id""".stripMargin,
+    "stream_latest_state" ->
+      """SELECT user_id, event_id AS last_event_id,
+        |  round(value, 6) AS last_value, event_type AS last_type, n_updates
+        |FROM (SELECT *,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rn,
+        |        count(*) OVER (PARTITION BY user_id) AS n_updates
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // identical oracle again: the reorder buffer must converge to the same
     // fold as the ordered drain despite the scrambled second micro-batch
     "stream_ewma_reorder" ->

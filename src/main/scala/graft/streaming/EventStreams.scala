@@ -494,6 +494,58 @@ object EventStreams {
       .orderBy("event_id")
   }
 
+  /** Drain a CDC-style LATEST-STATE materialized view: each event is an
+    * update to its user's row, and the view maintains, per user, the value
+    * of the latest (ts, event_id) update seen so far — the streaming
+    * "current state of the world" table every CDC pipeline keeps. A
+    * Complete-mode `max_by(update, (ts, event_id))` aggregation carries
+    * the argmax across micro-batches in state (one row per key, no
+    * watermark needed: the view is by definition over ALL updates); the
+    * drain splits the file at the event-time midpoint so batch 2 must
+    * OVERWRITE batch 1's winners for every key active in both halves.
+    * Oracle: the equivalent batch argmax. EAGER BY DESIGN: the drain runs
+    * at construction. */
+  def drainLatestState(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_latest")
+    sys.addShutdownHook {
+      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
+    }
+    val raw = graft.Tables.events(s, d)
+    val bounds = raw.agg(min(col("ts")), max(col("ts"))).head()
+    val mid = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+    def staged(part: DataFrame): DataFrame =
+      part.withColumn("ts", timestamp_micros(col("ts")))
+    stageFile(tmp, "a_early.parquet", staged(raw.filter(col("ts") < mid)))
+    stageFile(tmp, "b_late.parquet", staged(raw.filter(col("ts") >= mid)))
+    Seq("a_early.parquet", "b_late.parquet").zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.setLastModifiedTime(tmp.resolve(f),
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+    }
+    val src = openEventsStream(s, tmp.toString, Map("maxFilesPerTrigger" -> "1"))
+    val name = "graft_stream_latest"
+    val q = src
+      .groupBy("user_id")
+      .agg(
+        max_by(struct(col("value"), col("event_type")),
+          struct(col("ts"), col("event_id"))).as("last"),
+        max_by(col("event_id"), struct(col("ts"), col("event_id")))
+          .as("last_event_id"),
+        count(lit(1)).as("n_updates"))
+      .select(col("user_id"), col("last_event_id"),
+        col("last.value").as("last_value"),
+        col("last.event_type").as("last_type"), col("n_updates"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .select(col("user_id"), col("last_event_id"),
+        round(col("last_value"), 6).as("last_value"), col("last_type"),
+        col("n_updates"))
+      .orderBy("user_id")
+  }
+
   /** Out-of-order-safe streaming EWMA: a watermark-delayed per-key REORDER
     * BUFFER in front of the [[ewmaStream]] fold. [[ewmaStream]] is correct
     * only when ingestion preserves per-key event-time order across
