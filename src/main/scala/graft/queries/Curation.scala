@@ -313,7 +313,7 @@ object Curation {
           exists(col("lens"), _ >= 8).as("has8"))
         .orderBy("doc_id")),
 
-    // ---- F10: JSON round-trip (to_json → from_json/path-extract → agg) --
+    // ---- F12: JSON round-trip (to_json → from_json/path-extract → agg) --
     // The semi-structured surface: serialize a nested struct + array per
     // event, parse it back BOTH ways (schema'd from_json and path-style
     // get_json_object), and aggregate the extracted fields. Each engine
@@ -322,7 +322,7 @@ object Curation {
     // nested/array access, and numeric extraction. Pure per-row codegen
     // expressions + one hash agg; JSON never shuffles (only the extracted
     // columns do).
-    "f10_json_roundtrip" -> ((s, d) => {
+    "f12_json_roundtrip" -> ((s, d) => {
       val js = Tables.events(s, d)
         .select(col("event_id"),
           to_json(struct(
@@ -597,7 +597,7 @@ object Curation {
         |        list_transform(string_split(text, ' '), x -> len(x)) AS l
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
-    "f10_json_roundtrip" ->
+    "f12_json_roundtrip" ->
       """WITH j AS (
         |  SELECT to_json(struct_pack(u := user_id, ty := event_type,
         |           tags := [concat('t_', event_type), 'v2']))::VARCHAR AS j

@@ -133,13 +133,13 @@ object Olap {
         .orderBy("event_id")
     }),
 
-    // ---- F11: calendar arithmetic over order dates ----
+    // ---- F13: calendar arithmetic over order dates ----
     // The date/time function surface (absent from the reference — bare
     // integer years only): component extraction, month truncation,
     // end-of-month, month arithmetic with end-clamping, and day diffs
     // from an epoch anchor. Timestamps compare as epoch micros so the
     // check pins instants, not rendering. Pure per-row codegen.
-    "f11_datetime_fns" -> ((s, d) =>
+    "f13_datetime_fns" -> ((s, d) =>
       Tables.orders(s, d)
         .select(col("o_orderkey"),
           year(col("o_orderdate")).as("yr"),
@@ -651,7 +651,7 @@ object Olap {
         |    PARTITION BY user_id ORDER BY epoch_us(ts) // 86400000000
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS win_sum
         |FROM events ORDER BY event_id""".stripMargin,
-    "f11_datetime_fns" ->
+    "f13_datetime_fns" ->
       """SELECT o_orderkey,
         |  CAST(year(o_orderdate) AS INTEGER) AS yr,
         |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
