@@ -970,6 +970,15 @@ object LlmText {
     "stream_static_join" -> ((s, d) =>
       graft.streaming.EventStreams.drainStreamStaticJoin(s, d)),
 
+    // ---- streaming drain: state recovery across a QUERY RESTART ----
+    // Two separately-started queries share one checkpoint: the first
+    // drains the early half and stops; the second recovers the agg state
+    // + source progress from the checkpoint and absorbs the late half.
+    // Final table == batch aggregate: exactly-once recovery.
+    // See EventStreams.drainCheckpointRecovery.
+    "stream_checkpoint_recovery" -> ((s, d) =>
+      graft.streaming.EventStreams.drainCheckpointRecovery(s, d)),
+
     // ---- streaming drain: CDC latest-state materialized view ----
     // Complete-mode max_by aggregation per user: the "current state of
     // the world" table a CDC pipeline maintains. Split at the event-time
@@ -1389,6 +1398,10 @@ object LlmText {
         |                           (acc, x) -> 0.2 * x + 0.8 * acc), 6)))
         |    AS ewma
         |FROM l ORDER BY event_id""".stripMargin,
+    "stream_checkpoint_recovery" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_latest_state" ->
       """SELECT user_id, event_id AS last_event_id,
         |  round(value, 6) AS last_value, event_type AS last_type, n_updates

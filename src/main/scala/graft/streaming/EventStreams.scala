@@ -494,6 +494,59 @@ object EventStreams {
       .orderBy("event_id")
   }
 
+  /** Drain a windowed aggregation ACROSS A QUERY RESTART: the first
+    * streaming query processes only the early half of the data and STOPS;
+    * a second, separately-started query with the SAME checkpoint resumes —
+    * recovering the aggregation state and the file-source progress log from
+    * the checkpoint, not from the first query's in-memory anything — and
+    * absorbs the late half. The final Complete-mode table must equal the
+    * plain batch aggregate: that is exactly-once recovery, the property a
+    * production stream restarts on (executor loss, redeploy) every day.
+    * Nothing else in the drain suite kills and restarts a query.
+    * EAGER BY DESIGN: both drains run at construction. */
+  def drainCheckpointRecovery(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+    sys.addShutdownHook {
+      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
+    }
+    val data = tmp.resolve("data")
+    java.nio.file.Files.createDirectories(data)
+    val ckpt = tmp.resolve("checkpoint").toString
+    val raw = graft.Tables.events(s, d)
+    val bounds = raw.agg(min(col("ts")), max(col("ts"))).head()
+    val mid = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+    def staged(part: DataFrame): DataFrame =
+      part.withColumn("ts", timestamp_micros(col("ts")))
+    def agg(src: DataFrame): DataFrame = src
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+    // phase 1: only the early half exists; the query drains it and STOPS
+    stageFile(data, "a_early.parquet", staged(raw.filter(col("ts") < mid)))
+    java.nio.file.Files.setLastModifiedTime(data.resolve("a_early.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000L))
+    val q1 = agg(openEventsStream(s, data.toString))
+      .writeStream.format("memory").queryName("graft_ckpt_phase1")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q1.awaitTermination()
+    // phase 2: the late half lands; a NEW query on the SAME checkpoint
+    // resumes from the recovered state + source progress
+    stageFile(data, "b_late.parquet", staged(raw.filter(col("ts") >= mid)))
+    java.nio.file.Files.setLastModifiedTime(data.resolve("b_late.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(1060000L))
+    val q2 = agg(openEventsStream(s, data.toString))
+      .writeStream.format("memory").queryName("graft_ckpt_phase2")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    s.table("graft_ckpt_phase2").orderBy("event_type")
+  }
+
   /** Drain a CDC-style LATEST-STATE materialized view: each event is an
     * update to its user's row, and the view maintains, per user, the value
     * of the latest (ts, event_id) update seen so far — the streaming
