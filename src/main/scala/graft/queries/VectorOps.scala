@@ -840,6 +840,69 @@ object VectorOps {
         .orderBy("doc_id")
     }),
 
+    // ---- connected components via alternating large-star/small-star ----
+    // The O(log n)-round CC algorithm (Kiveris et al., "Connected
+    // Components in MapReduce and Beyond") over the same near-dup graph:
+    // label propagation (dedup_resolve) needs diameter-many rounds — a
+    // 1000-link duplication chain needs 1000 passes — where star
+    // contraction squares progress each round. Large-star hangs every
+    // strictly-larger neighbor off the neighborhood minimum; small-star
+    // re-hangs the smaller ones; at the fixpoint every component is a
+    // star rooted at its minimum id. Each round is two grouped minima +
+    // two equi-joins on (id, id) pairs; per-round lineage cut by
+    // localCheckpoint (the Pregel materialization — see dedup_resolve);
+    // convergence detected by an order-free (count, xor-hash) signature,
+    // one bounded 1-row collect per round. Same output and oracle as
+    // dedup_resolve: the recursive-CTE TRUE fixpoint, so a wrong
+    // contraction would hash-mismatch.
+    "dedup_resolve_star" -> ((s, d) => {
+      val pairs = minhashPairs(s, d).select("id_a", "id_b")
+      var e = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+        .distinct().localCheckpoint(false)
+      def canon(df: DataFrame): DataFrame = df
+        .select(least(col("x"), col("y")).as("u"),
+          greatest(col("x"), col("y")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      def sig(df: DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)),
+          coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      var last = (-1L, 0L)
+      var round = 0
+      var done = false
+      while (!done && round < 15) {
+        val mins = e.groupBy("u").agg(min("v").as("mn"))
+          .select(col("u"), least(col("u"), col("mn")).as("m"))
+        // large-star: {v, m(u)} for strictly larger neighbors v of u
+        val ls = canon(e.join(mins, "u").filter(col("v") > col("u"))
+          .select(col("v").as("x"), col("m").as("y")))
+        val e1 = ls.select(col("u").as("x"), col("v").as("y"))
+        val und1 = e1.select(col("x").as("u"), col("y").as("v"))
+          .union(e1.select(col("y").as("u"), col("x").as("v")))
+          .localCheckpoint(false)
+        val mins2 = und1.groupBy("u").agg(min("v").as("mn"))
+          .select(col("u"), least(col("u"), col("mn")).as("m"))
+        // small-star: {v, m(u)} for v <= u, plus {u, m(u)}
+        val ss = canon(und1.join(mins2, "u")
+          .filter(col("v") < col("u"))
+          .select(col("v").as("x"), col("m").as("y"))
+          .union(mins2.select(col("u").as("x"), col("m").as("y"))))
+        e = ss.select(col("u"), col("v"))
+          .union(ss.select(col("v").as("u"), col("u").as("v")))
+          .localCheckpoint(false)
+        val now = sig(ss)
+        done = now == last
+        last = now
+        round += 1
+      }
+      e.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u").as("doc_id"),
+          least(col("u"), col("mn")).as("cluster_rep"))
+        .orderBy("doc_id")
+    }),
+
     // ---- graph centrality: PageRank over the near-dup graph ----
     // Ranks documents by duplicate-graph centrality (which docs sit at the
     // middle of big copy clusters — the triage order for a dedup report).
@@ -1272,6 +1335,33 @@ object VectorOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     baseQueries ++ moreQueries
 
+  /** The recursive-CTE true connected-components fixpoint, shared by the
+    * label-propagation and star-contraction implementations. */
+  private val CcFixpointOracle: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+      |         ELSE list_distinct(list_transform(
+      |            range(1, len(string_split(text, ' ')) - 1),
+      |            i -> string_split(text, ' ')[i] || ' ' ||
+      |                 string_split(text, ' ')[i + 1] || ' ' ||
+      |                 string_split(text, ' ')[i + 2]))
+      |    END AS w
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.w, b.w))::DOUBLE / len(list_distinct(a.w || b.w)) >= 0.9),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach(id, lbl) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst)
+      |SELECT id AS doc_id, min(lbl) AS cluster_rep
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // Trained-index ANN oracles: the full k-means IVF / PQ / IVFPQ pipelines
     // are rebuilt in DuckDB SQL — deterministic sample, Lloyd iterations
@@ -1446,31 +1536,9 @@ object VectorOps {
         |ORDER BY id_a, id_b""".stripMargin,
     // true connected-components fixpoint via recursive CTE over the same
     // all-pairs >= 0.9 jaccard graph — an under-converged Spark label
-    // propagation would hash-mismatch
-    "dedup_resolve" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
-        |         ELSE list_distinct(list_transform(
-        |            range(1, len(string_split(text, ' ')) - 1),
-        |            i -> string_split(text, ' ')[i] || ' ' ||
-        |                 string_split(text, ' ')[i + 1] || ' ' ||
-        |                 string_split(text, ' ')[i + 2]))
-        |    END AS w
-        |  FROM documents),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.w, b.w))::DOUBLE / len(list_distinct(a.w || b.w)) >= 0.9),
-        |edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs),
-        |reach(id, lbl) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst)
-        |SELECT id AS doc_id, min(lbl) AS cluster_rep
-        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // propagation (or a wrong star contraction) would hash-mismatch
+    "dedup_resolve" -> CcFixpointOracle,
+    "dedup_resolve_star" -> CcFixpointOracle,
     "graph_pagerank" ->
       """WITH t AS (
         |  SELECT doc_id,
