@@ -352,6 +352,71 @@ object Warehouse {
             6).as("df"))
     }),
 
+    // ---- DQ1: one-pass dataset profiler (Deequ-style) ----
+    // The profiling report a warehouse computes before trusting a feed:
+    // per column — nulls, exact distinct count, min/max (as strings so one
+    // long-format schema fits every type). ONE scan: all per-column
+    // aggregates evaluate in a single pass (Spark plans the multi-distinct
+    // via Expand below the partial agg, so the shuffle carries group rows),
+    // then the wide one-row result unpivots to (column, metric) rows.
+    "dq_profile" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
+        "l_returnflag", "l_shipdate")
+      val aggs = cols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+          countDistinct(col(c)).as(s"${c}__distinct"),
+          min(col(c)).cast("string").as(s"${c}__min"),
+          max(col(c)).cast("string").as(s"${c}__max"))
+      }
+      val wide = li.agg(aggs.head, aggs.tail: _*)
+      val rows = cols.map { c =>
+        struct(lit(c).as("column"),
+          col(s"${c}__nulls").as("n_null"),
+          col(s"${c}__distinct").as("n_distinct"),
+          col(s"${c}__min").as("min_s"), col(s"${c}__max").as("max_s"))
+      }
+      wide.select(explode(array(rows: _*)).as("r"))
+        .select("r.column", "r.n_null", "r.n_distinct", "r.min_s", "r.max_s")
+        .orderBy("column")
+    }),
+
+    // ---- DQ2: constraint validation (dbt-test / Deequ checks) ----
+    // The contract gate a pipeline runs per batch: PK uniqueness
+    // ((l_orderkey, l_linenumber)), FK referential integrity
+    // (orders.o_custkey ⊆ customer.c_custkey — anti-join count), domain
+    // membership (l_returnflag ∈ {A,N,R}), and range sanity
+    // (0 <= l_discount <= 0.1). Each check is a thin aggregate; the FK
+    // anti-join broadcasts the key side. Output: one row per check with
+    // its violation count and pass flag — all-zero on a clean feed, and
+    // any regression flips a flag and the hash.
+    "dq_constraints" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val li = Tables.lineitem(s, d)
+      val pkDup = li.groupBy("l_orderkey", "l_linenumber")
+        .count().filter(col("count") > 1)
+        .agg(coalesce(sum(col("count") - 1), lit(0L)).as("v"))
+        .select(lit("pk_unique_lineitem").as("chk"), col("v"))
+      val fkOrphan = Tables.orders(s, d).select(col("o_custkey"))
+        .join(broadcast(Tables.customer(s, d).select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("v"))
+        .select(lit("fk_orders_customer").as("chk"), col("v"))
+      val domain = li
+        .agg(sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L)
+          .otherwise(0L)).as("v"))
+        .select(lit("domain_returnflag").as("chk"), col("v"))
+      val range = li
+        .agg(sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+          .otherwise(0L)).as("v"))
+        .select(lit("range_discount").as("chk"), col("v"))
+      pkDup.unionByName(fkOrphan).unionByName(domain).unionByName(range)
+        .select(col("chk"), col("v").as("violations"),
+          (col("v") === 0).as("ok"))
+        .orderBy("chk")
+    }),
+
     // ---- U9: CUBE aggregation over (status, priority) ----
     // All four grouping combinations in ONE pass (Catalyst expands the
     // cube and partial-aggs each combination before the exchange — no
@@ -643,6 +708,46 @@ object Warehouse {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val_sum
         |FROM events GROUP BY period ORDER BY period""".stripMargin,
+    "dq_profile" -> {
+      val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
+        "l_returnflag", "l_shipdate")
+      val rows = cols.map { c =>
+        s"""SELECT '$c' AS "column",
+          |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_null,
+          |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+          |  CAST(min($c) AS VARCHAR) AS min_s,
+          |  CAST(max($c) AS VARCHAR) AS max_s
+          |FROM lineitem""".stripMargin
+      }
+      rows.mkString("\nUNION ALL\n") + "\nORDER BY \"column\""
+    },
+    "dq_constraints" ->
+      """SELECT 'domain_returnflag' AS chk,
+        |  CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1
+        |           ELSE 0 END) AS BIGINT) AS violations,
+        |  sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1
+        |      ELSE 0 END) = 0 AS ok
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'fk_orders_customer',
+        |  CAST(count(*) AS BIGINT),
+        |  count(*) = 0
+        |FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+        |UNION ALL
+        |SELECT 'pk_unique_lineitem',
+        |  CAST(coalesce(sum(c - 1), 0) AS BIGINT),
+        |  coalesce(sum(c - 1), 0) = 0
+        |FROM (SELECT count(*) AS c FROM lineitem
+        |      GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+        |UNION ALL
+        |SELECT 'range_discount',
+        |  CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1
+        |           ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1
+        |      ELSE 0 END) = 0
+        |FROM lineitem
+        |ORDER BY chk""".stripMargin,
     "u9_cube" ->
       """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
         |  o_orderstatus AS status, o_orderpriority AS priority,
