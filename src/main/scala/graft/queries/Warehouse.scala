@@ -352,6 +352,40 @@ object Warehouse {
             6).as("df"))
     }),
 
+    // ---- U10: point-in-time lookup against SCD-2 versions ----
+    // The feature-store correctness primitive: for each fact (purchase),
+    // the dimension version that was valid AT the fact's event time —
+    // never a later one (label leakage) and never an earlier one once
+    // superseded. Versions are the u5_scd2 intervals (same two windows);
+    // same-instant version ties keep the highest version (the state after
+    // all of that instant's changes). The lookup is AsOfJoin's tagged
+    // union + one window pass — one user_id exchange, no row
+    // amplification — against DuckDB's native ASOF LEFT JOIN.
+    "u10_pit_lookup" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val changed = Tables.events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+      val versions = changed.select(col("user_id"),
+        col("event_type").as("state_type"), col("ts").as("valid_from"),
+        row_number().over(w).cast("long").as("version"))
+      val wTie = Window.partitionBy("user_id", "valid_from")
+        .orderBy(col("version").desc)
+      val dim = versions.withColumn("rn", row_number().over(wTie))
+        .filter(col("rn") === 1).drop("rn")
+      val facts = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      AsOfJoin.asOfLeft(facts, dim, Seq("user_id"), "ts", "valid_from",
+          Seq("state_type", "version"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_state_type").as("state_type"),
+          col("asof_version").as("version"),
+          col("asof_valid_from").as("valid_from_us"))
+        .orderBy("event_id")
+    }),
+
     // ---- DQ1: one-pass dataset profiler (Deequ-style) ----
     // The profiling report a warehouse computes before trusting a feed:
     // per column — nulls, exact distinct count, min/max (as strings so one
@@ -708,6 +742,28 @@ object Warehouse {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val_sum
         |FROM events GROUP BY period ORDER BY period""".stripMargin,
+    "u10_pit_lookup" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tus, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events),
+        |ch AS (
+        |  SELECT user_id, event_type AS state_type, tus AS valid_from,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY tus, event_id)
+        |      AS version
+        |  FROM w WHERE prev IS NULL OR prev != event_type),
+        |dim AS (
+        |  SELECT * FROM ch
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, valid_from
+        |    ORDER BY version DESC) = 1),
+        |f AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id, d.state_type,
+        |  CAST(d.version AS BIGINT) AS version, d.valid_from AS valid_from_us
+        |FROM f ASOF LEFT JOIN dim d
+        |  ON f.user_id = d.user_id AND f.tus >= d.valid_from
+        |ORDER BY event_id""".stripMargin,
     "dq_profile" -> {
       val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
         "l_returnflag", "l_shipdate")
