@@ -352,6 +352,42 @@ object Warehouse {
             6).as("df"))
     }),
 
+    // ---- market-basket association: support / confidence / lift ----
+    // The classic co-occurrence analysis (baskets = users, items = event
+    // types): for every ordered item pair, support, confidence and lift.
+    // Scale shape: baskets reduce to DISTINCT (user, type) rows first
+    // (bounded by users x |type vocabulary|, never raw events), the pair
+    // space is a self-equi-join on the basket key, and the per-item
+    // totals broadcast back onto the tiny pair frame. Ratios divide
+    // exact integers, so round(6) is pure presentation.
+    "events_basket_lift" -> ((s, d) => {
+      val items = Tables.events(s, d)
+        .select(col("user_id"), col("event_type")).distinct()
+      val nUsers = items.select("user_id").distinct()
+        .agg(count(lit(1)).as("n_users"))
+      val itemN = items.groupBy("event_type")
+        .agg(count(lit(1)).as("n_item"))
+      val pairs = items.as("a")
+        .join(items.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("item_a"),
+          col("b.event_type").as("item_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(itemN.select(col("event_type").as("item_a"),
+          col("n_item").as("n_a"))), "item_a")
+        .join(broadcast(itemN.select(col("event_type").as("item_b"),
+          col("n_item").as("n_b"))), "item_b")
+        .crossJoin(broadcast(nUsers))
+        .select(col("item_a"), col("item_b"), col("n_ab"),
+          round(col("n_ab").cast("double") / col("n_users"), 6).as("support"),
+          round(col("n_ab").cast("double") / col("n_a"), 6).as("confidence"),
+          round((col("n_ab") * col("n_users")).cast("double") /
+            (col("n_a") * col("n_b")), 6).as("lift"))
+        .orderBy("item_a", "item_b")
+    }),
+
     // ---- U10: point-in-time lookup against SCD-2 versions ----
     // The feature-store correctness primitive: for each fact (purchase),
     // the dimension version that was valid AT the fact's event time —
@@ -742,6 +778,26 @@ object Warehouse {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val_sum
         |FROM events GROUP BY period ORDER BY period""".stripMargin,
+    "events_basket_lift" ->
+      """WITH it AS (SELECT DISTINCT user_id, event_type FROM events),
+        |nu AS (SELECT count(DISTINCT user_id) AS n_users FROM it),
+        |itn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_item
+        |        FROM it GROUP BY event_type),
+        |p AS (
+        |  SELECT a.event_type AS item_a, b.event_type AS item_b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM it a JOIN it b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY item_a, item_b)
+        |SELECT p.item_a, p.item_b, p.n_ab,
+        |  round(p.n_ab::DOUBLE / nu.n_users, 6) AS support,
+        |  round(p.n_ab::DOUBLE / na.n_item, 6) AS confidence,
+        |  round((p.n_ab * nu.n_users)::DOUBLE / (na.n_item * nb.n_item), 6)
+        |    AS lift
+        |FROM p
+        |JOIN itn na ON na.event_type = p.item_a
+        |JOIN itn nb ON nb.event_type = p.item_b, nu
+        |ORDER BY item_a, item_b""".stripMargin,
     "u10_pit_lookup" ->
       """WITH w AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS tus, event_type,
