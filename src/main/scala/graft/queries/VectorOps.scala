@@ -726,6 +726,63 @@ object VectorOps {
       (dist, i)
     }.sortBy(_._1).take(n).map(_._2).toSeq
 
+  /** Connected components by alternating large-star/small-star contraction
+    * (Kiveris et al.) — O(log n) rounds regardless of graph diameter,
+    * where min-label propagation needs diameter-many passes. `pairs` must
+    * have two long id columns (id_a, id_b); returns (id, rep) with rep =
+    * the component's minimum id, for every id incident to an edge.
+    * Per-round lineage cut by localCheckpoint; convergence detected by an
+    * order-free (count, hash-sum) edge-set signature (one bounded 1-row
+    * collect per round). `maxRounds` is a backstop, not the convergence
+    * mechanism — StarCcScaleSpec pins convergence well under it on a
+    * 20k-node path graph that diameter-bounded propagation could never
+    * finish. */
+  private[queries] def starComponents(pairs: DataFrame,
+      maxRounds: Int = 15): DataFrame = {
+    var e = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .distinct().localCheckpoint(false)
+    def canon(df: DataFrame): DataFrame = df
+      .select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var last = (-1L, 0L)
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val mins = e.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // large-star: {v, m(u)} for strictly larger neighbors v of u
+      val ls = canon(e.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("x"), col("m").as("y")))
+      val e1 = ls.select(col("u").as("x"), col("v").as("y"))
+      val und1 = e1.select(col("x").as("u"), col("y").as("v"))
+        .union(e1.select(col("y").as("u"), col("x").as("v")))
+        .localCheckpoint(false)
+      val mins2 = und1.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // small-star: {v, m(u)} for v <= u, plus {u, m(u)}
+      val ss = canon(und1.join(mins2, "u")
+        .filter(col("v") < col("u"))
+        .select(col("v").as("x"), col("m").as("y"))
+        .union(mins2.select(col("u").as("x"), col("m").as("y"))))
+      e = ss.select(col("u"), col("v"))
+        .union(ss.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint(false)
+      val now = sig(ss)
+      done = now == last
+      last = now
+      round += 1
+    }
+    e.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u").as("id"), least(col("u"), col("mn")).as("rep"))
+  }
+
   /** Banded near-duplicate pairs with exact-cosine verification.
     * `emb` must have columns (vec_id: long, e: array<double>). */
   private[queries] def embedCosineDedup(
@@ -857,49 +914,9 @@ object VectorOps {
     // contraction would hash-mismatch.
     "dedup_resolve_star" -> ((s, d) => {
       val pairs = minhashPairs(s, d).select("id_a", "id_b")
-      var e = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-        .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-        .distinct().localCheckpoint(false)
-      def canon(df: DataFrame): DataFrame = df
-        .select(least(col("x"), col("y")).as("u"),
-          greatest(col("x"), col("y")).as("v"))
-        .filter(col("u") =!= col("v")).distinct()
-      def sig(df: DataFrame): (Long, Long) = {
-        val r = df.agg(count(lit(1)),
-          coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L))).head()
-        (r.getLong(0), r.getLong(1))
-      }
-      var last = (-1L, 0L)
-      var round = 0
-      var done = false
-      while (!done && round < 15) {
-        val mins = e.groupBy("u").agg(min("v").as("mn"))
-          .select(col("u"), least(col("u"), col("mn")).as("m"))
-        // large-star: {v, m(u)} for strictly larger neighbors v of u
-        val ls = canon(e.join(mins, "u").filter(col("v") > col("u"))
-          .select(col("v").as("x"), col("m").as("y")))
-        val e1 = ls.select(col("u").as("x"), col("v").as("y"))
-        val und1 = e1.select(col("x").as("u"), col("y").as("v"))
-          .union(e1.select(col("y").as("u"), col("x").as("v")))
-          .localCheckpoint(false)
-        val mins2 = und1.groupBy("u").agg(min("v").as("mn"))
-          .select(col("u"), least(col("u"), col("mn")).as("m"))
-        // small-star: {v, m(u)} for v <= u, plus {u, m(u)}
-        val ss = canon(und1.join(mins2, "u")
-          .filter(col("v") < col("u"))
-          .select(col("v").as("x"), col("m").as("y"))
-          .union(mins2.select(col("u").as("x"), col("m").as("y"))))
-        e = ss.select(col("u"), col("v"))
-          .union(ss.select(col("v").as("u"), col("u").as("v")))
-          .localCheckpoint(false)
-        val now = sig(ss)
-        done = now == last
-        last = now
-        round += 1
-      }
-      e.groupBy("u").agg(min("v").as("mn"))
-        .select(col("u").as("doc_id"),
-          least(col("u"), col("mn")).as("cluster_rep"))
+      starComponents(pairs)
+        .withColumnRenamed("id", "doc_id")
+        .withColumnRenamed("rep", "cluster_rep")
         .orderBy("doc_id")
     }),
 
