@@ -352,6 +352,37 @@ object Warehouse {
             6).as("df"))
     }),
 
+    // ---- A19: equi-width histogram per group ----
+    // The distribution report behind every profiling dashboard: 50-wide
+    // value bins per event type with explicit bounds, empty bins absent.
+    // floor(value / 50) is deterministic on both engines; one hash agg on
+    // a bounded (type, bin) key space.
+    "a19_histogram" -> ((s, d) =>
+      Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"),
+          floor(col("value") / 50.0).cast("long").as("bin"))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("bin"),
+          (col("bin") * 50.0).as("lo"), ((col("bin") + 1) * 50.0).as("hi"),
+          col("n"))
+        .orderBy("event_type", "bin")),
+
+    // ---- A20: custom typed Aggregator (Welford online variance) ----
+    // The org.apache.spark.sql.expressions.Aggregator extension point —
+    // a numerically-stable single-pass variance whose (n, mean, M2) state
+    // merges associatively across partitions (Chan et al.), registered
+    // via functions.udaf and planned as a normal two-phase hash
+    // aggregate. round(6) absorbs merge-order ulps exactly as the
+    // built-in var_samp oracle pairing (a3) does; the POINT is the
+    // user-defined aggregate surface, checked against DuckDB's var_samp.
+    "a20_welford_agg" -> ((s, d) =>
+      Tables.events(s, d).filter(col("value").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(WelfordVar.udafCol(col("value")), 6).as("var_w"))
+        .orderBy("event_type")),
+
     // ---- market-basket association: support / confidence / lift ----
     // The classic co-occurrence analysis (baskets = users, items = event
     // types): for every ordered item pair, support, confidence and lift.
@@ -778,6 +809,19 @@ object Warehouse {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val_sum
         |FROM events GROUP BY period ORDER BY period""".stripMargin,
+    "a19_histogram" ->
+      """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin,
+        |  floor(value / 50.0) * 50.0 AS lo,
+        |  (floor(value / 50.0) + 1) * 50.0 AS hi,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY event_type, bin, lo, hi
+        |ORDER BY event_type, bin""".stripMargin,
+    "a20_welford_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(var_samp(value), 6) AS var_w
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_basket_lift" ->
       """WITH it AS (SELECT DISTINCT user_id, event_type FROM events),
         |nu AS (SELECT count(DISTINCT user_id) AS n_users FROM it),
