@@ -33,8 +33,9 @@ class PlanQualitySpec extends SparkSpec {
     // the store-fidelity gate re-runs the brute-force baseline (the same
     // tiny-broadcast inequality join) against its durable parquet copy
     "ann_index_store_gate",
-    // mixture sampling broadcasts its one-row weight-normalizer aggregate
-    "sample_mixture",
+    // mixture sampling broadcasts its one-row weight-normalizer aggregate;
+    // basket lift cross-joins its one-row basket-count aggregate
+    "sample_mixture", "events_basket_lift",
     // the z-order layout pass broadcasts its one-row octile cut-point
     // table onto the scan; the gate joins its two one-row span averages;
     // the t-test joins its two one-row group-moment branches
