@@ -453,33 +453,28 @@ object Warehouse {
         .orderBy("event_id")
     }),
 
-    // ---- DQ1: one-pass dataset profiler (Deequ-style) ----
+    // ---- DQ1: dataset profiler (Deequ-style) ----
     // The profiling report a warehouse computes before trusting a feed:
     // per column — nulls, exact distinct count, min/max (as strings so one
-    // long-format schema fits every type). ONE scan: all per-column
-    // aggregates evaluate in a single pass (Spark plans the multi-distinct
-    // via Expand below the partial agg, so the shuffle carries group rows),
-    // then the wide one-row result unpivots to (column, metric) rows.
+    // long-format schema fits every type). Shape: one PRUNED single-column
+    // scan + two-phase agg per profiled column, results unioned — NOT one
+    // multi-distinct aggregate, whose Expand multiplies every row by
+    // (columns+1) and shuffles the whole inflated input (measured 8.7 s vs
+    // 2 s at sf0.1). Per-column, the exchange carries only partial
+    // (distinct-value) rows, and each scan reads exactly one column.
     "dq_profile" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
         "l_returnflag", "l_shipdate")
-      val aggs = cols.flatMap { c =>
-        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-          countDistinct(col(c)).as(s"${c}__distinct"),
-          min(col(c)).cast("string").as(s"${c}__min"),
-          max(col(c)).cast("string").as(s"${c}__max"))
-      }
-      val wide = li.agg(aggs.head, aggs.tail: _*)
-      val rows = cols.map { c =>
-        struct(lit(c).as("column"),
-          col(s"${c}__nulls").as("n_null"),
-          col(s"${c}__distinct").as("n_distinct"),
-          col(s"${c}__min").as("min_s"), col(s"${c}__max").as("max_s"))
-      }
-      wide.select(explode(array(rows: _*)).as("r"))
-        .select("r.column", "r.n_null", "r.n_distinct", "r.min_s", "r.max_s")
-        .orderBy("column")
+      cols.map { c =>
+        li.select(col(c))
+          .agg(lit(c).as("column"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+            countDistinct(col(c)).as("n_distinct"),
+            min(col(c)).cast("string").as("min_s"),
+            max(col(c)).cast("string").as("max_s"))
+          .select("column", "n_null", "n_distinct", "min_s", "max_s")
+      }.reduce(_.unionByName(_)).orderBy("column")
     }),
 
     // ---- DQ2: constraint validation (dbt-test / Deequ checks) ----
