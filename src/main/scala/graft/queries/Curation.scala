@@ -192,6 +192,43 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // ---- perplexity-bucketed mixture sampling ----
+    // The curation move behind perplexity-filtered corpora: score every
+    // doc with the unigram perplexity proxy, cut the corpus into score
+    // QUARTILES (exact interpolating percentiles), and keep the
+    // mid-perplexity half fully while downsampling both tails to 25%
+    // (too-predictable ≈ boilerplate, too-surprising ≈ noise) via the
+    // deterministic md5-slice draw. Both the rounded scores and the
+    // rounded thresholds are 6-dp values proven identical across engines,
+    // so bucket boundaries can't flip; one vocab broadcast + one
+    // percentile agg broadcast back — no extra corpus passes.
+    "sample_perplexity_mixture" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("w"))
+      val vocab = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+      val total = tok.agg(count(lit(1)).as("n_total"))
+      val sc = tok.join(broadcast(vocab), "w")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(round(avg(-log(col("cnt").cast("double") / col("n_total"))), 6)
+          .as("score"))
+      val th = sc.agg(
+        round(percentile(col("score"), lit(0.25)), 6).as("t25"),
+        round(percentile(col("score"), lit(0.5)), 6).as("t50"),
+        round(percentile(col("score"), lit(0.75)), 6).as("t75"))
+      sc.crossJoin(broadcast(th))
+        .withColumn("bucket",
+          when(col("score") <= col("t25"), 0)
+            .when(col("score") <= col("t50"), 1)
+            .when(col("score") <= col("t75"), 2).otherwise(3))
+        .join(Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id")
+        .filter(col("bucket").isin(1, 2) ||
+          substring(md5(col("text")), 5, 2) < "40")
+        .select(col("doc_id"), col("score"), col("bucket").cast("int"))
+        .orderBy("doc_id")
+    }),
+
     // ---- interpolated bigram log-prob (the CCNet-style LM filter) ----
     // One step past the unigram proxy: each in-doc bigram (w_{i-1}, w_i) is
     // scored p = 0.7·c(w_{i-1}w_i)/c(w_{i-1}) + 0.3·c(w_i)/N — a Jelinek-
@@ -522,6 +559,27 @@ object Curation {
         |  round(avg(-ln(CAST(cnt AS DOUBLE) / n_total)), 6) AS avg_neg_logp
         |FROM tok JOIN v USING (w), t
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "sample_perplexity_mixture" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |v AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+        |t AS (SELECT count(*) AS n_total FROM tok),
+        |sc AS (
+        |  SELECT doc_id,
+        |    round(avg(-ln(CAST(cnt AS DOUBLE) / n_total)), 6) AS score
+        |  FROM tok JOIN v USING (w), t GROUP BY doc_id),
+        |th AS (SELECT round(quantile_cont(score, 0.25), 6) AS t25,
+        |              round(quantile_cont(score, 0.5), 6) AS t50,
+        |              round(quantile_cont(score, 0.75), 6) AS t75 FROM sc),
+        |b AS (
+        |  SELECT doc_id, score,
+        |    CASE WHEN score <= t25 THEN 0 WHEN score <= t50 THEN 1
+        |         WHEN score <= t75 THEN 2 ELSE 3 END AS bucket
+        |  FROM sc, th)
+        |SELECT b.doc_id, b.score, CAST(b.bucket AS INTEGER) AS bucket
+        |FROM b JOIN documents d ON d.doc_id = b.doc_id
+        |WHERE b.bucket IN (1, 2) OR substring(md5(d.text), 5, 2) < '40'
+        |ORDER BY b.doc_id""".stripMargin,
     "text_winsorize" ->
       """WITH p AS (
         |  SELECT source,
