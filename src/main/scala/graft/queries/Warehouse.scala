@@ -352,6 +352,62 @@ object Warehouse {
             6).as("df"))
     }),
 
+    // ---- seasonality profile: day-of-week volume + chi-square ----
+    // The traffic-shape diagnostic: per event type, the 7-day-of-week
+    // count profile plus the chi-square statistic against a uniform
+    // profile (big chi2 = strongly weekly-patterned type). dow is pure
+    // integer epoch-day arithmetic ((day + 4) % 7: 1970-01-01 was a
+    // Thursday), so no calendar-locale parity risk; two bounded hash aggs.
+    "events_seasonality" -> ((s, d) => {
+      val dayUs = 86400L * 1000000L
+      val prof = Tables.events(s, d)
+        .select(col("event_type"),
+          ((expr(s"ts div $dayUs") + 4) % 7).as("dow"))
+        .groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("n"))
+      val tot = prof.groupBy("event_type").agg(sum("n").as("n_type"))
+      prof.join(broadcast(tot), "event_type")
+        .withColumn("expected", col("n_type").cast("double") / 7.0)
+        .groupBy("event_type")
+        .agg(max(col("n_type")).as("n_type"),
+          round(sum(pow(col("n").cast("double") - col("expected"), 2) /
+            col("expected")), 6).as("chi2"),
+          (max(col("n") * 10 + col("dow")) % 10).as("peak_dow"))
+        .orderBy("event_type")
+    }),
+
+    // ---- O7: snapshot diff (changelog between two table states) ----
+    // The audit op behind incremental publishing: compare per-user
+    // aggregate state at the event-time midpoint (snapshot A) vs now
+    // (snapshot B) and classify each key as added / changed / same —
+    // exactly what an Iceberg-style changelog reader materializes. One
+    // full-outer join of two partial-agg'd snapshots on the key; decimal
+    // sums make 'changed' exact, not ulp-dependent.
+    "o7_snapshot_diff" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val mid = {
+        val b = ev.agg(min(col("ts")), max(col("ts"))).head()
+        b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+      }
+      def snap(df: DataFrame) = df.groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).as("vs"))
+      val a = snap(ev.filter(col("ts") < mid))
+        .select(col("user_id"), col("n").as("n_a"), col("vs").as("vs_a"))
+      val b = snap(ev)
+        .select(col("user_id"), col("n").as("n_b"), col("vs").as("vs_b"))
+      a.join(b, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          when(col("n_a").isNull, "added")
+            .when(col("n_a") =!= col("n_b") || col("vs_a") =!= col("vs_b"),
+              "changed")
+            .otherwise("same").as("status"),
+          coalesce(col("n_a"), lit(0L)).as("n_a"), col("n_b"),
+          coalesce(col("vs_a").cast("double"), lit(0.0)).as("v_a"),
+          col("vs_b").cast("double").as("v_b"))
+        .orderBy("user_id")
+    }),
+
     // ---- A19: equi-width histogram per group ----
     // The distribution report behind every profiling dashboard: 50-wide
     // value bins per event type with explicit bounds, empty bins absent.
@@ -804,6 +860,41 @@ object Warehouse {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val_sum
         |FROM events GROUP BY period ORDER BY period""".stripMargin,
+    "events_seasonality" ->
+      """WITH prof AS (
+        |  SELECT event_type,
+        |    ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY event_type, dow),
+        |tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_type
+        |        FROM prof GROUP BY event_type)
+        |SELECT p.event_type,
+        |  CAST(max(t.n_type) AS BIGINT) AS n_type,
+        |  round(sum(pow(CAST(p.n AS DOUBLE) - CAST(t.n_type AS DOUBLE) / 7.0, 2)
+        |            / (CAST(t.n_type AS DOUBLE) / 7.0)), 6) AS chi2,
+        |  CAST(max(p.n * 10 + p.dow) % 10 AS BIGINT) AS peak_dow
+        |FROM prof p JOIN tot t USING (event_type)
+        |GROUP BY p.event_type ORDER BY p.event_type""".stripMargin,
+    "o7_snapshot_diff" ->
+      """WITH bounds AS (
+        |  SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+        |  FROM events),
+        |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_a,
+        |        sum(CAST(value AS DECIMAL(18,6))) AS vs_a
+        |      FROM events, bounds
+        |      WHERE epoch_us(ts) < mn + (mx - mn) // 2 GROUP BY user_id),
+        |b AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_b,
+        |        sum(CAST(value AS DECIMAL(18,6))) AS vs_b
+        |      FROM events GROUP BY user_id)
+        |SELECT b.user_id,
+        |  CASE WHEN a.user_id IS NULL THEN 'added'
+        |       WHEN a.n_a != b.n_b OR a.vs_a != b.vs_b THEN 'changed'
+        |       ELSE 'same' END AS status,
+        |  coalesce(a.n_a, 0) AS n_a, b.n_b,
+        |  CAST(coalesce(a.vs_a, 0) AS DOUBLE) AS v_a,
+        |  CAST(b.vs_b AS DOUBLE) AS v_b
+        |FROM b LEFT JOIN a USING (user_id)
+        |ORDER BY b.user_id""".stripMargin,
     "a19_histogram" ->
       """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin,
         |  floor(value / 50.0) * 50.0 AS lo,
