@@ -897,6 +897,36 @@ object VectorOps {
         .orderBy("doc_id")
     }),
 
+    // ---- hybrid retrieval: vector cosine + lexical jaccard, one rank ----
+    // The RAG-stack retrieval shape: semantic similarity (embedding
+    // cosine) and lexical overlap (3-gram jaccard) fused as
+    // 0.5·cos + 0.5·jac, top-3 per query over the doc_id = vec_id slice
+    // that carries both signals. Both components are EXACT (codegen
+    // vec_dot for the dot, integer intersect/union sizes for jaccard), so
+    // the combined score — and hence the ranking — is bit-identical to
+    // the oracle with no recall floor needed. Scale shape: broadcast the
+    // query sample; either component's ANN/banded index can replace its
+    // exact scan without changing the fusion.
+    "sim_hybrid_topk" -> ((s, d) => {
+      val en = withNorm(embOf(s, d))
+      val side = en.join(shingleSets(s, d),
+        col("vec_id") === col("doc_id")).drop("doc_id")
+      val q = broadcast(side.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("e").as("qe"),
+          col("nrm").as("qn"), col("w").as("qw")))
+      val scored = side.join(q, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          ((dot(col("qe"), col("e")) / (col("qn") * col("nrm"))) * 0.5 +
+            (size(array_intersect(col("qw"), col("w"))).cast("double") /
+              size(array_union(col("qw"), col("w")))) * 0.5).as("sc"))
+      val w = Window.partitionBy("qid").orderBy(col("sc").desc, col("nid"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nid"),
+          round(col("sc"), 6).as("score"))
+        .orderBy("qid", "rnk")
+    }),
+
     // ---- connected components via alternating large-star/small-star ----
     // The O(log n)-round CC algorithm (Kiveris et al., "Connected
     // Components in MapReduce and Beyond") over the same near-dup graph:
@@ -1498,6 +1528,36 @@ object VectorOps {
         |SELECT qid, rnk, nid, round(c, 6) AS cos
         |FROM (SELECT qid, nid, c,
         |        row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rnk
+        |      FROM p)
+        |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    "sim_hybrid_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings),
+        |t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+        |         ELSE list_distinct(list_transform(
+        |            range(1, len(string_split(text, ' ')) - 1),
+        |            i -> string_split(text, ' ')[i] || ' ' ||
+        |                 string_split(text, ' ')[i + 1] || ' ' ||
+        |                 string_split(text, ' ')[i + 2]))
+        |    END AS w
+        |  FROM documents),
+        |s AS (SELECT e.vec_id, e.emb, t.w FROM e JOIN t ON t.doc_id = e.vec_id),
+        |q AS (SELECT vec_id AS qid, emb AS qe, w AS qw FROM s
+        |      WHERE vec_id % 50 = 0),
+        |p AS (
+        |  SELECT q.qid, s.vec_id AS nid,
+        |    (list_sum(list_transform(list_zip(q.qe, s.emb), z -> z[1]*z[2])) /
+        |      (sqrt(list_sum(list_transform(q.qe, x -> x*x))) *
+        |       sqrt(list_sum(list_transform(s.emb, x -> x*x))))) * 0.5 +
+        |    (len(list_intersect(q.qw, s.w))::DOUBLE /
+        |      len(list_distinct(q.qw || s.w))) * 0.5 AS sc
+        |  FROM q JOIN s ON s.vec_id != q.qid)
+        |SELECT qid, rnk, nid, round(sc, 6) AS score
+        |FROM (SELECT qid, nid, sc,
+        |        row_number() OVER (PARTITION BY qid ORDER BY sc DESC, nid)
+        |          AS rnk
         |      FROM p)
         |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
     "sim_knn_classify" ->
