@@ -34,8 +34,12 @@ class PlanQualitySpec extends SparkSpec {
     // tiny-broadcast inequality join) against its durable parquet copy
     "ann_index_store_gate",
     // mixture sampling broadcasts its one-row weight-normalizer aggregate;
-    // basket lift cross-joins its one-row basket-count aggregate
-    "sample_mixture", "events_basket_lift",
+    // basket lift cross-joins its one-row basket-count aggregate;
+    // perplexity bucketing broadcasts its one-row quartile thresholds (and
+    // the unigram LM's one-row token total); hybrid retrieval broadcasts
+    // the query sample on a non-equi self-pairing like sim_cosine_topk
+    "sample_mixture", "events_basket_lift", "sample_perplexity_mixture",
+    "sim_hybrid_topk",
     // the z-order layout pass broadcasts its one-row octile cut-point
     // table onto the scan; the gate joins its two one-row span averages;
     // the t-test joins its two one-row group-moment branches
