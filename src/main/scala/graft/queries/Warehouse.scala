@@ -352,6 +352,38 @@ object Warehouse {
             6).as("df"))
     }),
 
+    // ---- concentration report: exact Gini + top-decile share ----
+    // The inequality diagnostics behind "whales" dashboards: per event
+    // type, the Gini coefficient of per-user revenue (rank formulation
+    // G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n over ascending ranks) and the
+    // revenue share of the top decile of users. All sums ride DECIMAL so
+    // rank-weighted totals are exact; the final divisions are the only
+    // doubles and are written identically on both sides. Ranks partition
+    // by event type (bounded partitions), never a global window.
+    "events_gini" -> ((s, d) => {
+      val rev = Tables.events(s, d).filter(col("value").isNotNull)
+        .groupBy("event_type", "user_id")
+        .agg(sum(col("value").cast("decimal(18,6)")).as("r"))
+      val wRank = Window.partitionBy("event_type")
+        .orderBy(col("r"), col("user_id"))
+      val wAll = Window.partitionBy("event_type")
+      val rk = rev
+        .withColumn("i", row_number().over(wRank).cast("long"))
+        .withColumn("n_w", count(lit(1)).over(wAll))
+      rk.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("r")).cast("double").as("s0"),
+          sum(col("r") * col("i")).cast("double").as("s1"),
+          sum(when(col("i") > col("n_w") - (col("n_w") / 10).cast("long"),
+            col("r"))).cast("double").as("top_r"))
+        .select(col("event_type"), col("n"),
+          round(lit(2.0) * col("s1") / (col("n").cast("double") * col("s0"))
+            - (col("n").cast("double") + 1.0) / col("n").cast("double"), 6)
+            .as("gini"),
+          round(col("top_r") / col("s0"), 6).as("top_decile_share"))
+        .orderBy("event_type")
+    }),
+
     // ---- seasonality profile: day-of-week volume + chi-square ----
     // The traffic-shape diagnostic: per event type, the 7-day-of-week
     // count profile plus the chi-square statistic against a uniform
@@ -860,6 +892,29 @@ object Warehouse {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val_sum
         |FROM events GROUP BY period ORDER BY period""".stripMargin,
+    "events_gini" ->
+      """WITH rev AS (
+        |  SELECT event_type, user_id,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS r
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type, user_id),
+        |rk AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY r, user_id)
+        |      AS i,
+        |    count(*) OVER (PARTITION BY event_type) AS n_w
+        |  FROM rev),
+        |g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(r) AS DOUBLE) AS s0,
+        |    CAST(sum(r * i) AS DOUBLE) AS s1,
+        |    CAST(sum(CASE WHEN i > n_w - (n_w // 10) THEN r END) AS DOUBLE)
+        |      AS top_r
+        |  FROM rk GROUP BY event_type)
+        |SELECT event_type, n,
+        |  round(2.0 * s1 / (CAST(n AS DOUBLE) * s0)
+        |        - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini,
+        |  round(top_r / s0, 6) AS top_decile_share
+        |FROM g ORDER BY event_type""".stripMargin,
     "events_seasonality" ->
       """WITH prof AS (
         |  SELECT event_type,
