@@ -41,15 +41,20 @@ object LlmText {
     * identical training loop as chained CTEs. */
   private val BpeSep = "\u001f" // absent from the corpus alphabet
 
-  /** Trained merge table per (dataset, rounds): training runs once per
-    * process and is shared by the train-table entry and the tokenizer
-    * that applies the merges. */
+  /** Trained merge table per (dataset path, content fingerprint, rounds):
+    * training runs once per process and is shared by the train-table entry
+    * and the tokenizer that applies the merges. The fingerprint in the key
+    * (same convention as VectorOps.shared's artifact cache) means a dataset
+    * regenerated at the SAME path mid-process retrains instead of serving
+    * stale merges; the map itself evicts on session end. */
   private val bpeMergeCache = scala.collection.concurrent.TrieMap
-    .empty[(String, Int), Seq[(Int, String, String, Long)]]
+    .empty[(String, String, Int), Seq[(Int, String, String, Long)]]
+  SessionCaches.register("llmtext.bpeMergeCache")(() => bpeMergeCache.clear())
 
   private def bpeMerges(s: SparkSession, d: String,
-      rounds: Int): Seq[(Int, String, String, Long)] =
-    bpeMergeCache.getOrElseUpdate((d, rounds), {
+      rounds: Int): Seq[(Int, String, String, Long)] = {
+    SessionCaches.onSessionEnd(s)
+    bpeMergeCache.getOrElseUpdate((d, VectorOps.docsFp(d), rounds), {
     val SEP = BpeSep
     val words = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
@@ -81,6 +86,7 @@ object LlmText {
       merges.result()
     } finally { words.unpersist(false); () }
   })
+  }
 
   private[queries] def bpeTrainMerges(s: SparkSession, d: String,
       rounds: Int): DataFrame = {
@@ -236,14 +242,19 @@ object LlmText {
     lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
       lit(w(2)) * col("x2") + lit(w(3)) * col("x3") + lit(w(4)) * col("x4")
 
-  /** Fit results per (dataset, iters, lr): training runs once per process
-    * and is shared by the train-curve entry and the scorer. */
+  /** Fit results per (dataset path, content fingerprint, iters, lr):
+    * training runs once per process and is shared by the train-curve entry
+    * and the scorer; fingerprinted + session-evicted like bpeMergeCache. */
   private val lrFitCache = scala.collection.concurrent.TrieMap
-    .empty[(String, Int, Double), Seq[(Int, Double, Double, Double, Double, Double, Long, Long)]]
+    .empty[(String, String, Int, Double), Seq[(Int, Double, Double, Double, Double, Double, Long, Long)]]
+  SessionCaches.register("llmtext.lrFitCache")(() => lrFitCache.clear())
+  /** Test seam: live entries across the two trained-artifact memo maps. */
+  private[queries] def trainedCacheSize: Int = bpeMergeCache.size + lrFitCache.size
 
   private def lrFit(s: SparkSession, d: String, iters: Int,
-      lr: Double): Seq[(Int, Double, Double, Double, Double, Double, Long, Long)] =
-    lrFitCache.getOrElseUpdate((d, iters, lr), {
+      lr: Double): Seq[(Int, Double, Double, Double, Double, Double, Long, Long)] = {
+    SessionCaches.onSessionEnd(s)
+    lrFitCache.getOrElseUpdate((d, VectorOps.docsFp(d), iters, lr), {
       val Q = 4194304.0 // 2^22
       val feats = lrFeatures(s, d, withId = false).persist()
       try {
@@ -268,6 +279,7 @@ object LlmText {
         out.result()
       } finally { feats.unpersist(false); () }
     })
+  }
 
   private[queries] def lrTrain(s: SparkSession, d: String, iters: Int,
       lr: Double): DataFrame = {

@@ -75,14 +75,36 @@ object Olap {
 
     // ---- W5: distribution window functions (ntile / percent_rank /
     // cume_dist) over a per-status partition with a total order ----
+    // SCALE SHAPE: o_orderstatus has 3 values, so the naive
+    // Window.partitionBy(o_orderstatus) would sort a third of ALL orders
+    // in one task. Every distribution function over a total order is pure
+    // arithmetic on (per-partition row number rn, partition size n):
+    // percent_rank = (rn-1)/(n-1), cume_dist = rn/n (no ties — the order
+    // includes the key), ntile = the first n%b buckets take one extra row.
+    // So rank once with Ranking.globalRank's range-exchange sort and
+    // recover rn per status from a 3-row broadcast of first-rank offsets —
+    // the events_gini decomposition applied to the whole W5 family.
     "w5_window_stats" -> ((s, d) => {
-      val w = Window.partitionBy("o_orderstatus")
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.orders(s, d).select(
+      val ranked = Ranking.globalRank(
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        Seq(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey")),
+        partitions = 32, rankCol = "g")
+      val offs = ranked.groupBy("o_orderstatus")
+        .agg(min(col("g")).as("g0"), count(lit(1)).as("n"))
+      ranked.join(broadcast(offs), "o_orderstatus")
+        .withColumn("rn", col("g") - col("g0") + lit(1L))
+        .select(
           col("o_orderkey"),
-          ntile(4).over(w).cast("long").as("quartile"),
-          percent_rank().over(w).as("pr"),
-          cume_dist().over(w).as("cd"))
+          when(col("rn") <= expr("(n % 4) * (n div 4 + 1)"),
+            expr("(rn - 1) div (n div 4 + 1) + 1"))
+            .otherwise(expr(
+              "n % 4 + (rn - 1 - (n % 4) * (n div 4 + 1)) div (n div 4) + 1"))
+            .cast("long").as("quartile"),
+          when(col("n") === 1, lit(0.0))
+            .otherwise((col("rn") - 1).cast("double") / (col("n") - 1))
+            .as("pr"),
+          (col("rn").cast("double") / col("n")).as("cd"))
         .orderBy("o_orderkey")
     }),
 
@@ -164,19 +186,50 @@ object Olap {
     // (row_number, ntile) use the (o_orderdate, o_orderkey) total order,
     // since ties would make their split nondeterministic. percent_rank
     // and cume_dist are exact divisions of counts — identical doubles on
-    // both engines. One exchange on o_orderstatus serves all six.
+    // both engines.
+    // SCALE SHAPE (same decomposition as w5): every member of the rank
+    // family is arithmetic on per-partition positions, so one distributed
+    // range-exchange sort replaces the 3-value-partition window sort.
+    // rank = first peer position (min rn over the (status, date) peer
+    // group), cume_dist = last peer position / n, dense_rank = the peer
+    // GROUP's own rank (a second globalRank over the one-row-per-peer-
+    // group frame), ntile/row_number from rn directly. The peer-group agg
+    // keys on (status, date) — high cardinality — and the peer table
+    // (statuses x dates, calendar-bounded) broadcasts back onto the fact.
     "w10_rank_family" -> ((s, d) => {
-      val tie = Window.partitionBy("o_orderstatus").orderBy("o_orderdate")
-      val tot = Window.partitionBy("o_orderstatus")
-        .orderBy("o_orderdate", "o_orderkey")
-      Tables.orders(s, d)
+      val ranked = Ranking.globalRank(
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_orderdate"),
+        Seq(col("o_orderstatus"), col("o_orderdate"), col("o_orderkey")),
+        partitions = 32, rankCol = "g")
+      val offs = ranked.groupBy("o_orderstatus")
+        .agg(min(col("g")).as("g0"), count(lit(1)).as("n"))
+      val rn = ranked.join(broadcast(offs), "o_orderstatus")
+        .withColumn("rn", col("g") - col("g0") + lit(1L))
+      val peers = rn.groupBy("o_orderstatus", "o_orderdate")
+        .agg(min(col("rn")).as("first_pos"), max(col("rn")).as("last_pos"))
+      val peersRanked = Ranking.globalRank(peers,
+        Seq(col("o_orderstatus"), col("o_orderdate")),
+        partitions = 32, rankCol = "pg")
+      val poffs = peersRanked.groupBy("o_orderstatus")
+        .agg(min(col("pg")).as("pg0"))
+      val peerIdx = peersRanked.join(broadcast(poffs), "o_orderstatus")
+        .withColumn("drnk", col("pg") - col("pg0") + lit(1L))
+        .select("o_orderstatus", "o_orderdate", "first_pos", "last_pos", "drnk")
+      rn.join(broadcast(peerIdx), Seq("o_orderstatus", "o_orderdate"))
         .select(col("o_orderkey"),
-          row_number().over(tot).cast("long").as("rn"),
-          rank().over(tie).cast("long").as("rnk"),
-          dense_rank().over(tie).cast("long").as("drnk"),
-          round(percent_rank().over(tie), 6).as("prnk"),
-          round(cume_dist().over(tie), 6).as("cd"),
-          ntile(4).over(tot).cast("long").as("quartile"))
+          col("rn"),
+          col("first_pos").as("rnk"),
+          col("drnk"),
+          round(when(col("n") === 1, lit(0.0))
+            .otherwise((col("first_pos") - 1).cast("double") / (col("n") - 1)),
+            6).as("prnk"),
+          round(col("last_pos").cast("double") / col("n"), 6).as("cd"),
+          when(col("rn") <= expr("(n % 4) * (n div 4 + 1)"),
+            expr("(rn - 1) div (n div 4 + 1) + 1"))
+            .otherwise(expr(
+              "n % 4 + (rn - 1 - (n % 4) * (n div 4 + 1)) div (n div 4) + 1"))
+            .cast("long").as("quartile"))
         .orderBy("o_orderkey")
     }),
 

@@ -745,8 +745,9 @@ object Relational {
     }),
 
     // ---- K2: per-group Hodrick-Prescott cycle (reference: HP100.R:136-145) ----
-    // No SQL-expressible oracle (pentadiagonal solve) -> rows-only check here;
-    // numeric parity is pinned by the WDI golden-file tests.
+    // EXACT oracle: HpOracleSql replays the banded Cholesky + refinement
+    // step op-for-op in recursive CTEs; numeric parity against the
+    // reference is additionally pinned by the WDI golden-file tests.
     "k2_hp_filter" -> ((s, d) => {
       val base = Tables.events(s, d)
         .filter(col("value").isNotNull)
@@ -857,6 +858,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact banded-Cholesky replay of the HP solve — see HpOracleSql
+    "k2_hp_filter" -> HpOracleSql.hpCycle("100.0", minObs = 12),
     // certificate fully determined by the data (series count) plus the
     // contract that the HP solve satisfies its defining equation
     "k2_hp_gate" ->

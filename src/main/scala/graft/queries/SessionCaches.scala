@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Registry of process-global memo caches that must not outlive the Spark
+  * session that populated them.
+  *
+  * Several query families memoize small driver-side artifacts across the
+  * registry (the 4096-vector index-build sample, dataset fingerprints, BPE
+  * merge tables, LR fit weights) so one Verify/Bench run computes each at
+  * most once. Round 8 gave the big per-session `artifactCache` an
+  * application-end eviction hook; this registry extends the same contract
+  * to every remaining path-keyed map: each owner registers a clearer at
+  * init, any cache-populating call hooks the session, and application end
+  * clears them all. In this driver's fixed-path world the maps are ~2 MB;
+  * in a long-lived multi-tenant driver an unevicted path-keyed map is a
+  * slow leak AND a staleness hazard (a dataset regenerated at the same
+  * path between sessions must not be served last session's artifacts).
+  */
+object SessionCaches {
+  private val clearers =
+    scala.collection.concurrent.TrieMap.empty[String, () => Unit]
+  private val hooked =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, SparkListener]
+
+  /** Idempotently register a named cache-clearing thunk (object init). */
+  def register(name: String)(clear: () => Unit): Unit =
+    clearers.putIfAbsent(name, clear)
+
+  /** Clear every registered cache (the application-end action). */
+  def clearAll(): Unit =
+    clearers.values.foreach { c =>
+      try c()
+      catch { case _: Throwable => () } // context already torn down
+    }
+
+  /** Attach the application-end eviction listener once per session. */
+  def onSessionEnd(s: SparkSession): Unit =
+    hooked.getOrElseUpdate(s, {
+      val l = new SparkListener {
+        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
+          clearAll()
+          hooked.remove(s)
+        }
+      }
+      s.sparkContext.addSparkListener(l)
+      l
+    })
+
+  private[graft] def isHooked(s: SparkSession): Boolean = hooked.contains(s)
+
+  /** Deliver the application-end event to the hooked listener directly —
+    * the test seam: suites share one SparkContext, so a spec cannot stop
+    * the real application to watch eviction happen. */
+  private[graft] def fireSessionEnd(s: SparkSession): Unit =
+    hooked.get(s).foreach(_.onApplicationEnd(SparkListenerApplicationEnd(0L)))
+}

@@ -31,10 +31,13 @@ object VectorOps {
     * one per registered query (topk and its recall gate used to re-run it). */
   private val sampleCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
-  private def indexSample(emb: DataFrame, d: String): Array[Array[Double]] =
+  SessionCaches.register("vectorops.sampleCache")(() => sampleCache.clear())
+  private def indexSample(emb: DataFrame, d: String): Array[Array[Double]] = {
+    SessionCaches.onSessionEnd(emb.sparkSession)
     sampleCache.getOrElseUpdate(d,
       emb.orderBy("vec_id").limit(4096).select("e").collect()
         .map(_.getSeq[Double](0).toArray))
+  }
 
   /** Process-level share of an ANN index artifact (the encoded corpus: PQ
     * codes, the IVF inverted file, the brute-force baseline a gate compares
@@ -64,6 +67,9 @@ object VectorOps {
           evictionHooked.remove(s)
         }
       })
+      // the path-keyed memo maps (index sample, dataset fingerprints, BPE
+      // merges, LR fits) evict on the same application-end signal
+      SessionCaches.onSessionEnd(s)
       true
     })
 
@@ -81,8 +87,18 @@ object VectorOps {
     * (the driver rewrites testdata per round) can never hit a stale durable
     * index. Cheap — a directory listing, cached per path per process. */
   private val fpCache = scala.collection.concurrent.TrieMap.empty[String, String]
-  private def dataFp(d: String): String = fpCache.getOrElseUpdate(d, {
-    val root = new java.io.File(s"$d/embeddings.parquet")
+  SessionCaches.register("vectorops.fpCache")(() => fpCache.clear())
+  private[queries] def dataFp(d: String): String =
+    fpCache.getOrElseUpdate(d, fpOf(s"$d/embeddings.parquet"))
+  /** Same fingerprint over documents.parquet — keys the text-derived
+    * trained artifacts (BPE merges, LR fits) the way dataFp keys the
+    * vector-derived ones. */
+  private[queries] def docsFp(d: String): String =
+    fpCache.getOrElseUpdate(s"$d#docs", fpOf(s"$d/documents.parquet"))
+  /** Test seam: live entries across the two path-keyed memo maps. */
+  private[queries] def pathCacheSize: Int = sampleCache.size + fpCache.size
+  private def fpOf(path: String): String = {
+    val root = new java.io.File(path)
     // testdata ships single-file parquet; a real dataset is a directory
     val files =
       if (root.isFile) Array(root)
@@ -92,7 +108,7 @@ object VectorOps {
       .mkString("|")
     java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(sig).toLong & 0xffffffffL)
-  })
+  }
   private def indexStoreDir: Option[String] =
     if (sys.env.get("SPARK_GRAFT_NO_INDEX_STORE").contains("1")) None
     else Some(sys.props.get("graft.index.dir") // test override

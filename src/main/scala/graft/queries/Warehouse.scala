@@ -358,18 +358,27 @@ object Warehouse {
     // G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n over ascending ranks) and the
     // revenue share of the top decile of users. All sums ride DECIMAL so
     // rank-weighted totals are exact; the final divisions are the only
-    // doubles and are written identically on both sides. Ranks partition
-    // by event type (bounded partitions), never a global window.
+    // doubles and are written identically on both sides.
+    //
+    // SCALE SHAPE: the exact Gini needs EVERY per-user rank, so a
+    // Window.partitionBy(event_type) rank would sort each type's entire
+    // user population in ONE task (event_type has ~5 values — the ranked
+    // row count grows with users, and no group-limit can save a sum that
+    // needs all ranks). Instead rank globally via Ranking.globalRank's
+    // range-exchange + per-partition-offset sort on (event_type, r,
+    // user_id) — a fully distributed sort — and recover the per-type rank
+    // by subtracting each type's first global rank (a ~5-row broadcast).
     "events_gini" -> ((s, d) => {
       val rev = Tables.events(s, d).filter(col("value").isNotNull)
         .groupBy("event_type", "user_id")
         .agg(sum(col("value").cast("decimal(18,6)")).as("r"))
-      val wRank = Window.partitionBy("event_type")
-        .orderBy(col("r"), col("user_id"))
-      val wAll = Window.partitionBy("event_type")
-      val rk = rev
-        .withColumn("i", row_number().over(wRank).cast("long"))
-        .withColumn("n_w", count(lit(1)).over(wAll))
+      val ranked = Ranking.globalRank(rev,
+        Seq(col("event_type"), col("r"), col("user_id")), partitions = 32,
+        rankCol = "g")
+      val offs = ranked.groupBy("event_type")
+        .agg(min(col("g")).as("g0"), count(lit(1)).as("n_w"))
+      val rk = ranked.join(broadcast(offs), "event_type")
+        .withColumn("i", col("g") - col("g0") + lit(1L))
       rk.groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           sum(col("r")).cast("double").as("s0"),

@@ -191,6 +191,55 @@ class PlanQualitySpec extends SparkSpec {
       s"page should be a per-partition heap take, not a global sort:\n$plan")
   }
 
+  test("no query sorts an unbounded low-cardinality window partition") {
+    // The events_gini failure mode: row_number() OVER (PARTITION BY k ...)
+    // where k has O(1) distinct values sorts each key's ENTIRE slice of the
+    // data in one task — a full-partition sort whose size grows with the
+    // corpus, not with a bounded calendar. The net: walk every registered
+    // query's optimized plan and flag any Window whose sort partitions
+    // solely on known O(1)-cardinality columns of the test schema (or on
+    // nothing at all — the global-sort window), unless the optimizer
+    // bounded it with a WindowGroupLimit below (then each partition's
+    // sorted slice is <= k rows per group and the shape is safe: that is
+    // exactly why strat_topn may partition by lang but events_gini could
+    // not rank by event_type).
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow, WindowGroupLimit}
+    val lowCard = Set("event_type", "l_returnflag", "l_linestatus",
+      "o_orderstatus", "r_name", "r_regionkey", "lang", "label")
+    // windows over frames the plan has already REDUCED to a bounded size in
+    // a way the structural checks below cannot see: the sequence-packing
+    // offset roll-up sorts one row per (lang, shard) — corpus/shardSize
+    // rows, not the corpus (LlmText.packSequences step 3)
+    val reducedFrameAllowed = Set("pack_sequences", "pack_sequences_bpe")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        if (reducedFrameAllowed(name)) None
+        else {
+          val plan = fn(spark, Sf).queryExecution.optimizedPlan
+          plan.collect {
+            case w: LWindow
+                if w.orderSpec.nonEmpty &&
+                  // a WindowGroupLimit below caps each partition's sorted
+                  // slice at k rows; a Limit below caps the whole frame
+                  w.child.collectFirst {
+                    case g: WindowGroupLimit => g
+                    case l: GlobalLimit => l
+                  }.isEmpty &&
+                  w.partitionSpec.forall(
+                    _.references.forall(a => lowCard(a.name))) =>
+              val part =
+                if (w.partitionSpec.isEmpty) "<global>"
+                else w.partitionSpec.flatMap(_.references.map(_.name)).mkString(",")
+              s"$name: ordered window over [$part]"
+          }.headOption
+        }
+    }
+    assert(offenders.isEmpty,
+      "full-partition sort windows over O(1)-cardinality keys (use " +
+        "Ranking.globalRank's range-exchange rank instead):\n" +
+        offenders.mkString("\n"))
+  }
+
   test("no registered query plans a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, Sf).queryExecution.executedPlan.toString
