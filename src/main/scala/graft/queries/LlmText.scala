@@ -604,7 +604,69 @@ object LlmText {
       .orderBy("doc_id")
   }
 
+  /** Substring-granularity exact dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022): every
+    * OVERLAPPING w-token span (stride 1 — vs dedup_lines' ALIGNED stride-w
+    * spans) is keyed globally; a span that already occurred anywhere
+    * earlier in the corpus (order = (doc_id, pos), within-document repeats
+    * included) marks its w token positions duplicated, and each document
+    * is reassembled from its uncovered tokens. This is the published
+    * standard for training-corpus dedup, and it catches the case aligned
+    * spans are structurally blind to: the same passage repeated at a ±k
+    * token offset never lands on the same stride-w boundary (pinned in
+    * DedupSubstringSpec).
+    *
+    * Scale shape: one generator pass per doc (n-w+1 span rows), ONE
+    * shuffle keyed on span content (at 100 TB the key would be a 128-bit
+    * span hash to fix row width — same note as dedup_lines), a
+    * first-occurrence row_number per span (high-cardinality partition
+    * key), then ONE doc_id re-agg collecting each doc's duplicate
+    * positions (bounded by its token count). Coverage size = union of
+    * [p, p+w-1] intervals over the SORTED position list — per-row
+    * arithmetic via a fold over consecutive gaps — and reassembly is a
+    * per-row indexed filter. Docs shorter than w contribute no spans
+    * (document-level dedup of tiny docs is dedup_exact's job). */
+  private[queries] def substringDedup(docs: DataFrame, w: Int): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .withColumn("n", size(col("tk")))
+    val spans = base.filter(col("n") >= w)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, n - $w), i -> array_join(slice(tk, i + 1, $w), ' '))"))
+        .as(Seq("pos", "span")))
+    val firstSeen = Window.partitionBy("span").orderBy("doc_id", "pos")
+    val dups = spans
+      .withColumn("rn", row_number().over(firstSeen))
+      .filter(col("rn") > 1)
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(col("pos"))).as("ps"),
+        count(lit(1)).as("n_dup_spans"))
+    base.join(dups, Seq("doc_id"), "left")
+      .withColumn("ps", coalesce(col("ps"), expr("cast(array() as array<int>)")))
+      // interval-union size: consecutive duplicate starts closer than w
+      // overlap, so each start contributes min(w, gap to the next start)
+      .withColumn("n_dup_tokens",
+        when(size(col("ps")) === 0, lit(0L)).otherwise(expr(
+          s"""aggregate(transform(sequence(1, size(ps)),
+             |  k -> least($w, coalesce(try_element_at(ps, k + 1)
+             |                            - try_element_at(ps, k), $w))),
+             |  0L, (a, x) -> a + x)""".stripMargin)))
+      .select(col("doc_id"),
+        col("n").cast("long").as("n_tokens"),
+        greatest(col("n") - lit(w - 1), lit(0)).cast("long").as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        col("n_dup_tokens"),
+        md5(array_join(expr(
+          s"filter(tk, (t, j) -> NOT exists(ps, p -> p <= j AND j <= p + ${w - 1}))"),
+          " ")).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- Lee et al. substring dedup: overlapping spans, any offset ----
+    "dedup_substring" -> ((s, d) =>
+      substringDedup(Tables.documents(s, d), w = 10)),
+
     // ---- exact dedup: hash-groupBy on content digest ----
     "dedup_exact" -> ((s, d) =>
       Tables.documents(s, d)
@@ -1258,6 +1320,52 @@ object LlmText {
         |    string_agg(line, ' ' ORDER BY line_id) FILTER (WHERE rn = 1),
         |    '')) AS kept_md5
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // overlapping-span first-occurrence replay: same span generator, same
+    // (doc_id, pos) global order, coverage via EXISTS over the duplicate
+    // starts, interval-union size via the same consecutive-gap fold
+    "dedup_substring" ->
+      """WITH t AS MATERIALIZED (
+        |  SELECT doc_id, string_split(text, ' ') AS tk,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |spans AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    unnest(range(greatest(n - 9, 0))) AS pos,
+        |    unnest(list_transform(range(greatest(n - 9, 0)),
+        |      i -> array_to_string(tk[i + 1 : i + 10], ' '))) AS span
+        |  FROM t),
+        |rk AS MATERIALIZED (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+        |  FROM spans),
+        |dups AS MATERIALIZED (SELECT doc_id, pos FROM rk WHERE rn > 1),
+        |cov AS MATERIALIZED (
+        |  SELECT doc_id, list(pos ORDER BY pos) AS ps,
+        |    count(*) AS n_dup
+        |  FROM dups GROUP BY doc_id),
+        |toks AS MATERIALIZED (
+        |  SELECT doc_id, unnest(range(n)) AS j, unnest(tk) AS tok FROM t),
+        |ka AS MATERIALIZED (
+        |  SELECT tt.doc_id,
+        |    md5(coalesce(string_agg(tt.tok, ' ' ORDER BY tt.j), ''))
+        |      AS kept_md5
+        |  FROM toks tt
+        |  WHERE NOT EXISTS (SELECT 1 FROM dups u
+        |    WHERE u.doc_id = tt.doc_id
+        |      AND u.pos <= tt.j AND tt.j <= u.pos + 9)
+        |  GROUP BY tt.doc_id)
+        |SELECT t.doc_id,
+        |  CAST(t.n AS BIGINT) AS n_tokens,
+        |  CAST(greatest(t.n - 9, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(c.n_dup, 0) AS BIGINT) AS n_dup_spans,
+        |  CAST(coalesce(list_sum(list_transform(range(len(c.ps)),
+        |      k -> least(10, coalesce(c.ps[k + 2] - c.ps[k + 1], 10)))), 0)
+        |    AS BIGINT) AS n_dup_tokens,
+        |  coalesce(k.kept_md5, md5('')) AS kept_md5
+        |FROM t
+        |LEFT JOIN cov c USING (doc_id)
+        |LEFT JOIN ka k USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     "text_quality" ->
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
          |SELECT doc_id,

@@ -1,0 +1,80 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Substring-granularity dedup (Lee et al.): the defining case is a
+  * passage repeated at a ±k token offset — invisible to ALIGNED stride-w
+  * spans (dedup_lines), found by OVERLAPPING stride-1 spans. */
+class DedupSubstringSpec extends SparkSpec {
+
+  test("offset duplicate passage: aligned spans miss it, overlapping spans flag it") {
+    val s = spark
+    import s.implicits._
+    // docA: 20 distinct tokens; docB: 3 junk tokens, then docA's first 10
+    // tokens verbatim (offset +3), then 2 junk tokens
+    val aToks = (0 until 20).map(i => s"a$i")
+    val passage = aToks.take(10)
+    val bToks = Seq("x0", "x1", "x2") ++ passage ++ Seq("x3", "x4")
+    val docs = Seq(
+      (1L, aToks.mkString(" ")),
+      (2L, bToks.mkString(" "))).toDF("doc_id", "text")
+
+    // aligned stride-10 slices of docB never reproduce the passage
+    val alignedB = bToks.grouped(10).map(_.mkString(" ")).toSet
+    val alignedA = aToks.grouped(10).map(_.mkString(" ")).toSet
+    assert(alignedA.intersect(alignedB).isEmpty,
+      "aligned spans would have caught this case — pick a different offset")
+
+    val out = LlmText.substringDedup(docs, w = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
+      .toMap
+
+    // docA is fully first-occurrence: nothing covered, full text kept
+    val (na, sa, da, ca, ma) = out(1L)
+    assert((na, sa, da, ca) == (20L, 11L, 0L, 0L))
+    assert(ma == org.apache.commons.codec.digest.DigestUtils
+      .md5Hex(aToks.mkString(" ")))
+
+    // docB: exactly one duplicated span (the passage at pos 3) covering
+    // its 10 tokens; reassembly keeps the junk frame only
+    val (nb, sb, db, cb, mb) = out(2L)
+    assert((nb, sb, db, cb) == (15L, 6L, 1L, 10L))
+    assert(mb == org.apache.commons.codec.digest.DigestUtils
+      .md5Hex("x0 x1 x2 x3 x4"))
+  }
+
+  test("internal repetition: the second copy of a phrase is covered exactly once") {
+    val s = spark
+    import s.implicits._
+    // 10-token phrase repeated back-to-back + a tail: only the span at pos
+    // 10 reproduces pos 0's span (pos 1..9 are distinct rotations), so the
+    // second copy's 10 tokens are removed and the first copy + tail remain
+    val phrase = (0 until 10).map(i => s"p$i")
+    val docs = Seq((7L, (phrase ++ phrase ++ Seq("tail")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = LlmText.substringDedup(docs, w = 10).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      (21L, 12L, 1L, 10L))
+    assert(r.getString(5) == org.apache.commons.codec.digest.DigestUtils
+      .md5Hex((phrase :+ "tail").mkString(" ")))
+  }
+
+  test("overlapping duplicate starts union their coverage (no double count)") {
+    val s = spark
+    import s.implicits._
+    // docB embeds docA's first 12 tokens: dup spans at pos 1, 2, 3 whose
+    // [p, p+9] intervals overlap — union is 12 tokens, the gap fold must
+    // yield min(10,1) + min(10,1) + 10, not 30
+    val aToks = (0 until 20).map(i => s"a$i")
+    val bToks = Seq("y0") ++ aToks.take(12) ++ Seq("y1")
+    val docs = Seq(
+      (1L, aToks.mkString(" ")),
+      (2L, bToks.mkString(" "))).toDF("doc_id", "text")
+    val b = LlmText.substringDedup(docs, w = 10)
+      .filter("doc_id = 2").head()
+    assert((b.getLong(1), b.getLong(3), b.getLong(4)) == (14L, 3L, 12L))
+    assert(b.getString(5) == org.apache.commons.codec.digest.DigestUtils
+      .md5Hex("y0 y1"))
+  }
+}
