@@ -874,6 +874,10 @@ object VectorOps {
     // (doc_id, band, sig) rows shuffle.
     "dedup_minhash_lsh" -> ((s, d) => minhashPairs(s, d).orderBy("id_a", "id_b")),
 
+    // ---- incremental near-dup: delta-only signing vs the stored base ----
+    "dedup_minhash_append" -> ((s, d) =>
+      minhashPairsAppend(s, d).orderBy("id_a", "id_b")),
+
     // ---- near-dup cluster resolution: connected components over the
     //      MinHash pair graph, keep the minimum doc_id as representative ----
     // Distributed min-label propagation, built as EIGHT lazily-chained
@@ -1067,12 +1071,20 @@ object VectorOps {
     * looser 0.8 threshold the per-pair miss probability stays (1-0.64)^32
     * ≈ 6e-15 and banded candidates still reproduce the all-pairs oracle). */
   private[queries] def minhashBandRows(s: SparkSession, d: String,
+      nBands: Int, rowsPerBand: Int): DataFrame =
+    minhashBandRowsOf(s, Tables.documents(s, d), nBands, rowsPerBand)
+
+  /** Band rows over an arbitrary (doc_id, text) slice — the append path
+    * signs ONLY its delta slice through this. A document's signature
+    * depends on nothing but its own shingles, so slice-computed rows are
+    * bit-identical to the same rows from a full-corpus pass. */
+  private[queries] def minhashBandRowsOf(s: SparkSession, docs: DataFrame,
       nBands: Int, rowsPerBand: Int): DataFrame = {
     val spark = s
     import spark.implicits._
     val nHash = nBands * rowsPerBand
     val seeds = Hashing.seeds(nHash, seed = 42L)
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), col("text"))
       .repartition(col("doc_id")) // parallelize the CPU-bound signature pass
       .as[(Long, String)]
@@ -1103,22 +1115,65 @@ object VectorOps {
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), shingleCol(col("text"), "toks").as("w"))
 
-  private def minhashPairsBuild(s: SparkSession, d: String): DataFrame = {
-      val bands = minhashBandRows(s, d, nBands = 16, rowsPerBand = 4)
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band_id") === col("y.band_id") && col("x.sig") === col("y.sig") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-        .distinct()
-      val docs = shingleSets(s, d)
-      val wa = docs.select(col("doc_id").as("id_a"), col("w").as("wa"))
-      val wb = docs.select(col("doc_id").as("id_b"), col("w").as("wb"))
-      cand.join(wa, "id_a").join(wb, "id_b")
-        .withColumn("jac",
-          size(array_intersect(col("wa"), col("wb"))).cast("double") /
-            size(array_union(col("wa"), col("wb"))))
-        .filter(col("jac") >= 0.9)
-        .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
+  /** Banded self-join candidate pairs (id_a < id_b) over band rows. */
+  private def bandSelfCandidates(bands: DataFrame): DataFrame =
+    bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+
+  /** Exact shingle-jaccard >= 0.9 verification over candidate pairs —
+    * identical arithmetic whichever candidate generator produced them, so
+    * full-rebuild and append paths emit bit-equal (id_a, id_b, jac). */
+  private def jaccardVerify(s: SparkSession, d: String,
+      cand: DataFrame): DataFrame = {
+    val docs = shingleSets(s, d)
+    val wa = docs.select(col("doc_id").as("id_a"), col("w").as("wa"))
+    val wb = docs.select(col("doc_id").as("id_b"), col("w").as("wb"))
+    cand.join(wa, "id_a").join(wb, "id_b")
+      .withColumn("jac",
+        size(array_intersect(col("wa"), col("wb"))).cast("double") /
+          size(array_union(col("wa"), col("wb"))))
+      .filter(col("jac") >= 0.9)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
+  }
+
+  private def minhashPairsBuild(s: SparkSession, d: String): DataFrame =
+    jaccardVerify(s, d,
+      bandSelfCandidates(minhashBandRows(s, d, nBands = 16, rowsPerBand = 4)))
+
+  /** Incremental MinHash-LSH dedup — the APPEND path of a near-dup
+    * pipeline (the daily-crawl shape item the full rebuild cannot serve):
+    * the BASE corpus (doc_id % 5 != 4) keeps its durable band-row and
+    * verified-pair-graph artifacts untouched; the delta slice (doc_id % 5
+    * == 4) is signed ALONE and band-joined against base ∪ delta band rows,
+    * so per-ingest discovery work is O(delta · collision rate), never a
+    * corpus-wide re-sign/re-self-join. Because a MinHash signature depends
+    * only on its own document, candidate generation and exact verification
+    * are pointwise-identical to the full rebuild's — base∪delta coverage
+    * is exhaustive (both-base pairs live in the stored graph, any pair
+    * touching the delta collides in the delta band join) and the union is
+    * disjoint, so the result is hash-equal to dedup_minhash_lsh over the
+    * whole corpus. That full rebuild IS the oracle. Mirrors
+    * ann_ivf_append_topk's stale-codebook append for the dedup family. */
+  private[queries] def minhashPairsAppend(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isDelta = col("doc_id") % 5 === 4
+    val baseBands = shared(s, s"minhash_bands_base:$d:${docsFp(d)}")(
+      minhashBandRowsOf(s, docs.filter(!isDelta), nBands = 16, rowsPerBand = 4))
+    val basePairs = shared(s, s"minhash_pairs_base:$d:${docsFp(d)}")(
+      jaccardVerify(s, d, bandSelfCandidates(baseBands)))
+    val deltaBands =
+      minhashBandRowsOf(s, docs.filter(isDelta), nBands = 16, rowsPerBand = 4)
+    val deltaCand = baseBands.unionByName(deltaBands).as("x")
+      .join(deltaBands.as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"))
+      .distinct()
+    basePairs.unionByName(jaccardVerify(s, d, deltaCand))
   }
 
   private val moreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1770,21 +1825,30 @@ object VectorOps {
         |                   vec_id) AS rk2
         |      FROM cells)
         |SELECT vec_id, cell FROM k WHERE rk2 <= 30 ORDER BY vec_id""".stripMargin,
-    "dedup_minhash_lsh" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
-        |         ELSE list_distinct(list_transform(
-        |            range(1, len(string_split(text, ' ')) - 1),
-        |            i -> string_split(text, ' ')[i] || ' ' ||
-        |                 string_split(text, ' ')[i + 1] || ' ' ||
-        |                 string_split(text, ' ')[i + 2]))
-        |    END AS w
-        |  FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  round(len(list_intersect(a.w, b.w))::DOUBLE / len(list_distinct(a.w || b.w)), 6) AS jac
-        |FROM t a JOIN t b ON a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.w, b.w))::DOUBLE / len(list_distinct(a.w || b.w)) >= 0.9
-        |ORDER BY id_a, id_b""".stripMargin
+    "dedup_minhash_lsh" -> AllPairsJaccardOracle,
+    // the append path must equal the full rebuild over base ∪ delta —
+    // which is the whole corpus, i.e. the SAME all-pairs oracle
+    "dedup_minhash_append" -> AllPairsJaccardOracle
   )
+
+  /** All-pairs shingle-jaccard >= 0.9 ground truth: the oracle for both the
+    * full MinHash rebuild and the incremental append path (whose contract
+    * is exact equality with the rebuild). */
+  // lazy: referenced by the `oracles` map literal above its definition
+  private lazy val AllPairsJaccardOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+      |         ELSE list_distinct(list_transform(
+      |            range(1, len(string_split(text, ' ')) - 1),
+      |            i -> string_split(text, ' ')[i] || ' ' ||
+      |                 string_split(text, ' ')[i + 1] || ' ' ||
+      |                 string_split(text, ' ')[i + 2]))
+      |    END AS w
+      |  FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(len(list_intersect(a.w, b.w))::DOUBLE / len(list_distinct(a.w || b.w)), 6) AS jac
+      |FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.w, b.w))::DOUBLE / len(list_distinct(a.w || b.w)) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
 }
