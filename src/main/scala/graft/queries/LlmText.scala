@@ -1024,6 +1024,14 @@ object LlmText {
     "stream_dedup" -> ((s, d) =>
       graft.streaming.EventStreams.drainDedup(s, d)),
 
+    // ---- streaming drain: MinHash near-dup candidates, driver-checked ----
+    // Banded signatures per arriving doc + a stateful (band, sig)-bucket
+    // membership drain emit candidate pairs online; batch-side exact
+    // verification must reproduce the all-pairs jaccard oracle. The
+    // streaming half of dedup_minhash_append. See drainMinhashDedup.
+    "stream_minhash_dedup" -> ((s, d) =>
+      graft.streaming.EventStreams.drainMinhashDedup(s, d)),
+
     // ---- streaming drain: stream-stream interval join, driver-checked ----
     // Watermarked click→purchase attribution join across two file streams;
     // every qualifying pair must match the batch self-join oracle.
@@ -1501,6 +1509,8 @@ object LlmText {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the streaming drain must reproduce the batch all-pairs ground truth
+    "stream_minhash_dedup" -> VectorOps.AllPairsJaccardOracle,
     // identical to the batch ts_ewma oracle: incremental == batch
     "stream_ewma" ->
       """WITH o AS (

@@ -1078,7 +1078,7 @@ object VectorOps {
     * signs ONLY its delta slice through this. A document's signature
     * depends on nothing but its own shingles, so slice-computed rows are
     * bit-identical to the same rows from a full-corpus pass. */
-  private[queries] def minhashBandRowsOf(s: SparkSession, docs: DataFrame,
+  private[graft] def minhashBandRowsOf(s: SparkSession, docs: DataFrame,
       nBands: Int, rowsPerBand: Int): DataFrame = {
     val spark = s
     import spark.implicits._
@@ -1126,7 +1126,7 @@ object VectorOps {
   /** Exact shingle-jaccard >= 0.9 verification over candidate pairs —
     * identical arithmetic whichever candidate generator produced them, so
     * full-rebuild and append paths emit bit-equal (id_a, id_b, jac). */
-  private def jaccardVerify(s: SparkSession, d: String,
+  private[graft] def jaccardVerify(s: SparkSession, d: String,
       cand: DataFrame): DataFrame = {
     val docs = shingleSets(s, d)
     val wa = docs.select(col("doc_id").as("id_a"), col("w").as("wa"))
@@ -1834,8 +1834,9 @@ object VectorOps {
   /** All-pairs shingle-jaccard >= 0.9 ground truth: the oracle for both the
     * full MinHash rebuild and the incremental append path (whose contract
     * is exact equality with the rebuild). */
-  // lazy: referenced by the `oracles` map literal above its definition
-  private lazy val AllPairsJaccardOracle: String =
+  // lazy: referenced by the `oracles` map literal above its definition;
+  // package-visible so the streaming drain's oracle is literally the same
+  private[queries] lazy val AllPairsJaccardOracle: String =
     """WITH t AS (
       |  SELECT doc_id,
       |    CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]

@@ -713,6 +713,73 @@ object EventStreams {
       .orderBy("event_id")
   }
 
+  /** Drain the streaming MinHash near-duplicate detector — the streaming
+    * half of dedup_minhash_append: an ingest pipeline flags each arriving
+    * document against everything already ingested WITHOUT re-signing the
+    * corpus. Documents are staged as two micro-batches (split on doc_id %
+    * 3, so cross-batch duplicates must pair against state built earlier);
+    * each arriving doc is signed once (the same 16x4 band rows as the
+    * batch path — a signature depends only on its own document), and a
+    * stateful drain keyed on the (band_id, sig) BUCKET keeps the bucket's
+    * member ids as state, emitting a candidate pair the moment a new doc
+    * lands in a non-empty bucket. Candidates = co-bucket membership, an
+    * arrival-order-independent set, so after batch-side exact-jaccard
+    * verification the drained result hash-matches the all-pairs batch
+    * oracle (dedup_minhash_lsh's). State is one id list per OCCUPIED band
+    * bucket — the same size as the batch path's band-row table; a
+    * production drain ages buckets out with a timeout/TTL, which this
+    * finite gate does not need (NoTimeout keeps the equality exact).
+    * EAGER BY DESIGN: the drain runs at construction. */
+  def drainMinhashDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_mh")
+    sys.addShutdownHook {
+      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
+    }
+    stageFile(tmp, "a_docs.parquet", docs.filter(col("doc_id") % 3 < 2))
+    stageFile(tmp, "b_docs.parquet", docs.filter(col("doc_id") % 3 === 2))
+    Seq("a_docs.parquet", "b_docs.parquet").zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.setLastModifiedTime(tmp.resolve(f),
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+    }
+    val schema = s.read.parquet(tmp.toString).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.toString)
+    val bands = graft.queries.VectorOps
+      .minhashBandRowsOf(s, src, nBands = 16, rowsPerBand = 4)
+      .as[(Long, Int, Long)]
+    val cand = bands
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[Seq[Long], (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[Seq[Long]]) =>
+          val seen = state.getOption.getOrElse(Seq.empty[Long])
+          val fresh = rows.map(_._1).toSeq.distinct.sorted
+          // new-vs-stored plus the pairs completed within this batch
+          val cross = for (n <- fresh; o <- seen)
+            yield (math.min(n, o), math.max(n, o))
+          val within = for {
+            i <- fresh.indices
+            j <- (i + 1) until fresh.length
+          } yield (fresh(i), fresh(j))
+          state.update(seen ++ fresh)
+          (cross ++ within).iterator
+      }
+    val name = "graft_stream_minhash"
+    val q = cand.toDF("id_a", "id_b")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // a pair colliding in several bands is emitted once per band: distinct
+    // BEFORE the exact verification, like the batch candidate generator
+    graft.queries.VectorOps
+      .jaccardVerify(s, d, s.table(name).distinct())
+      .orderBy("id_a", "id_b")
+  }
+
   /** Batch view of the events parquet as the streaming Event dataset
     * (`timestamp_micros` — exact, not a lossy double division). */
   def batchEvents(spark: SparkSession, sfDir: String): Dataset[Event] = {
