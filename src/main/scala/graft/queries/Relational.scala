@@ -422,6 +422,39 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // ---- X9: Zipf-skewed shuffle join relying on AQE skew-split ----
+    // x1/x4 prove the MANUAL salting path; this entry is the RUNTIME
+    // counterpart the engine leans on for residual skew it did not
+    // predict: a deliberately skewed key (90% of facts on key 0, the rest
+    // spread over 64) sort-merge-joined (merge hint — at 100 TB the dim
+    // outgrows any broadcast) against a key dimension. Correctness never
+    // depends on AQE (the oracle is the plain join); the SPLIT itself —
+    // AQE rewriting the hot partition into PartialReducerPartitionSpec
+    // slices, isSkewJoin=true on the SMJ — is pinned in SkewJoinSpec with
+    // production-shaped thresholds, closing SCALE.md's "AQE handles
+    // residual skew" claim with plan evidence.
+    "x9_skew_join_aqe" -> ((s, d) => {
+      // AQE splits a hot reducer partition BY MAP INDEX RANGES, so the
+      // map side must have >1 task for a split to exist at all. The test
+      // file is one parquet row group (one scan task); a production fact
+      // stream arrives from many upstream tasks — emulate that shape with
+      // a round-robin spread before the join exchange.
+      val fact = Tables.events(s, d)
+        .repartition(32)
+        .withColumn("sk",
+          when(col("event_id") % 10 < 9, lit(0L))
+            .otherwise(col("event_id") % 64))
+      val dim = s.range(64)
+        .select(col("id").as("sk"), (col("id") + 100L).as("wt"))
+      fact.join(dim.hint("merge"), Seq("sk"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("wt")).as("wt_sum"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("total_value"))
+        .orderBy("event_type")
+    }),
+
     // ---- X6: bloom-filter semi-join reduction ----
     // The 100 TB join-pruning pattern: build a bloom over the dim-subset
     // keys (one partial-agg pass, OR-merge, ~10 bits/key — broadcastable
@@ -1058,6 +1091,18 @@ object Relational {
         |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events e JOIN dim d ON e.event_type = d.event_type
         |GROUP BY e.event_type, d.type_wt ORDER BY e.event_type""".stripMargin,
+    // the plain join: AQE's skew split must never change results
+    "x9_skew_join_aqe" ->
+      """WITH dim AS (SELECT range AS sk, range + 100 AS wt FROM range(64)),
+        |f AS (SELECT event_type, value,
+        |        CASE WHEN event_id % 10 < 9 THEN 0
+        |             ELSE event_id % 64 END AS sk
+        |      FROM events)
+        |SELECT f.event_type, count(*) AS n,
+        |       CAST(sum(d.wt) AS BIGINT) AS wt_sum,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM f JOIN dim d ON f.sk = d.sk
+        |GROUP BY f.event_type ORDER BY f.event_type""".stripMargin,
     "j1_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
