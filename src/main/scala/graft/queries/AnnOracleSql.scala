@@ -359,7 +359,22 @@ private[queries] object HashOracleSql {
   /** Exact all-pairs hamming<=3 oracle for `dedup_simhash` (the blocked
     * Spark path provably equals all-pairs by pigeonhole — the separate
     * exactness gate pins that — so the oracle compares against the direct
-    * quadratic form, fine at oracle SF). */
+    * quadratic form, fine at oracle SF).
+    *
+    * DATA CONTRACT (round-9 advice — silent tokenizer-parity dependencies
+    * made explicit; see also FIXTURES.md "documents text contract"):
+    *  - no leading/trailing/double spaces in `text`: DuckDB's
+    *    string_split keeps the resulting EMPTY tokens while the Spark
+    *    side's `text.split(' ')` drops trailing ones, and an empty token
+    *    still votes with hash64("") — a mismatch would surface as a
+    *    confusing bit-vote hash diff, not a tokenizer error;
+    *  - BMP-only text (every char one UTF-16 code unit): the murmur3
+    *    replay walks `unicode(substring(w, i, 1))` per code POINT, while
+    *    Scala's MurmurHash3.stringHash walks UTF-16 code UNITS — a
+    *    surrogate pair would desync the two walks.
+    * Both hold for the driver-generated corpus (space-joined ASCII
+    * words); a generator change breaking either must update BOTH sides'
+    * tokenizers together. */
   def simhashPairs(maxHamming: Int): String = {
     val seed1 = 0x9747b28cL & 0xffffffffL
     val seed2 = 0x85ebca6bL & 0xffffffffL

@@ -750,11 +750,12 @@ object VectorOps {
     * Per-round lineage cut by localCheckpoint; convergence detected by an
     * order-free (count, hash-sum) edge-set signature (one bounded 1-row
     * collect per round). `maxRounds` is a backstop, not the convergence
-    * mechanism — StarCcScaleSpec pins convergence well under it on a
-    * 20k-node path graph that diameter-bounded propagation could never
-    * finish. */
+    * mechanism — StarCcScaleSpec pins convergence under it on a 20k-node
+    * path graph that diameter-bounded propagation could never finish
+    * (log2(20k) ~ 14.3 contraction rounds + 1 detection round, hence a
+    * backstop comfortably above ~16, far below diameter 20 000). */
   private[queries] def starComponents(pairs: DataFrame,
-      maxRounds: Int = 15): DataFrame = {
+      maxRounds: Int = 24): DataFrame = {
     var e = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct().localCheckpoint(false)
@@ -770,7 +771,9 @@ object VectorOps {
     var last = (-1L, 0L)
     var round = 0
     var done = false
+    var prevE = e
     while (!done && round < maxRounds) {
+      prevE = e
       val mins = e.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
       // large-star: {v, m(u)} for strictly larger neighbors v of u
@@ -795,6 +798,23 @@ object VectorOps {
       last = now
       round += 1
     }
+    // Round-9 advice: the (count, hash-sum) signature alone could be
+    // fooled two ways, and either yields wrong components with no error in
+    // a bench-only (oracle-less) run. Close both:
+    //  - maxRounds exhaustion: the signatures never matched, so there is
+    //    no convergence verdict at all — refuse loudly;
+    //  - signature collision: the match is probabilistic, so certify the
+    //    normal exit with ONE exact set-equality job (exceptAll both ways
+    //    between the last two rounds' edge sets — both are already
+    //    localCheckpointed, so this reads materialized blocks).
+    if (!done) throw new IllegalStateException(
+      s"starComponents did not converge in $maxRounds rounds — " +
+        "raise maxRounds (components would NOT be valid)")
+    val unequal = e.exceptAll(prevE).limit(1).count() +
+      prevE.exceptAll(e).limit(1).count()
+    if (unequal > 0) throw new IllegalStateException(
+      "starComponents signature collision: consecutive rounds hashed " +
+        "equal but differ — components would NOT be valid")
     e.groupBy("u").agg(min("v").as("mn"))
       .select(col("u").as("id"), least(col("u"), col("mn")).as("rep"))
   }

@@ -629,10 +629,19 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (_: Long, batch: Iterator[Event], state: GroupState[EwmaReorder]) => {
           val prior = state.getOption.getOrElse(EwmaReorder(Nil, None))
-          val incoming = batch.map(e => (micros(e.ts), e.event_id, e.value))
+          val incoming = batch.map(e => (micros(e.ts), e.event_id, e.value)).toSeq
           val wmMs = state.getCurrentWatermarkMs()
+          // Defensive contract pin (round-9 advice): Spark's watermark
+          // filter drops beyond-delay-late rows BEFORE this function sees
+          // them, and the reorder correctness rests on that — an incoming
+          // row already below the watermark would otherwise be folded as
+          // "immediately safe" AFTER later-timestamped rows were emitted,
+          // silently corrupting the recurrence. Enforce the drop here so
+          // the assumption is local, not inherited.
+          val onTime = incoming
+            .filter(r => Math.floorDiv(r._1, 1000L) >= wmMs || wmMs == 0L)
           // safe = can no longer be preceded by an unseen earlier row
-          val (safe, pending) = (prior.pending ++ incoming)
+          val (safe, pending) = (prior.pending ++ onTime)
             .partition(r => Math.floorDiv(r._1, 1000L) < wmMs)
           var acc = prior.acc
           val out = safe.sortBy(r => (r._1, r._2)).map { case (_, id, x) =>

@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
   * diameter. A 20 000-node path graph (diameter 20 000) is the
   * adversarial case — min-label propagation moves the component minimum
   * one hop per round, so dedup_resolve's 8 rounds would label ~8 of
-  * 20 000 nodes correctly; the star loop (capped at 15 rounds) must
-  * solve it completely. */
+  * 20 000 nodes correctly; the star loop (backstop 24 rounds;
+  * ~log2(n)+1 used) must solve it completely — and since round 10 it
+  * PROVES convergence (exact set-equality certificate) rather than
+  * silently returning at the cap. */
 class StarCcScaleSpec extends SparkSpec {
 
   test("star contraction solves a 20k-node path graph within its round cap") {
