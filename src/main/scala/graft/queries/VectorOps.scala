@@ -828,10 +828,18 @@ object VectorOps {
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
       .distinct()
-    // norms precomputed once per vector: per-pair work drops from three
-    // array passes (dot + both norms) to one dot. sqrt(dot(e,e)) is the
-    // same expression an inline cosine would evaluate, so values (and the
-    // oracle hash) are bit-identical.
+    cosineVerify(emb, cand, threshold).orderBy("id_a", "id_b")
+  }
+
+  /** Exact cosine >= threshold verification over candidate pairs — shared
+    * by the full rebuild and the append path, so both emit bit-equal
+    * (id_a, id_b, cos) for the same pair.
+    * Norms precomputed once per vector: per-pair work drops from three
+    * array passes (dot + both norms) to one dot. sqrt(dot(e,e)) is the
+    * same expression an inline cosine would evaluate, so values (and the
+    * oracle hash) are bit-identical. */
+  private def cosineVerify(emb: DataFrame, cand: DataFrame,
+      threshold: Double): DataFrame = {
     val en = withNorm(emb)
     val ea = en.select(col("vec_id").as("id_a"), col("e").as("ea"),
       col("nrm").as("na"))
@@ -841,7 +849,52 @@ object VectorOps {
       .withColumn("c", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("c") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("c"), 6).as("cos"))
-      .orderBy("id_a", "id_b")
+  }
+
+  /** Incremental embedding near-dup — dedup_minhash_append's argument
+    * applied to the vector side: a sign-LSH signature depends only on its
+    * own vector (hyperplanes are fixed by the seed), so the base slice
+    * (vec_id % 5 != 4) keeps its durable signature and verified-pair
+    * artifacts while a delta batch signs only itself and bucket-joins
+    * against base ∪ delta. Coverage is exhaustive for the same reason as
+    * the MinHash form (both-base pairs stored, any delta-touching pair
+    * collides in the delta bucket join), and the union is disjoint — the
+    * result is hash-equal to embedCosineDedup over the whole corpus, and
+    * the all-pairs cosine oracle checks it directly. */
+  private[queries] def embedCosineAppend(s: SparkSession, d: String,
+      threshold: Double): DataFrame =
+    embedCosineAppendOf(s, embOf(s, d), threshold,
+      storeKey = Some(s"$d:${dataFp(d)}"))
+
+  /** Core of the append path over an arbitrary (vec_id, e) frame;
+    * `storeKey = None` skips the durable artifact store (spec use —
+    * the registered entry always persists its base artifacts). */
+  private[queries] def embedCosineAppendOf(s: SparkSession, emb: DataFrame,
+      threshold: Double, storeKey: Option[String]): DataFrame = {
+    def keep(name: String)(build: => DataFrame): DataFrame = storeKey match {
+      case Some(k) => shared(s, s"$name:$k")(build)
+      case None    => build
+    }
+    val isDelta = col("vec_id") % 5 === 4
+    val baseSigs = keep("lsh_dedup_sigs_base")(
+      lshSignatures(s, emb.filter(!isDelta), kBits = 8, nTables = 24,
+        seed = 7L))
+    val basePairs = keep("embed_pairs_base")(
+      cosineVerify(emb,
+        baseSigs.as("x").join(baseSigs.as("y"), Seq("tbl", "bucket"))
+          .filter(col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+          .distinct(),
+        threshold))
+    val deltaSigs = lshSignatures(s, emb.filter(isDelta), kBits = 8,
+      nTables = 24, seed = 7L)
+    val deltaCand = baseSigs.unionByName(deltaSigs).as("x")
+      .join(deltaSigs.as("y"), Seq("tbl", "bucket"))
+      .filter(col("x.vec_id") =!= col("y.vec_id"))
+      .select(least(col("x.vec_id"), col("y.vec_id")).as("id_a"),
+        greatest(col("x.vec_id"), col("y.vec_id")).as("id_b"))
+      .distinct()
+    basePairs.unionByName(cosineVerify(emb, deltaCand, threshold))
   }
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1429,6 +1482,10 @@ object VectorOps {
     "dedup_embed_cosine" -> ((s, d) =>
       embedCosineDedup(s, embOf(s, d), threshold = 0.9)),
 
+    // ---- incremental embedding near-dup: delta-only signing vs base ----
+    "dedup_embed_append" -> ((s, d) =>
+      embedCosineAppend(s, d, threshold = 0.9).orderBy("id_a", "id_b")),
+
     // ---- SimHash near-dup: 64-bit signature, 4x16-bit segment blocking ----
     // Hamming <= 3 guarantees at least one of the 4 segments is equal, so
     // segment-equality grouping finds every qualifying pair without an
@@ -1675,17 +1732,9 @@ object VectorOps {
         |FROM (SELECT *, row_number() OVER
         |        (PARTITION BY qid ORDER BY votes DESC, nl) AS rn FROM v)
         |WHERE rn = 1 ORDER BY qid""".stripMargin,
-    "dedup_embed_cosine" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_sum(list_transform(list_zip(a.emb, b.emb), s -> s[1]*s[2])) /
-        |    (sqrt(list_sum(list_transform(a.emb, x -> x*x))) *
-        |     sqrt(list_sum(list_transform(b.emb, x -> x*x)))), 6) AS cos
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_sum(list_transform(list_zip(a.emb, b.emb), s -> s[1]*s[2])) /
-        |    (sqrt(list_sum(list_transform(a.emb, x -> x*x))) *
-        |     sqrt(list_sum(list_transform(b.emb, x -> x*x)))) >= 0.9
-        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_embed_cosine" -> AllPairsCosineOracle,
+    // append path must equal the full rebuild over the whole corpus
+    "dedup_embed_append" -> AllPairsCosineOracle,
     "dedup_ngram_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -1854,6 +1903,21 @@ object VectorOps {
   /** All-pairs shingle-jaccard >= 0.9 ground truth: the oracle for both the
     * full MinHash rebuild and the incremental append path (whose contract
     * is exact equality with the rebuild). */
+  /** All-pairs exact-cosine ground truth: oracle for both the banded
+    * embedding dedup and its append path (contract: equality with the
+    * full rebuild). */
+  private lazy val AllPairsCosineOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_sum(list_transform(list_zip(a.emb, b.emb), s -> s[1]*s[2])) /
+      |    (sqrt(list_sum(list_transform(a.emb, x -> x*x))) *
+      |     sqrt(list_sum(list_transform(b.emb, x -> x*x)))), 6) AS cos
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_sum(list_transform(list_zip(a.emb, b.emb), s -> s[1]*s[2])) /
+      |    (sqrt(list_sum(list_transform(a.emb, x -> x*x))) *
+      |     sqrt(list_sum(list_transform(b.emb, x -> x*x)))) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+
   // lazy: referenced by the `oracles` map literal above its definition;
   // package-visible so the streaming drain's oracle is literally the same
   private[queries] lazy val AllPairsJaccardOracle: String =
