@@ -39,6 +39,58 @@ object Curation {
           element_at(tk, i + 1), element_at(tk, i + 2), element_at(tk, i + 3)))))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- the WHOLE preprocessing pipeline as ONE call ----
+    // What "switch to this library" means for a training-data user: the
+    // standard curation chain — language ID, C4-style quality gate, exact
+    // dedup (first occurrence per content digest), near-dup resolution to
+    // a canonical survivor (banded MinHash -> star CC), deterministic
+    // hash hold-out — composed into a single per-document verdict table
+    // with `final_keep` as the conjunction. Every stage is an operator
+    // that is ALSO independently registered and oracled; the composed
+    // oracle chains the same SQL fragments, so a drift in any stage OR in
+    // the composition fails the hash. Plan shape: per-row codegen for
+    // langid/C4/sample, one md5-keyed agg+join for exact dedup, the
+    // shared pair-graph artifact + a broadcast component map for near-dup
+    // — the union of the stages' own scale shapes, nothing extra.
+    "curation_e2e" -> ((s, d) => {
+      def score(words: Seq[String]) =
+        size(expr(s"filter(split(text, ' '), x -> x IN ${LlmText.inList(words)})"))
+      val sDe = score(LlmText.LangStops("de")); val sEn = score(LlmText.LangStops("en"))
+      val sEs = score(LlmText.LangStops("es")); val sFr = score(LlmText.LangStops("fr"))
+      val g = greatest(sDe, sEn, sEs, sFr)
+      val langId = when(g === 0, "und")
+        .when(sDe === g, "de").when(sEn === g, "en")
+        .when(sEs === g, "es").otherwise("fr")
+      val nTok = size(toks)
+      val meanLen = (col("n_chars") - (nTok - 1)).cast("double") / nTok
+      val c4 = when(nTok < 30, "too_short")
+        .when(nTok > 2000, "too_long")
+        .when(meanLen < 2.0, "words_too_short")
+        .when(meanLen > 12.0, "words_too_long")
+        .otherwise("keep")
+      val staged = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("n_chars"),
+          langId.as("lang_id"), c4.as("c4_verdict"),
+          md5(col("text")).as("digest"),
+          (substring(md5(col("text")), 1, 2) < "e0").as("sampled"))
+      val firstOfDigest = staged.groupBy("digest")
+        .agg(min(col("doc_id")).as("first_id"))
+      val comp = VectorOps
+        .starComponents(VectorOps.minhashPairs(s, d).select("id_a", "id_b"))
+        .withColumnRenamed("id", "doc_id")
+      staged.join(firstOfDigest, Seq("digest"))
+        .join(broadcast(comp), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang_id"), col("c4_verdict"),
+          (col("doc_id") === col("first_id")).as("exact_first"),
+          (coalesce(col("rep"), col("doc_id")) === col("doc_id"))
+            .as("near_kept"),
+          col("sampled"))
+        .withColumn("final_keep",
+          col("lang_id") =!= "und" && col("c4_verdict") === "keep" &&
+            col("exact_first") && col("near_kept") && col("sampled"))
+        .orderBy("doc_id")
+    }),
+
     // ---- deterministic train/val/test split (~80/10/10) ----
     // Content-hash bucketing, not row numbering: the assignment is a pure
     // per-row expression (no shuffle, no global state), stable under
@@ -479,6 +531,46 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // the composed pipeline: each CTE is the SAME SQL fragment that
+    // oracles the stage's standalone entry, chained
+    "curation_e2e" -> {
+      def sc(l: String) =
+        s"len(list_filter(string_split(text, ' '), x -> x IN ${LlmText.inList(LlmText.LangStops(l))}))"
+      s"""WITH comp AS MATERIALIZED (
+        |${VectorOps.CcFixpointOracle.linesIterator.map("  " + _).mkString("\n")}
+        |),
+        |st AS MATERIALIZED (
+        |  SELECT doc_id, n_chars, md5(text) AS digest,
+        |    substring(md5(text), 1, 2) < 'e0' AS sampled,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS mean_len,
+        |    ${sc("de")} AS s_de, ${sc("en")} AS s_en,
+        |    ${sc("es")} AS s_es, ${sc("fr")} AS s_fr
+        |  FROM documents),
+        |fd AS (SELECT digest, min(doc_id) AS first_id FROM st GROUP BY digest),
+        |v AS (
+        |  SELECT st.doc_id,
+        |    CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |         WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+        |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+        |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+        |         ELSE 'fr' END AS lang_id,
+        |    CASE WHEN n_tok < 30 THEN 'too_short'
+        |         WHEN n_tok > 2000 THEN 'too_long'
+        |         WHEN mean_len < 2.0 THEN 'words_too_short'
+        |         WHEN mean_len > 12.0 THEN 'words_too_long'
+        |         ELSE 'keep' END AS c4_verdict,
+        |    st.doc_id = fd.first_id AS exact_first,
+        |    coalesce(c.cluster_rep, st.doc_id) = st.doc_id AS near_kept,
+        |    st.sampled
+        |  FROM st JOIN fd USING (digest)
+        |  LEFT JOIN comp c USING (doc_id))
+        |SELECT doc_id, lang_id, c4_verdict, exact_first, near_kept, sampled,
+        |  (lang_id != 'und' AND c4_verdict = 'keep' AND exact_first
+        |   AND near_kept AND sampled) AS final_keep
+        |FROM v ORDER BY doc_id""".stripMargin
+    },
     "sample_split" ->
       """SELECT doc_id, lang,
         |  CASE WHEN substring(md5(text), 1, 2) < 'cc' THEN 'train'

@@ -183,7 +183,7 @@ object LlmText {
   }
 
   private val StopWords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
-  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+  private[queries] def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
   private def stopList = inList(StopWords)
 
   /** Distributed full-batch logistic-regression training — quality-

@@ -1043,6 +1043,27 @@ object VectorOps {
         .orderBy("doc_id")
     }),
 
+    // ---- the dedup pipeline's END PRODUCT: the surviving corpus ----
+    // discovery (banded pairs) -> resolution (star CC) -> MATERIALIZED
+    // keep/drop verdict per document: a doc survives iff it is its
+    // component's minimum id (singletons trivially survive). This is the
+    // table a training pipeline actually consumes — everything upstream
+    // is bookkeeping. One broadcast of the (small) component map onto a
+    // single corpus scan; at 100 TB the component table is
+    // |near-dup docs| rows (<< corpus) and still broadcastable, or the
+    // join keys on doc_id either way.
+    "dedup_canonical" -> ((s, d) => {
+      val comp = starComponents(minhashPairs(s, d).select("id_a", "id_b"))
+        .withColumnRenamed("id", "doc_id")
+      Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+        .join(broadcast(comp), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("rep"), col("doc_id")).as("rep_id"),
+          (coalesce(col("rep"), col("doc_id")) === col("doc_id")).as("kept"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // ---- graph centrality: PageRank over the near-dup graph ----
     // Ranks documents by duplicate-graph centrality (which docs sit at the
     // middle of big copy clusters — the triage order for a dedup report).
@@ -1532,7 +1553,7 @@ object VectorOps {
 
   /** The recursive-CTE true connected-components fixpoint, shared by the
     * label-propagation and star-contraction implementations. */
-  private val CcFixpointOracle: String =
+  private[queries] val CcFixpointOracle: String =
     """WITH RECURSIVE t AS (
       |  SELECT doc_id,
       |    CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
@@ -1756,6 +1777,18 @@ object VectorOps {
     // propagation (or a wrong star contraction) would hash-mismatch
     "dedup_resolve" -> CcFixpointOracle,
     "dedup_resolve_star" -> CcFixpointOracle,
+    // keep/drop verdict: true-fixpoint components left-joined onto the
+    // full corpus; kept iff the doc is its own component minimum
+    "dedup_canonical" ->
+      s"""WITH comp AS MATERIALIZED (
+        |${CcFixpointOracle.linesIterator.map("  " + _).mkString("\n")}
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(c.cluster_rep, d.doc_id) AS rep_id,
+        |  coalesce(c.cluster_rep, d.doc_id) = d.doc_id AS kept,
+        |  d.n_chars
+        |FROM documents d LEFT JOIN comp c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "graph_pagerank" ->
       """WITH t AS (
         |  SELECT doc_id,
