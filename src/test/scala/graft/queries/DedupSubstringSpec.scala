@@ -60,6 +60,53 @@ class DedupSubstringSpec extends SparkSpec {
       .md5Hex((phrase :+ "tail").mkString(" ")))
   }
 
+  test("matches a brute-force reference on random low-entropy corpora") {
+    // 3-symbol vocabulary + w=3 forces heavy span collisions (within-doc
+    // repeats, multi-way cross-doc overlaps) — the regime where the
+    // interval-union fold and first-occurrence ordering can actually go
+    // wrong. Seeded, 10 corpora, each checked doc-by-doc against an O(n²)
+    // in-memory reference.
+    val s = spark
+    import s.implicits._
+    val w = 3
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 10) {
+      val docs: Seq[(Long, Seq[String])] = (0 until (3 + rnd.nextInt(5))).map {
+        // length >= 1: Spark's split("") yields [""] where the reference
+        // would model zero tokens — the corpus contract has no empty text
+        i => (i.toLong, Seq.fill(1 + rnd.nextInt(23))("abc" (rnd.nextInt(3)).toString))
+      }
+      // brute force: global first occurrence per span string in
+      // (doc_id, pos) order; coverage = union of [p, p+w-1] per doc
+      val spans = for {
+        (id, tk) <- docs; if tk.length >= w
+        p <- 0 to tk.length - w
+      } yield (tk.slice(p, p + w).mkString(" "), id, p)
+      val firstOf = spans.groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(v => (v._2, v._3)).min }
+      val dupsByDoc = spans
+        .filter { case (k, id, p) => firstOf(k) != ((id, p)) }
+        .groupBy(_._2)
+      val expected = docs.map { case (id, tk) =>
+        val ps = dupsByDoc.getOrElse(id, Nil).map(_._3).sorted
+        val covered = ps.flatMap(p => p until p + w).toSet
+        val kept = tk.indices.filterNot(covered).map(tk)
+        id -> (tk.length.toLong,
+          math.max(tk.length - (w - 1), 0).toLong,
+          ps.size.toLong, covered.size.toLong,
+          org.apache.commons.codec.digest.DigestUtils
+            .md5Hex(kept.mkString(" ")))
+      }.toMap
+      val got = LlmText
+        .substringDedup(docs.map { case (id, tk) => (id, tk.mkString(" ")) }
+          .toDF("doc_id", "text"), w)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getString(5))).toMap
+      assert(got == expected, s"trial $trial diverged: docs=$docs")
+    }
+  }
+
   test("overlapping duplicate starts union their coverage (no double count)") {
     val s = spark
     import s.implicits._
