@@ -50,7 +50,7 @@ object Curation {
     // oracle chains the same SQL fragments, so a drift in any stage OR in
     // the composition fails the hash. Plan shape: per-row codegen for
     // langid/C4/sample, one md5-keyed agg+join for exact dedup, the
-    // shared pair-graph artifact + a broadcast component map for near-dup
+    // shared pair-graph artifact + the component-map join for near-dup
     // — the union of the stages' own scale shapes, nothing extra.
     "curation_e2e" -> ((s, d) => {
       def score(words: Seq[String]) =
@@ -78,8 +78,11 @@ object Curation {
       val comp = VectorOps
         .starComponents(VectorOps.minhashPairs(s, d).select("id_a", "id_b"))
         .withColumnRenamed("id", "doc_id")
+      // no broadcast hints: both the digest map and the component map are
+      // corpus-population-sized in the worst case — Catalyst broadcasts
+      // them while small and shuffles on the high-cardinality key when not
       staged.join(firstOfDigest, Seq("digest"))
-        .join(broadcast(comp), Seq("doc_id"), "left")
+        .join(comp, Seq("doc_id"), "left")
         .select(col("doc_id"), col("lang_id"), col("c4_verdict"),
           (col("doc_id") === col("first_id")).as("exact_first"),
           (coalesce(col("rep"), col("doc_id")) === col("doc_id"))

@@ -1055,8 +1055,12 @@ object VectorOps {
     "dedup_canonical" -> ((s, d) => {
       val comp = starComponents(minhashPairs(s, d).select("id_a", "id_b"))
         .withColumnRenamed("id", "doc_id")
+      // no broadcast HINT: Catalyst broadcasts the (small) component map
+      // below the auto threshold and falls back to a doc_id-keyed shuffle
+      // join when a 100 TB corpus's dup population outgrows it — forcing
+      // the broadcast would turn that case into a driver OOM
       Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
-        .join(broadcast(comp), Seq("doc_id"), "left")
+        .join(comp, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("rep"), col("doc_id")).as("rep_id"),
           (coalesce(col("rep"), col("doc_id")) === col("doc_id")).as("kept"),
