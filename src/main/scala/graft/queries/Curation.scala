@@ -38,6 +38,33 @@ object Curation {
         i => concat_ws(" ",
           element_at(tk, i + 1), element_at(tk, i + 2), element_at(tk, i + 3)))))
 
+  /** The stateless per-row curation verdicts — language ID, the C4 gate,
+    * the deterministic hash hold-out, and the content digest — shared
+    * verbatim by the batch pipeline (`curation_e2e`) and the streaming
+    * drain (`stream_curation`), so the two surfaces cannot drift. Input
+    * needs (doc_id, text, n_chars); output (doc_id, lang_id, c4_verdict,
+    * sampled, digest). */
+  private[graft] def stagedVerdicts(docs: DataFrame): DataFrame = {
+    def score(words: Seq[String]) =
+      size(expr(s"filter(split(text, ' '), x -> x IN ${LlmText.inList(words)})"))
+    val sDe = score(LlmText.LangStops("de")); val sEn = score(LlmText.LangStops("en"))
+    val sEs = score(LlmText.LangStops("es")); val sFr = score(LlmText.LangStops("fr"))
+    val g = greatest(sDe, sEn, sEs, sFr)
+    val langId = when(g === 0, "und")
+      .when(sDe === g, "de").when(sEn === g, "en")
+      .when(sEs === g, "es").otherwise("fr")
+    val nTok = size(toks)
+    val meanLen = (col("n_chars") - (nTok - 1)).cast("double") / nTok
+    val c4 = when(nTok < 30, "too_short")
+      .when(nTok > 2000, "too_long")
+      .when(meanLen < 2.0, "words_too_short")
+      .when(meanLen > 12.0, "words_too_long")
+      .otherwise("keep")
+    docs.select(col("doc_id"), langId.as("lang_id"), c4.as("c4_verdict"),
+      (substring(md5(col("text")), 1, 2) < "e0").as("sampled"),
+      md5(col("text")).as("digest"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- the WHOLE preprocessing pipeline as ONE call ----
     // What "switch to this library" means for a training-data user: the
@@ -53,26 +80,7 @@ object Curation {
     // shared pair-graph artifact + the component-map join for near-dup
     // — the union of the stages' own scale shapes, nothing extra.
     "curation_e2e" -> ((s, d) => {
-      def score(words: Seq[String]) =
-        size(expr(s"filter(split(text, ' '), x -> x IN ${LlmText.inList(words)})"))
-      val sDe = score(LlmText.LangStops("de")); val sEn = score(LlmText.LangStops("en"))
-      val sEs = score(LlmText.LangStops("es")); val sFr = score(LlmText.LangStops("fr"))
-      val g = greatest(sDe, sEn, sEs, sFr)
-      val langId = when(g === 0, "und")
-        .when(sDe === g, "de").when(sEn === g, "en")
-        .when(sEs === g, "es").otherwise("fr")
-      val nTok = size(toks)
-      val meanLen = (col("n_chars") - (nTok - 1)).cast("double") / nTok
-      val c4 = when(nTok < 30, "too_short")
-        .when(nTok > 2000, "too_long")
-        .when(meanLen < 2.0, "words_too_short")
-        .when(meanLen > 12.0, "words_too_long")
-        .otherwise("keep")
-      val staged = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"), col("n_chars"),
-          langId.as("lang_id"), c4.as("c4_verdict"),
-          md5(col("text")).as("digest"),
-          (substring(md5(col("text")), 1, 2) < "e0").as("sampled"))
+      val staged = stagedVerdicts(Tables.documents(s, d))
       val firstOfDigest = staged.groupBy("digest")
         .agg(min(col("doc_id")).as("first_id"))
       val comp = VectorOps
@@ -93,6 +101,13 @@ object Curation {
             col("exact_first") && col("near_kept") && col("sampled"))
         .orderBy("doc_id")
     }),
+
+    // ---- the curation chain ONLINE: 12th streaming drain ----
+    // Stateless verdicts per arriving doc + digest-keyed state for exact
+    // first-occurrence; shares stagedVerdicts with curation_e2e verbatim.
+    // See EventStreams.drainCuration for the determinism argument.
+    "stream_curation" -> ((s, d) =>
+      graft.streaming.EventStreams.drainCuration(s, d)),
 
     // ---- deterministic train/val/test split (~80/10/10) ----
     // Content-hash bucketing, not row numbering: the assignment is a pure
@@ -534,6 +549,41 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // streaming == batch: the drained verdicts must equal the batch rule
+    // (first occurrence = min doc_id per digest), near-dup stage absent
+    "stream_curation" -> {
+      def sc(l: String) =
+        s"len(list_filter(string_split(text, ' '), x -> x IN ${LlmText.inList(LlmText.LangStops(l))}))"
+      s"""WITH st AS MATERIALIZED (
+        |  SELECT doc_id, md5(text) AS digest,
+        |    substring(md5(text), 1, 2) < 'e0' AS sampled,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS mean_len,
+        |    ${sc("de")} AS s_de, ${sc("en")} AS s_en,
+        |    ${sc("es")} AS s_es, ${sc("fr")} AS s_fr
+        |  FROM documents),
+        |fd AS (SELECT digest, min(doc_id) AS first_id FROM st GROUP BY digest),
+        |v AS (
+        |  SELECT st.doc_id,
+        |    CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |         WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+        |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+        |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+        |         ELSE 'fr' END AS lang_id,
+        |    CASE WHEN n_tok < 30 THEN 'too_short'
+        |         WHEN n_tok > 2000 THEN 'too_long'
+        |         WHEN mean_len < 2.0 THEN 'words_too_short'
+        |         WHEN mean_len > 12.0 THEN 'words_too_long'
+        |         ELSE 'keep' END AS c4_verdict,
+        |    st.doc_id = fd.first_id AS exact_first,
+        |    st.sampled
+        |  FROM st JOIN fd USING (digest))
+        |SELECT doc_id, lang_id, c4_verdict, exact_first, sampled,
+        |  (lang_id != 'und' AND c4_verdict = 'keep' AND exact_first
+        |   AND sampled) AS final_keep
+        |FROM v ORDER BY doc_id""".stripMargin
+    },
     // the composed pipeline: each CTE is the SAME SQL fragment that
     // oracles the stage's standalone entry, chained
     "curation_e2e" -> {

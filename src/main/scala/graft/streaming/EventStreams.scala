@@ -803,6 +803,69 @@ object EventStreams {
       .orderBy("id_a", "id_b")
   }
 
+  /** Drain the ONLINE curation chain — the ingest-time half of
+    * `curation_e2e`: language ID, the C4 quality gate, and the
+    * deterministic hash hold-out are stateless per-row verdicts computed
+    * as documents arrive; exact first-occurrence dedup is KEYED STATE on
+    * the content digest (state = "digest seen", the streaming equivalent
+    * of the md5 groupBy). Near-dup resolution is deliberately absent:
+    * components are a corpus-global artifact (its online counterpart is
+    * stream_minhash_dedup's candidate discovery). Documents stage as two
+    * micro-batches split at the doc_id midpoint — id-ordered staging
+    * makes cross-batch first-occurrence deterministic and equal to the
+    * batch rule (first = min doc_id per digest): a digest's minimum id
+    * arrives in the earliest batch that contains the digest, and within
+    * that batch the group is folded in id order. Oracle: the same
+    * verdict SQL as curation_e2e minus the near-dup stage.
+    * EAGER BY DESIGN: the drain runs at construction. */
+  def drainCuration(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+    val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_cur")
+    sys.addShutdownHook {
+      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
+    }
+    stageFile(tmp, "a_docs.parquet", docs.filter(col("doc_id") <= mid))
+    stageFile(tmp, "b_docs.parquet", docs.filter(col("doc_id") > mid))
+    Seq("a_docs.parquet", "b_docs.parquet").zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.setLastModifiedTime(tmp.resolve(f),
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+    }
+    val schema = s.read.parquet(tmp.toString).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.toString)
+    val staged = graft.queries.Curation.stagedVerdicts(src)
+      .as[(Long, String, String, Boolean, String)]
+    val out = staged
+      .groupByKey(_._5) // content digest
+      .flatMapGroupsWithState[Boolean, (Long, String, String, Boolean, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[Boolean]) =>
+          val seen = state.getOption.getOrElse(false)
+          val sorted = rows.toSeq.sortBy(_._1)
+          state.update(true)
+          sorted.iterator.zipWithIndex.map { case ((id, l, c4, sm, _), i) =>
+            (id, l, c4, !seen && i == 0, sm)
+          }
+      }
+    val name = "graft_stream_curation"
+    val q = out
+      .toDF("doc_id", "lang_id", "c4_verdict", "exact_first", "sampled")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .withColumn("final_keep",
+        col("lang_id") =!= "und" && col("c4_verdict") === "keep" &&
+          col("exact_first") && col("sampled"))
+      .orderBy("doc_id")
+  }
+
   /** Batch view of the events parquet as the streaming Event dataset
     * (`timestamp_micros` — exact, not a lossy double division). */
   def batchEvents(spark: SparkSession, sfDir: String): Dataset[Event] = {
