@@ -643,22 +643,45 @@ object LlmText {
         count(lit(1)).as("n_dup_spans"))
     base.join(dups, Seq("doc_id"), "left")
       .withColumn("ps", coalesce(col("ps"), expr("cast(array() as array<int>)")))
-      // interval-union size: consecutive duplicate starts closer than w
-      // overlap, so each start contributes min(w, gap to the next start)
+      // merge the sorted duplicate starts into DISJOINT covered intervals
+      // (adjacent/overlapping [p, p+w-1] ranges fuse), so coverage size
+      // and reassembly are O(n + dups) per doc — a naive per-token
+      // "exists(ps, ...)" membership test is O(n * dups), quadratic on a
+      // heavily-duplicated document
+      .withColumn("mg",
+        when(size(col("ps")) === 0,
+          expr("cast(array() as array<struct<s:int,e:int>>)"))
+          .otherwise(expr(
+            s"""aggregate(slice(ps, 2, size(ps) - 1),
+               |  array(named_struct('s', ps[0], 'e', ps[0] + ${w - 1})),
+               |  (acc, p) -> CASE
+               |    WHEN p <= element_at(acc, -1).e + 1 THEN
+               |      concat(slice(acc, 1, size(acc) - 1),
+               |        array(named_struct('s', element_at(acc, -1).s,
+               |          'e', greatest(element_at(acc, -1).e, p + ${w - 1}))))
+               |    ELSE concat(acc,
+               |      array(named_struct('s', p, 'e', p + ${w - 1}))) END)"""
+              .stripMargin)))
       .withColumn("n_dup_tokens",
-        when(size(col("ps")) === 0, lit(0L)).otherwise(expr(
-          s"""aggregate(transform(sequence(1, size(ps)),
-             |  k -> least($w, coalesce(try_element_at(ps, k + 1)
-             |                            - try_element_at(ps, k), $w))),
-             |  0L, (a, x) -> a + x)""".stripMargin)))
+        expr("aggregate(mg, 0L, (a, x) -> a + (x.e - x.s + 1))"))
+      // kept text = the gap segments around the merged intervals
+      .withColumn("kept",
+        when(size(col("mg")) === 0, col("tk")).otherwise(expr(
+          """flatten(concat(
+            |  array(slice(tk, 1, mg[0].s)),
+            |  transform(
+            |    CASE WHEN size(mg) < 2 THEN cast(array() as array<int>)
+            |         ELSE sequence(1, size(mg) - 1) END,
+            |    i -> slice(tk, element_at(mg, i).e + 2,
+            |               element_at(mg, i + 1).s - element_at(mg, i).e - 1)),
+            |  array(slice(tk, element_at(mg, -1).e + 2,
+            |              n - element_at(mg, -1).e - 1))))""".stripMargin)))
       .select(col("doc_id"),
         col("n").cast("long").as("n_tokens"),
         greatest(col("n") - lit(w - 1), lit(0)).cast("long").as("n_spans"),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
         col("n_dup_tokens"),
-        md5(array_join(expr(
-          s"filter(tk, (t, j) -> NOT exists(ps, p -> p <= j AND j <= p + ${w - 1}))"),
-          " ")).as("kept_md5"))
+        md5(array_join(col("kept"), " ")).as("kept_md5"))
       .orderBy("doc_id")
   }
 
