@@ -610,6 +610,63 @@ object Warehouse {
         .orderBy("chk")
     }),
 
+    // ---- distribution drift between corpus snapshots ----
+    // The monitor a crawl pipeline runs between ingests: compare the
+    // base slice (doc_id % 5 != 4 — "yesterday's corpus") against the
+    // delta slice ("today's batch") per feature and report total
+    // variation distance + a chi-square-style statistic. Metrics are
+    // PURE RATIONAL arithmetic on smoothed frequencies (no ln — a PSI
+    // would drag libm ulp differences into the hash), so both engines
+    // compute identical doubles. Numeric features bucket on the BASE
+    // slice's bounds (integer-exact width math, deltas clamped into
+    // [0,9]); categoricals compare over the union of observed values
+    // with +1 smoothing. Scale shape: two bounded aggs per feature
+    // (bucket/category cardinality, never rows) + a one-row bounds
+    // broadcast for the numeric bucketing.
+    "dq_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val isDelta = col("doc_id") % 5 === 4
+      def drift(feature: String, keyed: DataFrame, k: Int): DataFrame = {
+        val counts = keyed.groupBy("key")
+          .agg(count(when(!col("is_delta"), 1)).as("nb"),
+            count(when(col("is_delta"), 1)).as("nd"))
+        val tot = keyed.agg(
+          count(when(!col("is_delta"), 1)).as("tb"),
+          count(when(col("is_delta"), 1)).as("td"))
+        // per-bucket terms are identical doubles on both engines (pure
+        // rational arithmetic); quantize each term to 2^-30 and sum the
+        // integers so the REDUCTION is order-free too (the quality_lr
+        // trick) — a plain double sum would hash-depend on agg order
+        val Q = 1073741824.0 // 2^30
+        counts.crossJoin(tot)
+          .withColumn("pb",
+            (col("nb") + 1).cast("double") / (col("tb") + k))
+          .withColumn("pd",
+            (col("nd") + 1).cast("double") / (col("td") + k))
+          .agg(
+            round(sum(floor(abs(col("pb") - col("pd")) * Q)
+              .cast("decimal(38,0)")).cast("double") / Q / 2.0, 6)
+              .as("tv_dist"),
+            round(sum(floor(pow(col("pd") - col("pb"), 2) / col("pb") * Q)
+              .cast("decimal(38,0)")).cast("double") / Q, 6).as("chi2"),
+            max(col("tb")).as("n_base"), max(col("td")).as("n_delta"))
+          .select(lit(feature).as("feature"), col("tv_dist"), col("chi2"),
+            col("n_base"), col("n_delta"))
+      }
+      val bounds = docs.filter(!isDelta)
+        .agg(min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+      val numeric = docs.crossJoin(bounds)
+        .select(greatest(lit(0L), least(lit(9L),
+          expr("(n_chars - lo) * 10 div (hi - lo + 1)"))).as("key"),
+          isDelta.as("is_delta"))
+      def cat(c: String) =
+        docs.select(col(c).as("key"), isDelta.as("is_delta"))
+      drift("n_chars", numeric, 10)
+        .unionByName(drift("lang", cat("lang"), 5))
+        .unionByName(drift("source", cat("source"), 20))
+        .orderBy("feature")
+    }),
+
     // ---- U9: CUBE aggregation over (status, priority) ----
     // All four grouping combinations in ONE pass (Catalyst expands the
     // cube and partial-aggs each combination before the exchange — no
@@ -1014,6 +1071,45 @@ object Warehouse {
         |FROM f ASOF LEFT JOIN dim d
         |  ON f.user_id = d.user_id AND f.tus >= d.valid_from
         |ORDER BY event_id""".stripMargin,
+    // same rational frequencies + 2^30-quantized order-free sums
+    "dq_drift" -> {
+      def block(feature: String, src: String, k: Int) =
+        s"""SELECT '$feature' AS feature,
+           |  round(CAST(sum(CAST(floor(abs(pb - pd) * 1073741824.0)
+           |      AS HUGEINT)) AS DOUBLE) / 1073741824.0 / 2.0, 6)
+           |    AS tv_dist,
+           |  round(CAST(sum(CAST(floor(pow(pd - pb, 2) / pb * 1073741824.0)
+           |      AS HUGEINT)) AS DOUBLE) / 1073741824.0, 6) AS chi2,
+           |  CAST(max(tb) AS BIGINT) AS n_base,
+           |  CAST(max(td) AS BIGINT) AS n_delta
+           |FROM (
+           |  SELECT c.nb, c.nd, t.tb, t.td,
+           |    CAST(c.nb + 1 AS DOUBLE) / (t.tb + $k) AS pb,
+           |    CAST(c.nd + 1 AS DOUBLE) / (t.td + $k) AS pd
+           |  FROM (SELECT key, count(*) FILTER (WHERE NOT is_delta) AS nb,
+           |               count(*) FILTER (WHERE is_delta) AS nd
+           |        FROM $src GROUP BY key) c,
+           |       (SELECT count(*) FILTER (WHERE NOT is_delta) AS tb,
+           |               count(*) FILTER (WHERE is_delta) AS td
+           |        FROM $src) t)""".stripMargin
+      s"""WITH d0 AS MATERIALIZED (
+         |  SELECT doc_id, n_chars, lang, source,
+         |    doc_id % 5 = 4 AS is_delta
+         |  FROM documents),
+         |bounds AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi
+         |           FROM d0 WHERE NOT is_delta),
+         |num AS (SELECT greatest(0, least(9,
+         |          (n_chars - lo) * 10 // (hi - lo + 1))) AS key, is_delta
+         |        FROM d0, bounds),
+         |lng AS (SELECT lang AS key, is_delta FROM d0),
+         |src AS (SELECT source AS key, is_delta FROM d0)
+         |${block("n_chars", "num", 10)}
+         |UNION ALL
+         |${block("lang", "lng", 5)}
+         |UNION ALL
+         |${block("source", "src", 20)}
+         |ORDER BY feature""".stripMargin
+    },
     "dq_profile" -> {
       val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
         "l_returnflag", "l_shipdate")

@@ -42,8 +42,9 @@ class PlanQualitySpec extends SparkSpec {
     "sim_hybrid_topk",
     // the z-order layout pass broadcasts its one-row octile cut-point
     // table onto the scan; the gate joins its two one-row span averages;
-    // the t-test joins its two one-row group-moment branches
-    "layout_zorder", "layout_zorder_gate", "a16_welch_ttest",
+    // the t-test joins its two one-row group-moment branches; the drift
+    // monitor broadcasts its one-row base-bounds and totals aggregates
+    "layout_zorder", "layout_zorder_gate", "a16_welch_ttest", "dq_drift",
     // DSIR broadcasts its one-row LM-normalizer totals (nr/nt/|V|);
     // the anchored filtered ANN, cluster report, and balanced sample all
     // score every vector against the 16-row broadcast anchor table (the
