@@ -685,10 +685,73 @@ object LlmText {
       .orderBy("doc_id")
   }
 
+  /** Suffix-array-style VARIABLE-LENGTH repeat detection — the other half
+    * of the Lee et al. toolkit next to [[substringDedup]]'s fixed-w spans:
+    * per token position, the length of the longest prefix that occurs
+    * anywhere else in the corpus (capped at `cap` tokens).
+    *
+    * The classical suffix-array property does the heavy lifting: in
+    * lexicographic suffix order, a suffix's maximal common prefix with
+    * ANY other suffix is achieved by one of its two NEIGHBORS, so one
+    * distributed sort of (truncated) suffixes + an LCP against each
+    * adjacent pair answers every position at once — no pairwise search.
+    * Truncating suffixes to `cap` tokens bounds row width (the exact
+    * trade a 100 TB SA build makes: LCPs beyond the cap are reported as
+    * cap, and any duplication threshold <= cap is still answered
+    * EXACTLY). The sort is Ranking.globalRank's range-exchange sort (no
+    * single-task window); neighbors pair by an equi-join on rank; the
+    * LCP is per-row HOF arithmetic. Space-joined suffix strings order
+    * identically to token-wise lexicographic order (single-space joins,
+    * space < every token character — the FIXTURES corpus contract), and
+    * binary string collation matches between engines. */
+  private[queries] def substringSaLcp(docs: DataFrame, cap: Int,
+      dupLen: Int): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .withColumn("n", size(col("tk")))
+    val suff = base
+      .select(col("doc_id"), col("n"), posexplode(expr(
+        s"transform(sequence(0, n - 1)," +
+          s" i -> slice(tk, i + 1, $cap))")).as(Seq("pos", "stk")))
+      .withColumn("suffix", array_join(col("stk"), " "))
+    val ranked = Ranking.globalRank(suff,
+      Seq(col("suffix"), col("doc_id"), col("pos")), partitions = 32,
+      rankCol = "r")
+    val a = ranked.select(col("doc_id").as("da"), col("pos").as("pa"),
+      col("stk").as("ta"), col("r"))
+    val b = ranked.select(col("doc_id").as("db"), col("pos").as("pb"),
+      col("stk").as("tb"), (col("r") - 1).as("r"))
+    val lcp = a.join(b, "r")
+      .withColumn("m", least(size(col("ta")), size(col("tb"))))
+      .withColumn("flags", expr(
+        "zip_with(slice(ta, 1, m), slice(tb, 1, m), (x, y) -> x = y)"))
+      .withColumn("p", expr("array_position(flags, false)"))
+      .withColumn("lcp",
+        when(col("p") === 0, col("m")).otherwise(col("p") - 1))
+    val perPos = lcp
+      .select(col("da").as("doc_id"), col("pa").as("pos"), col("lcp"))
+      .unionByName(lcp.select(col("db").as("doc_id"), col("pb").as("pos"),
+        col("lcp")))
+      .groupBy("doc_id", "pos").agg(max(col("lcp")).as("lcp_max"))
+    base.select(col("doc_id"), col("n"))
+      .join(perPos.groupBy("doc_id")
+        .agg(count(when(col("lcp_max") >= dupLen, 1)).as("n_dup_pos"),
+          max(col("lcp_max")).as("max_repeat")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        coalesce(col("n_dup_pos"), lit(0L)).as("n_dup_positions"),
+        coalesce(col("max_repeat"), lit(0)).cast("long").as("max_repeat_len"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- Lee et al. substring dedup: overlapping spans, any offset ----
     "dedup_substring" -> ((s, d) =>
       substringDedup(Tables.documents(s, d), w = 10)),
+
+    // ---- suffix-sort + LCP: variable-length repeat profile ----
+    "dedup_substring_sa" -> ((s, d) =>
+      substringSaLcp(Tables.documents(s, d), cap = 20, dupLen = 10)),
 
     // ---- exact dedup: hash-groupBy on content digest ----
     "dedup_exact" -> ((s, d) =>
@@ -1351,6 +1414,50 @@ object LlmText {
         |    string_agg(line, ' ' ORDER BY line_id) FILTER (WHERE rn = 1),
         |    '')) AS kept_md5
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // suffix sort as ONE window row_number (single node), the same
+    // truncated-suffix keys, the same neighbor-LCP flags
+    "dedup_substring_sa" ->
+      """WITH t AS MATERIALIZED (
+        |  SELECT doc_id, string_split(text, ' ') AS tk,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |suff AS MATERIALIZED (
+        |  SELECT doc_id, n,
+        |    unnest(range(n)) AS pos,
+        |    unnest(list_transform(range(n), i -> tk[i + 1 : i + 20])) AS stk
+        |  FROM t),
+        |s2 AS MATERIALIZED (
+        |  SELECT doc_id, pos, stk,
+        |    row_number() OVER (
+        |      ORDER BY array_to_string(stk, ' '), doc_id, pos) AS r
+        |  FROM suff),
+        |pair AS MATERIALIZED (
+        |  SELECT a.doc_id AS da, a.pos AS pa, b.doc_id AS db, b.pos AS pb,
+        |    least(len(a.stk), len(b.stk)) AS m,
+        |    list_position(list_transform(
+        |      range(least(len(a.stk), len(b.stk))),
+        |      i -> a.stk[i + 1] = b.stk[i + 1]), false) AS p
+        |  FROM s2 a JOIN s2 b ON b.r = a.r + 1),
+        |lc AS MATERIALIZED (
+        |  -- list_position returns 0 (this build) or NULL for "absent"
+        |  SELECT da, pa, db, pb,
+        |    CASE WHEN p IS NULL OR p = 0 THEN m ELSE p - 1 END AS lcp
+        |  FROM pair),
+        |pp AS MATERIALIZED (
+        |  SELECT doc_id, pos, max(lcp) AS lcp_max FROM (
+        |    SELECT da AS doc_id, pa AS pos, lcp FROM lc
+        |    UNION ALL SELECT db AS doc_id, pb AS pos, lcp FROM lc)
+        |  GROUP BY doc_id, pos),
+        |ag AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    count(*) FILTER (WHERE lcp_max >= 10) AS n_dup_pos,
+        |    max(lcp_max) AS max_repeat
+        |  FROM pp GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(ag.n_dup_pos, 0) AS BIGINT) AS n_dup_positions,
+        |  CAST(coalesce(ag.max_repeat, 0) AS BIGINT) AS max_repeat_len
+        |FROM t LEFT JOIN ag USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     // overlapping-span first-occurrence replay: same span generator, same
     // (doc_id, pos) global order, coverage via EXISTS over the duplicate
     // starts, interval-union size via the same consecutive-gap fold

@@ -107,6 +107,61 @@ class DedupSubstringSpec extends SparkSpec {
     }
   }
 
+  test("suffix-sort LCP reports exact variable-length repeats (capped)") {
+    val s = spark
+    import s.implicits._
+    // a 17-token passage shared at different offsets: the fixed-w span
+    // family can only say "has a >=10 repeat"; the SA/LCP profile must
+    // report the exact maximal length 17
+    val passage = (0 until 17).map(i => s"p$i")
+    val docA = (Seq("a0", "a1") ++ passage ++ Seq("a2")).mkString(" ")
+    val docB = (Seq("b0") ++ passage ++ Seq("b1", "b2")).mkString(" ")
+    val docC = (0 until 12).map(i => s"c$i").mkString(" ") // no repeats
+    val out = LlmText.substringSaLcp(
+      Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text"),
+      cap = 20, dupLen = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // positions whose >=10-token prefix recurs: passage starts 0..7 on
+    // each side (suffix starting at passage token i has 17-i shared
+    // tokens; >=10 for i <= 7)
+    assert(out(1L) == (20L, 8L, 17L), s"docA profile: ${out(1L)}")
+    assert(out(2L) == (20L, 8L, 17L), s"docB profile: ${out(2L)}")
+    assert(out(3L)._2 == 0L && out(3L)._3 < 10L, s"docC profile: ${out(3L)}")
+  }
+
+  test("suffix-sort LCP matches brute force on random low-entropy corpora") {
+    val s = spark
+    import s.implicits._
+    val cap = 6
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 8) {
+      val docs = (0 until (3 + rnd.nextInt(4))).map { i =>
+        (i.toLong, Seq.fill(1 + rnd.nextInt(18))("ab" (rnd.nextInt(2)).toString))
+      }
+      def lcpOf(a: Seq[String], b: Seq[String]): Int = {
+        val m = math.min(a.length, b.length)
+        var i = 0; while (i < m && a(i) == b(i)) i += 1; i
+      }
+      val sufs = for ((id, tk) <- docs; p <- tk.indices)
+        yield (id, p, tk.slice(p, p + cap))
+      val expected = docs.map { case (id, tk) =>
+        val best = tk.indices.map { p =>
+          val mine = tk.slice(p, p + cap)
+          sufs.collect { case (oid, op, os) if (oid, op) != ((id, p)) =>
+            lcpOf(mine, os) }.max
+        }
+        id -> (tk.length.toLong, best.count(_ >= 3).toLong, best.max.toLong)
+      }.toMap
+      val got = LlmText.substringSaLcp(
+        docs.map { case (id, tk) => (id, tk.mkString(" ")) }
+          .toDF("doc_id", "text"), cap = cap, dupLen = 3)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(got == expected, s"trial $trial diverged: docs=$docs")
+    }
+  }
+
   test("overlapping duplicate starts union their coverage (no double count)") {
     val s = spark
     import s.implicits._
