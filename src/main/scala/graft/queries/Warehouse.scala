@@ -647,7 +647,8 @@ object Warehouse {
             round(sum(floor(abs(col("pb") - col("pd")) * Q)
               .cast("decimal(38,0)")).cast("double") / Q / 2.0, 6)
               .as("tv_dist"),
-            round(sum(floor(pow(col("pd") - col("pb"), 2) / col("pb") * Q)
+            round(sum(floor((col("pd") - col("pb")) * (col("pd") - col("pb"))
+              / col("pb") * Q)
               .cast("decimal(38,0)")).cast("double") / Q, 6).as("chi2"),
             max(col("tb")).as("n_base"), max(col("td")).as("n_delta"))
           .select(lit(feature).as("feature"), col("tv_dist"), col("chi2"),
@@ -1078,7 +1079,7 @@ object Warehouse {
            |  round(CAST(sum(CAST(floor(abs(pb - pd) * 1073741824.0)
            |      AS HUGEINT)) AS DOUBLE) / 1073741824.0 / 2.0, 6)
            |    AS tv_dist,
-           |  round(CAST(sum(CAST(floor(pow(pd - pb, 2) / pb * 1073741824.0)
+           |  round(CAST(sum(CAST(floor((pd - pb) * (pd - pb) / pb * 1073741824.0)
            |      AS HUGEINT)) AS DOUBLE) / 1073741824.0, 6) AS chi2,
            |  CAST(max(tb) AS BIGINT) AS n_base,
            |  CAST(max(td) AS BIGINT) AS n_delta
