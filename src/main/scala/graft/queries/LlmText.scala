@@ -709,14 +709,19 @@ object LlmText {
     val base = docs
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .withColumn("n", size(col("tk")))
+    // the sort (and its localCheckpoint) carries ONE string per row: the
+    // token array is re-split from it after ranking (identical tokens —
+    // single-space joins, the corpus contract), halving the exchanged and
+    // checkpointed bytes
     val suff = base
       .select(col("doc_id"), col("n"), posexplode(expr(
         s"transform(sequence(0, n - 1)," +
-          s" i -> slice(tk, i + 1, $cap))")).as(Seq("pos", "stk")))
-      .withColumn("suffix", array_join(col("stk"), " "))
+          s" i -> array_join(slice(tk, i + 1, $cap), ' '))"))
+        .as(Seq("pos", "suffix")))
     val ranked = Ranking.globalRank(suff,
       Seq(col("suffix"), col("doc_id"), col("pos")), partitions = 32,
       rankCol = "r")
+      .withColumn("stk", split(col("suffix"), " "))
     val a = ranked.select(col("doc_id").as("da"), col("pos").as("pa"),
       col("stk").as("ta"), col("r"))
     val b = ranked.select(col("doc_id").as("db"), col("pos").as("pb"),
