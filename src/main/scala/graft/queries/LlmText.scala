@@ -1115,6 +1115,13 @@ object LlmText {
     "stream_dedup" -> ((s, d) =>
       graft.streaming.EventStreams.drainDedup(s, d)),
 
+    // ---- streaming drain: ONLINE sequence packing, driver-checked ----
+    // The per-language running-token fold as ONE long of keyed state —
+    // online, the batch op's one-reducer-per-language hazard dissolves.
+    // Must hash-match the batch pack_sequences oracle exactly.
+    "stream_pack_sequences" -> ((s, d) =>
+      graft.streaming.EventStreams.drainPackSequences(s, d, budget = 2048L)),
+
     // ---- streaming drain: MinHash near-dup candidates, driver-checked ----
     // Banded signatures per arriving doc + a stateful (band, sig)-bucket
     // membership drain emit candidate pairs online; batch-side exact
@@ -1829,19 +1836,9 @@ object LlmText {
         |SELECT doc_id,
         |  row_number() OVER (ORDER BY hh, doc_id) AS pos
         |FROM h ORDER BY doc_id""".stripMargin,
-    "pack_sequences" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, lang, n_tokens,
-        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
-        |  FROM t)
-        |SELECT doc_id, lang, n_tokens,
-        |  CAST((cum_tokens - 1) // 2048 AS BIGINT) AS bin_id
-        |FROM c ORDER BY doc_id""".stripMargin,
+    // the stream drain's contract is exact equality with the batch fold
+    "stream_pack_sequences" -> PackSequencesOracle,
+    "pack_sequences" -> PackSequencesOracle,
     "text_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, list_transform(
@@ -1909,4 +1906,20 @@ object LlmText {
         |  ascii(substring(text, 1, 1)) AS first_byte
         |FROM documents ORDER BY doc_id""".stripMargin
   )
+
+  // shared by the batch fold and its streaming drain (exact equality)
+  private lazy val PackSequencesOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      |  FROM t)
+      |SELECT doc_id, lang, n_tokens,
+      |  CAST((cum_tokens - 1) // 2048 AS BIGINT) AS bin_id
+      |FROM c ORDER BY doc_id""".stripMargin
+
 }

@@ -866,6 +866,59 @@ object EventStreams {
       .orderBy("doc_id")
   }
 
+  /** Drain ONLINE greedy sequence packing — the streaming counterpart of
+    * [[graft.queries.LlmText.packSequences]]'s two-phase prefix sum: as
+    * documents arrive, each language's running token total assigns the
+    * doc to its training bin. The batch op needs the shard/offset trick
+    * to avoid a one-reducer-per-language window; ONLINE the problem
+    * dissolves — the per-language fold is keyed state of exactly ONE
+    * long (the cumulative count), updated incrementally per micro-batch.
+    * Determinism: doc_id-midpoint staging keeps cross-batch arrival in
+    * id order and each batch's group folds in id order, so the stream's
+    * running sum equals the batch window's — same oracle as
+    * pack_sequences. EAGER BY DESIGN: the drain runs at construction. */
+  def drainPackSequences(s: SparkSession, d: String, budget: Long): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_pack")
+    sys.addShutdownHook {
+      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
+    }
+    stageFile(tmp, "a_docs.parquet", docs.filter(col("doc_id") <= mid))
+    stageFile(tmp, "b_docs.parquet", docs.filter(col("doc_id") > mid))
+    Seq("a_docs.parquet", "b_docs.parquet").zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.setLastModifiedTime(tmp.resolve(f),
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+    }
+    val schema = s.read.parquet(tmp.toString).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.toString)
+      .as[(Long, String, Long)]
+    val out = src.groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, String, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val res = rows.toSeq.sortBy(_._1).map { case (id, lg, n) =>
+            cum += n
+            (id, lg, n, (cum - 1) / budget)
+          }
+          state.update(cum)
+          res.iterator
+      }
+    val name = "graft_stream_pack"
+    val q = out.toDF("doc_id", "lang", "n_tokens", "bin_id")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("doc_id")
+  }
+
   /** Batch view of the events parquet as the streaming Event dataset
     * (`timestamp_micros` — exact, not a lossy double division). */
   def batchEvents(spark: SparkSession, sfDir: String): Dataset[Event] = {
