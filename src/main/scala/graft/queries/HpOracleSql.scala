@@ -117,12 +117,14 @@ object HpOracleSql {
       |  JOIN fwdm w ON w.user_id = r.user_id AND w.j0 = r.j0 - 1
       |  JOIN fwd2m f2 ON f2.user_id = r.user_id AND f2.j0 = w.j0),
       |bwd2m AS MATERIALIZED (SELECT * FROM bwd2)
-      |SELECT s.event_id, round(s.x - (t.tau + c2.corr), 6) AS hp_cycle
-      |FROM src s
-      |JOIN bwdm t ON t.user_id = s.user_id AND t.j0 = s.j0
-      |JOIN bwd2m c2 ON c2.user_id = s.user_id AND c2.j0 = s.j0
-      |WHERE s.m >= $minObs
-      |UNION ALL
-      |SELECT event_id, CAST('NaN' AS DOUBLE) AS hp_cycle
-      |FROM src WHERE m < $minObs""".stripMargin
+      |SELECT event_id, hp_cycle FROM (
+      |  SELECT s.event_id, round(s.x - (t.tau + c2.corr), 6) AS hp_cycle
+      |  FROM src s
+      |  JOIN bwdm t ON t.user_id = s.user_id AND t.j0 = s.j0
+      |  JOIN bwd2m c2 ON c2.user_id = s.user_id AND c2.j0 = s.j0
+      |  WHERE s.m >= $minObs
+      |  UNION ALL
+      |  SELECT event_id, CAST('NaN' AS DOUBLE) AS hp_cycle
+      |  FROM src WHERE m < $minObs
+      |) ORDER BY event_id""".stripMargin
 }

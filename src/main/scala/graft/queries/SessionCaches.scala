@@ -35,13 +35,21 @@ object SessionCaches {
       catch { case _: Throwable => () } // context already torn down
     }
 
-  /** Attach the application-end eviction listener once per session. */
+  /** Attach the application-end eviction listener once per session. When the
+    * hook fires it also detaches itself from the listener bus: otherwise a
+    * later cache-populating call on the same (or a successor) session adds a
+    * second listener while the first stays registered, and the `hooked` map's
+    * strong SparkSession reference pins the session — a slow listener/session
+    * leak in exactly the long-lived multi-tenant driver this registry exists
+    * for. Detach can race context teardown, so it is best-effort. */
   def onSessionEnd(s: SparkSession): Unit =
     hooked.getOrElseUpdate(s, {
-      val l = new SparkListener {
+      lazy val l: SparkListener = new SparkListener {
         override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
           clearAll()
           hooked.remove(s)
+          try s.sparkContext.removeSparkListener(l)
+          catch { case _: Throwable => () } // context already torn down
         }
       }
       s.sparkContext.addSparkListener(l)
@@ -52,7 +60,8 @@ object SessionCaches {
 
   /** Deliver the application-end event to the hooked listener directly —
     * the test seam: suites share one SparkContext, so a spec cannot stop
-    * the real application to watch eviction happen. */
+    * the real application to watch eviction happen. The listener's own
+    * onApplicationEnd removes it from both the map and the bus. */
   private[graft] def fireSessionEnd(s: SparkSession): Unit =
     hooked.get(s).foreach(_.onApplicationEnd(SparkListenerApplicationEnd(0L)))
 }

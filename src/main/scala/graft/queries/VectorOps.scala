@@ -97,7 +97,7 @@ object VectorOps {
     fpCache.getOrElseUpdate(s"$d#docs", fpOf(s"$d/documents.parquet"))
   /** Test seam: live entries across the two path-keyed memo maps. */
   private[queries] def pathCacheSize: Int = sampleCache.size + fpCache.size
-  private def fpOf(path: String): String = {
+  private[graft] def fpOf(path: String): String = {
     val root = new java.io.File(path)
     // testdata ships single-file parquet; a real dataset is a directory
     val files =

@@ -47,17 +47,20 @@ object EventStreams {
     * stream_interval_join_outer bench delta in a nutshell. A parquet
     * SCHEMA is stable for the life of a staged dir / generated dataset
     * within one process (encodings drift across driver data generations,
-    * never mid-process), so memoize per (dir, opts); evicted with the
-    * other path-keyed memo maps on session end. */
+    * never mid-process), so memoize per (dir, opts, content fingerprint):
+    * the name|size|mtime listing (VectorOps.fpOf) keeps the memo honest if
+    * a dataset IS regenerated at the same path in-process with a drifted
+    * encoding — the key changes, the stale entry is never served. Evicted
+    * with the other path-keyed memo maps on session end. */
   private val schemaCache = scala.collection.concurrent.TrieMap
-    .empty[(String, Map[String, String]), org.apache.spark.sql.types.StructType]
+    .empty[(String, Map[String, String], String), org.apache.spark.sql.types.StructType]
   graft.queries.SessionCaches.register("eventstreams.schemaCache")(
     () => schemaCache.clear())
 
   private def openEventsStream(s: SparkSession, dir: String,
       opts: Map[String, String] = Map.empty): DataFrame = {
     graft.queries.SessionCaches.onSessionEnd(s)
-    val fileSchema = schemaCache.getOrElseUpdate((dir, opts),
+    val fileSchema = schemaCache.getOrElseUpdate((dir, opts, graft.queries.VectorOps.fpOf(dir)),
       opts.foldLeft(s.read)((r, kv) => r.option(kv._1, kv._2)).parquet(dir).schema)
     val df = opts.foldLeft(s.readStream.schema(fileSchema))(
       (r, kv) => r.option(kv._1, kv._2)).parquet(dir)
@@ -93,6 +96,32 @@ object EventStreams {
       finally listing.close()
     java.nio.file.Files.move(file, tmp.resolve(name))
     new scala.reflect.io.Directory(dir.toFile).deleteRecursively()
+  }
+
+  /** Staging-dir lifecycle. One PROCESS-WIDE shutdown hook over a tracked
+    * dir set replaces the old one-hook-per-drain pattern (a median-of-3
+    * bench run invoked every drain three times, accumulating JVM hooks and
+    * staged parquet for the whole process lifetime). Drains call
+    * `dropStaging` eagerly after their terminal awaitTermination — the
+    * memory sink has materialized every result row by then and nothing
+    * downstream re-reads the staged files — so the hook is only the crash
+    * backstop for dirs whose drain never reached its terminal await. */
+  private val stagedDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  sys.addShutdownHook {
+    stagedDirs.forEach { p =>
+      new scala.reflect.io.Directory(p.toFile).deleteRecursively(); ()
+    }
+  }
+  private def newStaging(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    stagedDirs.add(p)
+    p
+  }
+  private def dropStaging(p: java.nio.file.Path): Unit = {
+    new scala.reflect.io.Directory(p.toFile).deleteRecursively()
+    stagedDirs.remove(p)
+    ()
   }
 
   /** Batch events normalized for staging: ts as TimestampType (epoch-micros
@@ -239,10 +268,7 @@ object EventStreams {
     * EAGER BY DESIGN: the drain runs at construction. */
   def drainSessions(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sess")
-    sys.addShutdownHook {
-      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
-    }
+    val tmp = newStaging("graft_stream_sess")
     stageFile(tmp, "a_events.parquet", stagedEvents(s, d))
     def sentinel(name: String, micros: Long): Unit =
       stageFile(tmp, name,
@@ -267,6 +293,7 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    dropStaging(tmp)
     s.table(name).filter(col("user_id") >= 0)
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), round(col("total_value"), 6).as("total_value"))
@@ -285,10 +312,7 @@ object EventStreams {
     * the finite gate data is the point.)
     * EAGER BY DESIGN: the drain runs at construction. */
   def drainDedup(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
-    sys.addShutdownHook {
-      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
-    }
+    val tmp = newStaging("graft_stream_dedup")
     stageFile(tmp, "a_events.parquet", stagedEvents(s, d))
     java.nio.file.Files.copy(
       tmp.resolve("a_events.parquet"), tmp.resolve("b_replay.parquet"))
@@ -304,6 +328,7 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    dropStaging(tmp)
     s.table(name)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
@@ -351,10 +376,7 @@ object EventStreams {
     * EAGER BY DESIGN: the drain runs at construction. */
   def drainIntervalJoinOuter(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ijoin_outer")
-    sys.addShutdownHook {
-      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
-    }
+    val tmp = newStaging("graft_stream_ijoin_outer")
     stageFile(tmp, "a_events.parquet", stagedEvents(s, d))
     // Sentinels are a click + purchase PAIR (user -1, filtered from the
     // result): Catalyst pushes the event_type filter below the
@@ -400,6 +422,7 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    dropStaging(tmp)
     s.table(name).filter(col("user_id") >= 0)
       .select(col("user_id"), col("left_id"), unix_micros(col("left_ts")).as("left_us"),
         col("right_id"), unix_micros(col("right_ts")).as("right_us"))
@@ -474,10 +497,7 @@ object EventStreams {
     * EAGER BY DESIGN: the drain runs at construction. */
   def drainEwma(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ewma")
-    sys.addShutdownHook {
-      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
-    }
+    val tmp = newStaging("graft_stream_ewma")
     // normalized epoch-micros view (same null filter as the batch kernel);
     // the midpoint math runs on the BIGINT micros column
     val raw = graft.Tables.events(s, d).filter(col("value").isNotNull)
@@ -503,6 +523,7 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    dropStaging(tmp)
     s.table(name)
       .select(col("event_id"), round(col("ewma_raw"), 6).as("ewma"))
       .orderBy("event_id")
@@ -519,10 +540,7 @@ object EventStreams {
     * Nothing else in the drain suite kills and restarts a query.
     * EAGER BY DESIGN: both drains run at construction. */
   def drainCheckpointRecovery(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
-    sys.addShutdownHook {
-      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
-    }
+    val tmp = newStaging("graft_stream_ckpt")
     val data = tmp.resolve("data")
     java.nio.file.Files.createDirectories(data)
     val ckpt = tmp.resolve("checkpoint").toString
@@ -558,6 +576,7 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q2.awaitTermination()
+    dropStaging(tmp)
     s.table("graft_ckpt_phase2").orderBy("event_type")
   }
 
@@ -573,10 +592,7 @@ object EventStreams {
     * Oracle: the equivalent batch argmax. EAGER BY DESIGN: the drain runs
     * at construction. */
   def drainLatestState(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_latest")
-    sys.addShutdownHook {
-      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
-    }
+    val tmp = newStaging("graft_stream_latest")
     val raw = graft.Tables.events(s, d)
     val bounds = raw.agg(min(col("ts")), max(col("ts"))).head()
     val mid = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
@@ -606,6 +622,7 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    dropStaging(tmp)
     s.table(name)
       .select(col("user_id"), col("last_event_id"),
         round(col("last_value"), 6).as("last_value"), col("last_type"),
@@ -691,10 +708,7 @@ object EventStreams {
     * EAGER BY DESIGN: the drain runs at construction. */
   def drainEwmaReordered(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ewma_ro")
-    sys.addShutdownHook {
-      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
-    }
+    val tmp = newStaging("graft_stream_ewma_ro")
     val raw = graft.Tables.events(s, d).filter(col("value").isNotNull)
     val bounds = raw.agg(min(col("ts")), max(col("ts"))).head()
     val mid = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
@@ -731,6 +745,7 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    dropStaging(tmp)
     s.table(name).filter(col("event_id") >= 0)
       .select(col("event_id"), round(col("ewma_raw"), 6).as("ewma"))
       .orderBy("event_id")
@@ -756,10 +771,7 @@ object EventStreams {
   def drainMinhashDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = graft.Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_mh")
-    sys.addShutdownHook {
-      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
-    }
+    val tmp = newStaging("graft_stream_mh")
     stageFile(tmp, "a_docs.parquet", docs.filter(col("doc_id") % 3 < 2))
     stageFile(tmp, "b_docs.parquet", docs.filter(col("doc_id") % 3 === 2))
     Seq("a_docs.parquet", "b_docs.parquet").zipWithIndex.foreach { case (f, i) =>
@@ -796,6 +808,7 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    dropStaging(tmp)
     // a pair colliding in several bands is emitted once per band: distinct
     // BEFORE the exact verification, like the batch candidate generator
     graft.queries.VectorOps
@@ -824,10 +837,7 @@ object EventStreams {
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"))
     val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_cur")
-    sys.addShutdownHook {
-      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
-    }
+    val tmp = newStaging("graft_stream_cur")
     stageFile(tmp, "a_docs.parquet", docs.filter(col("doc_id") <= mid))
     stageFile(tmp, "b_docs.parquet", docs.filter(col("doc_id") > mid))
     Seq("a_docs.parquet", "b_docs.parquet").zipWithIndex.foreach { case (f, i) =>
@@ -859,6 +869,7 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    dropStaging(tmp)
     s.table(name)
       .withColumn("final_keep",
         col("lang_id") =!= "und" && col("c4_verdict") === "keep" &&
@@ -883,10 +894,7 @@ object EventStreams {
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
     val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_pack")
-    sys.addShutdownHook {
-      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
-    }
+    val tmp = newStaging("graft_stream_pack")
     stageFile(tmp, "a_docs.parquet", docs.filter(col("doc_id") <= mid))
     stageFile(tmp, "b_docs.parquet", docs.filter(col("doc_id") > mid))
     Seq("a_docs.parquet", "b_docs.parquet").zipWithIndex.foreach { case (f, i) =>
@@ -916,6 +924,7 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    dropStaging(tmp)
     s.table(name).orderBy("doc_id")
   }
 
