@@ -164,10 +164,34 @@ object Bench {
     math.round(v * 100.0) / 100.0
   }
 
+  /** Load above which a local[32] run that should OWN the machine is judged
+    * contended: three straight rounds (r8-r10) needed a manual exclusive
+    * rerun to exonerate 3-10x apparent regressions, every one of them
+    * flagged in hindsight by a start load well past this line. */
+  private[graft] val ContendedLoad = 2.0
+
+  /** Self-defense against a contended run, in two stages: (1) before timing
+    * anything, WAIT (bounded) for the 1-minute load to settle below
+    * [[ContendedLoad]] — most contention is a co-scheduled short job, and a
+    * 5 s poll loop absorbs it where a retry-after-the-fact would measure
+    * the same noise twice; (2) whatever happens, the printed line carries
+    * `"contended":true` whenever either load reading is past the line, so
+    * the judge reads the verdict off the line instead of re-running. */
+  private def awaitQuietStart(maxWaitSec: Int = 90): Double = {
+    var l = loadAvg()
+    var waited = 0
+    while (l > ContendedLoad && waited < maxWaitSec) {
+      Thread.sleep(5000)
+      waited += 5
+      l = loadAvg()
+    }
+    l
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val loadStart = loadAvg()
+    val loadStart = awaitQuietStart()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -242,7 +266,11 @@ object Bench {
     // the median of `runs` back-to-back executions, and the load pair shows
     // whether anything else shared the cores during the run (the difference
     // between a real regression and a contended reading — see loadAvg).
-    val meta = s""","runs":$runs,"load":[$loadStart,${loadAvg()}]"""
+    val loadEnd = loadAvg()
+    val contended =
+      if (math.max(loadStart, loadEnd) > ContendedLoad) ""","contended":true"""
+      else ""
+    val meta = s""","runs":$runs,"load":[$loadStart,$loadEnd]$contended"""
     val line = foldedLine(results, errors.toMap, total, sfDir, meta = meta)
 
     // Full-precision sidecar for local analysis (the printed line is rounded).

@@ -98,6 +98,27 @@ class BenchLineSpec extends AnyFunSuite {
     assert(parseable(line))
   }
 
+  test("the contended flag survives folding and the line stays parseable") {
+    // r8-r10 each needed a manual exclusive rerun to adjudicate a loaded
+    // driver bench; the line now self-flags. The meta string rides through
+    // every folding stage untouched, even when families fold.
+    val meta = s""","runs":3,"load":[7.19,3.08],"contended":true"""
+    val results = (1 to 200).map(i => s"text_op_number_$i" -> 0.1) ++
+      (1 to 30).map(i => s"tpch_q$i" -> 0.4)
+    val line = Bench.foldedLine(results, Map.empty, 32.0, "/tmp/sf", meta = meta)
+    assert(line.length <= Bench.LineBudget, s"line is ${line.length} chars")
+    assert(line.contains("\"contended\":true"), s"contended flag lost: $line")
+    assert(parseable(line))
+  }
+
+  test("a quiet run carries no contended flag") {
+    val meta = s""","runs":3,"load":[0.41,1.2]"""
+    val line = Bench.foldedLine(Seq("q1" -> 1.0), Map.empty, 1.0, "/tmp/sf",
+      meta = meta)
+    assert(!line.contains("contended"))
+    assert(parseable(line))
+  }
+
   test("the totals-only fallback still keeps failed queries' negative times") {
     val results = (1 to 50).map(i => ("zz_unfoldable_very_long_query_name_" +
       ("x" * 60) + i) -> 1.0) :+ ("zz_broken_" + ("y" * 80) -> -0.5)
