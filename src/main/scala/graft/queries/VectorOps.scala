@@ -137,7 +137,7 @@ object VectorOps {
         s.read.parquet(path)
     }
 
-  private def shared(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+  private[queries] def shared(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
     artifactCache.getOrElseUpdate((s, key), {
       hookEviction(s)
       durable(s, key)(build).persist()

@@ -107,6 +107,59 @@ class DedupSubstringSpec extends SparkSpec {
     }
   }
 
+  test("append path: cross-slice offset duplicates in both directions match the rebuild") {
+    val s = spark
+    import s.implicits._
+    // The two orders the incremental path must get right, both at a +-k
+    // offset so only overlapping spans can see them:
+    //  - base doc 1 -> delta doc 9 (doc_id % 5 == 4) carries doc 1's
+    //    passage at offset +2: a plain delta dup against the stored index;
+    //  - delta doc 4 precedes base doc 5 in (doc_id, pos) order and
+    //    carries doc 5's passage at offset +3: the PROMOTION case, where
+    //    the base slice's own first occurrence is outranked by an
+    //    interleaved delta doc and must flip to duplicate.
+    val pa = (0 until 10).map(i => s"pa$i")
+    val pb = (0 until 10).map(i => s"pb$i")
+    val docs = Seq(
+      (1L, (pa ++ Seq("t0", "t1")).mkString(" ")),
+      (4L, (Seq("j0", "j1", "j2") ++ pb ++ Seq("j3")).mkString(" ")),
+      (5L, (pb ++ Seq("u0", "u1")).mkString(" ")),
+      (9L, (Seq("k0", "k1") ++ pa ++ Seq("k2")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val rebuild = LlmText.substringDedup(docs, w = 10)
+      .collect().map(_.toSeq).toSeq
+    val append = LlmText.substringDedupAppend(s, docs, w = 10, storeKey = None)
+      .collect().map(_.toSeq).toSeq
+    assert(append == rebuild)
+    // and the semantics are what the setup promises: doc 9 lost pa (plain
+    // delta dup), doc 5 lost pb (promoted by delta doc 4), doc 4 kept pb
+    // (it IS the global first occurrence)
+    val byId = append.map(r => r.head -> r).toMap
+    assert(byId(9L)(4) == 10L, s"doc 9 should lose the passage: ${byId(9L)}")
+    assert(byId(5L)(4) == 10L, s"doc 5's first occurrence must be " +
+      s"promoted to dup by delta doc 4: ${byId(5L)}")
+    assert(byId(4L)(4) == 0L, s"doc 4 is the global first: ${byId(4L)}")
+  }
+
+  test("append path matches the rebuild on random low-entropy corpora") {
+    // same collision-heavy regime as the rebuild's brute-force test, with
+    // doc ids spanning both slices (every 5th doc is delta) so within-base,
+    // within-delta, base->delta and delta->base(promotion) dups all occur
+    val s = spark
+    import s.implicits._
+    val w = 3
+    val rnd = new scala.util.Random(271)
+    for (trial <- 1 to 8) {
+      val docs = (0 until (6 + rnd.nextInt(5))).map {
+        i => (i.toLong, Seq.fill(1 + rnd.nextInt(23))("abc" (rnd.nextInt(3)).toString).mkString(" "))
+      }.toDF("doc_id", "text")
+      val rebuild = LlmText.substringDedup(docs, w).collect().map(_.toSeq).toSeq
+      val append = LlmText.substringDedupAppend(s, docs, w, storeKey = None)
+        .collect().map(_.toSeq).toSeq
+      assert(append == rebuild, s"trial $trial diverged")
+    }
+  }
+
   test("suffix-sort LCP reports exact variable-length repeats (capped)") {
     val s = spark
     import s.implicits._
