@@ -661,27 +661,42 @@ object LlmText {
       .groupBy("doc_id")
       .agg(array_sort(collect_list(col("pos"))).as("ps"),
         count(lit(1)).as("n_dup_spans"))
-    base.join(dups, Seq("doc_id"), "left")
-      .withColumn("ps", coalesce(col("ps"), expr("cast(array() as array<int>)")))
-      // merge the sorted duplicate starts into DISJOINT covered intervals
-      // (adjacent/overlapping [p, p+w-1] ranges fuse), so coverage size
-      // and reassembly are O(n + dups) per doc — a naive per-token
-      // "exists(ps, ...)" membership test is O(n * dups), quadratic on a
-      // heavily-duplicated document
+    withMergedCoverage(
+      base.join(dups, Seq("doc_id"), "left")
+        .withColumn("ps", coalesce(col("ps"), expr("cast(array() as array<int>)")))
+        .withColumn("ivs", expr(
+          s"transform(ps, p -> named_struct('s', p, 'e', p + ${w - 1}))")))
+      .select(col("doc_id"),
+        col("n").cast("long").as("n_tokens"),
+        greatest(col("n") - lit(w - 1), lit(0)).cast("long").as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        col("n_dup_tokens"),
+        md5(array_join(col("kept"), " ")).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Interval-union coverage + gap reassembly over a SORTED-by-start `ivs`
+    * array<struct<s,e>> column — shared by the fixed-w path (every
+    * interval w wide) and the canonical variable-length path. Merges
+    * adjacent/overlapping intervals into disjoint `mg` ranges so coverage
+    * size and reassembly are O(n + intervals) per doc — a naive per-token
+    * membership test is O(n · intervals), quadratic on a
+    * heavily-duplicated document. Adds `n_dup_tokens` (union size) and
+    * `kept` (the gap segments of `tk` around the merged intervals). */
+  private def withMergedCoverage(df: DataFrame): DataFrame =
+    df
       .withColumn("mg",
-        when(size(col("ps")) === 0,
+        when(size(col("ivs")) === 0,
           expr("cast(array() as array<struct<s:int,e:int>>)"))
           .otherwise(expr(
-            s"""aggregate(slice(ps, 2, size(ps) - 1),
-               |  array(named_struct('s', ps[0], 'e', ps[0] + ${w - 1})),
-               |  (acc, p) -> CASE
-               |    WHEN p <= element_at(acc, -1).e + 1 THEN
-               |      concat(slice(acc, 1, size(acc) - 1),
-               |        array(named_struct('s', element_at(acc, -1).s,
-               |          'e', greatest(element_at(acc, -1).e, p + ${w - 1}))))
-               |    ELSE concat(acc,
-               |      array(named_struct('s', p, 'e', p + ${w - 1}))) END)"""
-              .stripMargin)))
+            """aggregate(slice(ivs, 2, size(ivs) - 1),
+              |  array(ivs[0]),
+              |  (acc, x) -> CASE
+              |    WHEN x.s <= element_at(acc, -1).e + 1 THEN
+              |      concat(slice(acc, 1, size(acc) - 1),
+              |        array(named_struct('s', element_at(acc, -1).s,
+              |          'e', greatest(element_at(acc, -1).e, x.e))))
+              |    ELSE concat(acc, array(x)) END)""".stripMargin)))
       .withColumn("n_dup_tokens",
         expr("aggregate(mg, 0L, (a, x) -> a + (x.e - x.s + 1))"))
       // kept text = the gap segments around the merged intervals
@@ -696,10 +711,51 @@ object LlmText {
             |               element_at(mg, i + 1).s - element_at(mg, i).e - 1)),
             |  array(slice(tk, element_at(mg, -1).e + 2,
             |              n - element_at(mg, -1).e - 1))))""".stripMargin)))
+
+  /** The Lee et al. END PRODUCT: excise VARIABLE-LENGTH repeats >= l of
+    * any length, not fixed-w fragments. Composition of the two existing
+    * halves, each doing what it is exact at:
+    *
+    *   - the fixed-l first-occurrence pass supplies WHICH starts to
+    *     excise (an l-window that occurred earlier in (doc_id, pos)
+    *     order — first occurrences stay);
+    *   - the SA/LCP profile supplies HOW FAR each excision extends:
+    *     lcp_max(pos) is the exact maximal repeat length at that start
+    *     (capped at `cap`, the published SA truncation trade — repeats
+    *     longer than cap are excised as a chain of dup starts whose
+    *     capped intervals overlap into one merged range).
+    *
+    * Every fixed-l dup start has lcp_max >= l by construction (its
+    * l-window recurs), so the two halves agree on the start set and the
+    * inner join is lossless. The interval [pos, pos + lcp_max - 1] can
+    * out-reach the fragments' union when the repeat partner appears
+    * LATER in corpus order (the trailing tokens' own l-windows are
+    * first occurrences there — fixed-w keeps them, canonical excises
+    * the full repeat); the pinned spec case exercises exactly that and
+    * DedupSubstringSpec brute-forces the composed semantics end to end.
+    * Scale shape: the union of the two halves' own documented shapes
+    * plus one (doc_id, pos)-keyed equi-join — nothing new shuffles. */
+  private[queries] def substringDedupCanonical(docs: DataFrame, l: Int,
+      cap: Int): DataFrame = {
+    val base = tokenized(docs)
+    val firstSeen = Window.partitionBy("span").orderBy("doc_id", "pos")
+    val dupStarts = spanRows(base, l)
+      .withColumn("rn", row_number().over(firstSeen))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"), col("pos"))
+    val iv = dupStarts.join(saLcpPerPos(docs, cap), Seq("doc_id", "pos"))
+      .select(col("doc_id"), struct(col("pos").as("s"),
+        (col("pos") + col("lcp_max") - 1).cast("int").as("e")).as("iv"))
+    val perDoc = iv.groupBy("doc_id")
+      .agg(array_sort(collect_list(col("iv"))).as("ivs"),
+        count(lit(1)).as("n_excised"))
+    withMergedCoverage(
+      base.join(perDoc, Seq("doc_id"), "left")
+        .withColumn("ivs", coalesce(col("ivs"),
+          expr("cast(array() as array<struct<s:int,e:int>>)"))))
       .select(col("doc_id"),
         col("n").cast("long").as("n_tokens"),
-        greatest(col("n") - lit(w - 1), lit(0)).cast("long").as("n_spans"),
-        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("n_excised"), lit(0L)).as("n_excised"),
         col("n_dup_tokens"),
         md5(array_join(col("kept"), " ")).as("kept_md5"))
       .orderBy("doc_id")
@@ -785,11 +841,13 @@ object LlmText {
     * identically to token-wise lexicographic order (single-space joins,
     * space < every token character — the FIXTURES corpus contract), and
     * binary string collation matches between engines. */
-  private[queries] def substringSaLcp(docs: DataFrame, cap: Int,
-      dupLen: Int): DataFrame = {
-    val base = docs
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .withColumn("n", size(col("tk")))
+  /** Per-position maximal-repeat profile: (doc_id, pos, lcp_max) where
+    * lcp_max is the longest prefix the (cap-truncated) suffix at pos
+    * shares with ANY other suffix in the corpus — the suffix-array
+    * neighbor-LCP computation, factored out so both the repeat-profile
+    * entry and the canonical excision can consume it. */
+  private[queries] def saLcpPerPos(docs: DataFrame, cap: Int): DataFrame = {
+    val base = tokenized(docs)
     // the sort (and its localCheckpoint) carries ONE string per row: the
     // token array is re-split from it after ranking (identical tokens —
     // single-space joins, the corpus contract), halving the exchanged and
@@ -814,11 +872,17 @@ object LlmText {
       .withColumn("p", expr("array_position(flags, false)"))
       .withColumn("lcp",
         when(col("p") === 0, col("m")).otherwise(col("p") - 1))
-    val perPos = lcp
+    lcp
       .select(col("da").as("doc_id"), col("pa").as("pos"), col("lcp"))
       .unionByName(lcp.select(col("db").as("doc_id"), col("pb").as("pos"),
         col("lcp")))
       .groupBy("doc_id", "pos").agg(max(col("lcp")).as("lcp_max"))
+  }
+
+  private[queries] def substringSaLcp(docs: DataFrame, cap: Int,
+      dupLen: Int): DataFrame = {
+    val base = tokenized(docs)
+    val perPos = saLcpPerPos(docs, cap)
     base.select(col("doc_id"), col("n"))
       .join(perPos.groupBy("doc_id")
         .agg(count(when(col("lcp_max") >= dupLen, 1)).as("n_dup_pos"),
@@ -839,6 +903,10 @@ object LlmText {
     "dedup_substring_append" -> ((s, d) =>
       substringDedupAppend(s, Tables.documents(s, d), w = 10,
         storeKey = Some(s"$d:${VectorOps.docsFp(d)}:w10"))),
+
+    // ---- canonical variable-length excision: the Lee et al. end product ----
+    "dedup_substring_canonical" -> ((s, d) =>
+      substringDedupCanonical(Tables.documents(s, d), l = 10, cap = 20)),
 
     // ---- suffix-sort + LCP: variable-length repeat profile ----
     "dedup_substring_sa" -> ((s, d) =>
@@ -1611,6 +1679,78 @@ object LlmText {
     // base ∪ delta — the rebuild replay IS its oracle (same convention as
     // dedup_minhash_append / dedup_embed_append)
     "dedup_substring_append" -> substringOracleSql,
+    // composed replay: the fixed-10 first-occurrence dup starts (rk/dups,
+    // as in dedup_substring) joined to the SA neighbor-LCP per-position
+    // profile (suff/s2/pair/lc/pp, as in dedup_substring_sa) become
+    // variable-length [s, e] excision intervals; coverage and kept text
+    // fall out of one NOT EXISTS over the intervals, and n_dup_tokens is
+    // n - n_kept (the union size, computed without replaying the fold)
+    "dedup_substring_canonical" ->
+      """WITH t AS MATERIALIZED (
+        |  SELECT doc_id, string_split(text, ' ') AS tk,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |spans AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    unnest(range(greatest(n - 9, 0))) AS pos,
+        |    unnest(list_transform(range(greatest(n - 9, 0)),
+        |      i -> array_to_string(tk[i + 1 : i + 10], ' '))) AS span
+        |  FROM t),
+        |rk AS MATERIALIZED (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+        |  FROM spans),
+        |dups AS MATERIALIZED (SELECT doc_id, pos FROM rk WHERE rn > 1),
+        |suff AS MATERIALIZED (
+        |  SELECT doc_id, n,
+        |    unnest(range(n)) AS pos,
+        |    unnest(list_transform(range(n), i -> tk[i + 1 : i + 20])) AS stk
+        |  FROM t),
+        |s2 AS MATERIALIZED (
+        |  SELECT doc_id, pos, stk,
+        |    row_number() OVER (
+        |      ORDER BY array_to_string(stk, ' '), doc_id, pos) AS r
+        |  FROM suff),
+        |pair AS MATERIALIZED (
+        |  SELECT a.doc_id AS da, a.pos AS pa, b.doc_id AS db, b.pos AS pb,
+        |    least(len(a.stk), len(b.stk)) AS m,
+        |    list_position(list_transform(
+        |      range(least(len(a.stk), len(b.stk))),
+        |      i -> a.stk[i + 1] = b.stk[i + 1]), false) AS p
+        |  FROM s2 a JOIN s2 b ON b.r = a.r + 1),
+        |lc AS MATERIALIZED (
+        |  SELECT da, pa, db, pb,
+        |    CASE WHEN p IS NULL OR p = 0 THEN m ELSE p - 1 END AS lcp
+        |  FROM pair),
+        |pp AS MATERIALIZED (
+        |  SELECT doc_id, pos, max(lcp) AS lcp_max FROM (
+        |    SELECT da AS doc_id, pa AS pos, lcp FROM lc
+        |    UNION ALL SELECT db AS doc_id, pb AS pos, lcp FROM lc)
+        |  GROUP BY doc_id, pos),
+        |iv AS MATERIALIZED (
+        |  SELECT d.doc_id, d.pos AS s, d.pos + pp.lcp_max - 1 AS e
+        |  FROM dups d JOIN pp ON pp.doc_id = d.doc_id AND pp.pos = d.pos),
+        |nx AS MATERIALIZED (
+        |  SELECT doc_id, count(*) AS n_excised FROM iv GROUP BY doc_id),
+        |toks AS MATERIALIZED (
+        |  SELECT doc_id, unnest(range(n)) AS j, unnest(tk) AS tok FROM t),
+        |ka AS MATERIALIZED (
+        |  SELECT tt.doc_id, count(*) AS n_kept,
+        |    md5(coalesce(string_agg(tt.tok, ' ' ORDER BY tt.j), ''))
+        |      AS kept_md5
+        |  FROM toks tt
+        |  WHERE NOT EXISTS (SELECT 1 FROM iv u
+        |    WHERE u.doc_id = tt.doc_id AND u.s <= tt.j AND tt.j <= u.e)
+        |  GROUP BY tt.doc_id)
+        |SELECT t.doc_id,
+        |  CAST(t.n AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(nx.n_excised, 0) AS BIGINT) AS n_excised,
+        |  CAST(t.n - coalesce(ka.n_kept, 0) AS BIGINT) AS n_dup_tokens,
+        |  coalesce(ka.kept_md5, md5('')) AS kept_md5
+        |FROM t
+        |LEFT JOIN nx USING (doc_id)
+        |LEFT JOIN ka USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     "text_quality" ->
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
          |SELECT doc_id,

@@ -160,6 +160,89 @@ class DedupSubstringSpec extends SparkSpec {
     }
   }
 
+  test("canonical excision removes the full variable-length repeat fixed-w fragments") {
+    val s = spark
+    import s.implicits._
+    // The case fixed-w removal structurally under-reaches: doc 2 carries a
+    // 13-token repeat Q++z whose partner (doc 3) comes LATER in corpus
+    // order. Only Q's own 10-window occurred earlier (doc 1), so fixed-10
+    // has a single dup start at the repeat head and covers just Q's 10
+    // tokens — the z tail's windows are first occurrences from doc 2's
+    // side. The canonical pass extends that one start by its SA repeat
+    // length (13) and excises the whole repeat.
+    val q = (0 until 10).map(i => s"q$i")
+    val z = Seq("z0", "z1", "z2")
+    val docs = Seq(
+      (1L, (q ++ Seq("c0", "c1", "c2")).mkString(" ")),
+      (2L, (Seq("d0", "d1") ++ q ++ z).mkString(" ")),
+      (3L, (Seq("f0") ++ q ++ z ++ Seq("f1")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val fixed = LlmText.substringDedup(docs, w = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val canon = LlmText.substringDedupCanonical(docs, l = 10, cap = 20)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(fixed(2L) == 10L, "fixed-w should cover only Q's 10 tokens")
+    val (n2, x2, d2, m2) = canon(2L)
+    assert((n2, x2, d2) == (15L, 1L, 13L),
+      s"canonical must excise the full 13-token repeat as ONE interval: ${canon(2L)}")
+    assert(m2 == org.apache.commons.codec.digest.DigestUtils.md5Hex("d0 d1"))
+    // doc 1 is all first-occurrence; doc 3 loses the full repeat too
+    assert(canon(1L)._3 == 0L)
+    assert(canon(3L)._3 == 13L)
+  }
+
+  test("canonical excision matches a brute-force reference on random corpora") {
+    // composed semantics, brute-forced: a start p is excised iff its
+    // l-window occurred earlier in (doc_id, pos) order, and its interval
+    // extends by the SA repeat length (max capped LCP against any other
+    // suffix); coverage = interval union, kept = the gaps
+    val s = spark
+    import s.implicits._
+    val l = 3
+    val cap = 6
+    val rnd = new scala.util.Random(1213)
+    def lcpOf(a: Seq[String], b: Seq[String]): Int = {
+      val m = math.min(a.length, b.length)
+      var i = 0; while (i < m && a(i) == b(i)) i += 1; i
+    }
+    for (trial <- 1 to 8) {
+      val docs: Seq[(Long, Seq[String])] = (0 until (3 + rnd.nextInt(5))).map {
+        i => (i.toLong, Seq.fill(1 + rnd.nextInt(23))("abc" (rnd.nextInt(3)).toString))
+      }
+      val sufs = for ((id, tk) <- docs; p <- tk.indices)
+        yield (id, p, tk.slice(p, p + cap))
+      val windows = for {
+        (id, tk) <- docs; if tk.length >= l
+        p <- 0 to tk.length - l
+      } yield (tk.slice(p, p + l).mkString(" "), id, p)
+      val firstOf = windows.groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(v => (v._2, v._3)).min }
+      val expected = docs.map { case (id, tk) =>
+        val starts = (if (tk.length >= l) (0 to tk.length - l) else Seq.empty)
+          .filter { p =>
+            firstOf(tk.slice(p, p + l).mkString(" ")) != ((id, p))
+          }
+        val ivs = starts.map { p =>
+          val mine = tk.slice(p, p + cap)
+          val ext = sufs.collect { case (oid, op, os) if (oid, op) != ((id, p)) =>
+            lcpOf(mine, os) }.max
+          (p, p + ext - 1)
+        }
+        val covered = ivs.flatMap { case (a, b) => a to b }.toSet
+        val kept = tk.indices.filterNot(covered).map(tk)
+        id -> (tk.length.toLong, starts.size.toLong, covered.size.toLong,
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(kept.mkString(" ")))
+      }.toMap
+      val got = LlmText.substringDedupCanonical(
+        docs.map { case (id, tk) => (id, tk.mkString(" ")) }
+          .toDF("doc_id", "text"), l = l, cap = cap)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+      assert(got == expected, s"trial $trial diverged: docs=$docs")
+    }
+  }
+
   test("suffix-sort LCP reports exact variable-length repeats (capped)") {
     val s = spark
     import s.implicits._
