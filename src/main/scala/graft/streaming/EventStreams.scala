@@ -816,6 +816,92 @@ object EventStreams {
       .orderBy("id_a", "id_b")
   }
 
+  /** Event-time-TTL form of [[drainMinhashDedup]]'s stateful core — the
+    * PRODUCTION variant of the one streaming claim round 10 documented
+    * but did not prove. The finite-gate drain keeps NoTimeout because its
+    * contract is exact equality to the batch oracle over a bounded
+    * corpus; a perpetual crawl ingest instead bounds state by aging each
+    * (band, sig) bucket out once the event-time watermark passes its
+    * last activity plus `ttlMs`. The semantic trade is explicit: only
+    * pairs whose members arrive within the TTL horizon of each other are
+    * discovered (SCALE.md's documented production setting), in exchange
+    * for state proportional to the ACTIVE window, not the corpus —
+    * StreamStateTtlSpec drives a 12-day synthetic stream through this
+    * and asserts the state-row count plateaus at the horizon size and
+    * that a cross-horizon duplicate is (by contract) not paired.
+    * Input: (doc_id, band_id, sig, ts) band rows; the watermark is
+    * applied here so callers cannot forget it (EventTimeTimeout without
+    * one fails at query start). */
+  def minhashCandidatesTtl(bands: DataFrame, watermark: String,
+      ttlMs: Long): Dataset[(Long, Long)] = {
+    val s = bands.sparkSession
+    import s.implicits._
+    bands
+      .withWatermark("ts", watermark)
+      .as[(Long, Int, Long, Timestamp)]
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[Seq[Long], (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state: GroupState[Seq[Long]]) =>
+          if (state.hasTimedOut) {
+            state.remove() // bucket aged out: release the id list
+            Iterator.empty
+          } else {
+            val rs = rows.toSeq
+            val seen = state.getOption.getOrElse(Seq.empty[Long])
+            val fresh = rs.map(_._1).distinct.sorted
+            val cross = for (n <- fresh; o <- seen)
+              yield (math.min(n, o), math.max(n, o))
+            val within = for {
+              i <- fresh.indices
+              j <- (i + 1) until fresh.length
+            } yield (fresh(i), fresh(j))
+            state.update(seen ++ fresh)
+            // TTL clock = this bucket's newest event time (all rows here
+            // passed the watermark, so the timestamp is always ahead of it)
+            state.setTimeoutTimestamp(rs.map(_._4.getTime).max + ttlMs)
+            (cross ++ within).iterator
+          }
+      }
+  }
+
+  /** Event-time-TTL form of [[drainCuration]]'s digest-keyed exact-dedup
+    * state, same contract shift as [[minhashCandidatesTtl]]: "first
+    * occurrence" becomes "first occurrence within the TTL horizon" — a
+    * digest unseen for longer than `ttlMs` of event time is forgotten,
+    * and its next arrival is kept again. That IS the production dedup
+    * policy for a perpetual crawl (content recurring a year apart is
+    * usually legitimate to re-keep; unbounded digest state is not an
+    * option), and the horizon re-keep is pinned in StreamStateTtlSpec
+    * alongside the state plateau. Input: (doc_id, digest, ts). Output:
+    * (doc_id, kept-as-first-within-horizon). */
+  def digestFirstSeenTtl(staged: DataFrame, watermark: String,
+      ttlMs: Long): Dataset[(Long, Boolean)] = {
+    val s = staged.sparkSession
+    import s.implicits._
+    staged
+      .withWatermark("ts", watermark)
+      .as[(Long, String, Timestamp)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Boolean, (Long, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val rs = rows.toSeq
+            val seen = state.getOption.getOrElse(false)
+            val sorted = rs.sortBy(_._1)
+            state.update(true)
+            state.setTimeoutTimestamp(rs.map(_._3.getTime).max + ttlMs)
+            sorted.iterator.zipWithIndex.map { case ((id, _, _), i) =>
+              (id, !seen && i == 0)
+            }
+          }
+      }
+  }
+
   /** Drain the ONLINE curation chain — the ingest-time half of
     * `curation_e2e`: language ID, the C4 quality gate, and the
     * deterministic hash hold-out are stateless per-row verdicts computed
