@@ -114,11 +114,16 @@ private[queries] object AnnOracleSql {
       |      FROM p)
       |WHERE rnk <= $topK ORDER BY qid, rnk""".stripMargin
 
-  /** Oracle for [[VectorOps.annIvfTopK]] / [[VectorOps.annIvfFilteredTopK]]:
-    * trained coarse quantizer, corpus cell assignment, nProbe probing,
-    * exact cosine inside probed cells (optionally label-composed). */
+  /** Oracle for [[VectorOps.annIvfTopK]] / [[VectorOps.annIvfFilteredTopK]]
+    * / [[VectorOps.annIvfDeleteTopK]]: trained coarse quantizer, corpus
+    * cell assignment, nProbe probing, exact cosine inside probed cells
+    * (optionally label-composed). `liveWhere` restricts the QUERYABLE
+    * index rows (and hence the query sample drawn from them) without
+    * touching the training sample — the delete path's contract: the
+    * codebook was trained before the deletions, tombstoned vectors are
+    * neither candidates nor queries. */
   def ivfTopK(k: Int, nProbe: Int, topK: Int, filtered: Boolean,
-      sampleWhere: String = ""): String = {
+      sampleWhere: String = "", liveWhere: String = ""): String = {
     val labelJoin = if (filtered) " AND en.label = q.ql" else ""
     val qLabel = if (filtered) ", eq.label AS ql" else ""
     val ctes = baseCtes(sampleWhere) ++
@@ -127,7 +132,9 @@ private[queries] object AnnOracleSql {
       s"""en AS MATERIALIZED (
         |  SELECT e.vec_id, e.emb, e.label, ${nrm("e.emb")} AS nrm,
         |    cr.cid AS cell
-        |  FROM e JOIN cr ON cr.vec_id = e.vec_id AND cr.rn = 1)""".stripMargin,
+        |  FROM e JOIN cr ON cr.vec_id = e.vec_id AND cr.rn = 1${
+          if (liveWhere.nonEmpty) s"\n        |  WHERE $liveWhere" else ""})"""
+        .stripMargin,
       s"""q AS MATERIALIZED (
         |  SELECT eq.vec_id AS qid, eq.emb AS qe, eq.nrm AS qn$qLabel,
         |    cr.cid AS cell

@@ -418,6 +418,56 @@ object VectorOps {
     ivfQueryTopK(inverted, centers, nProbe, topK)
   }
 
+  /** Delete path of the durable IVF store — the third verb of the index
+    * lifecycle (create = ann_index_store_gate, append = ann_ivf_append_topk,
+    * delete = here). Deletions are TOMBSTONES: a durable (vec_id) artifact
+    * written next to the inverted file, anti-joined at query time — the
+    * codebook stays as trained before the deletions (re-training would
+    * re-encode the corpus; a vector store tombstones instead and re-trains
+    * only on drift). When the tombstone ratio passes `compactAt`, the
+    * inverted file is COMPACTED: rewritten without tombstoned rows as its
+    * own durable artifact, after which queries scan the compacted file
+    * with no anti-join at all. Both regimes return identical results —
+    * exactly an index over the live vectors under the original codebook —
+    * so compaction is purely a storage/scan-cost event, which is what
+    * makes it safe to trigger from a ratio. The two ratio counts are
+    * bounded index-maintenance aggregates at plan-build time (the same
+    * class as the codebook sample; Bench times execution only).
+    * Queries are drawn from the live index, so deleted vectors neither
+    * answer nor ask. Oracle: AnnOracleSql.ivfTopK with liveWhere — the
+    * full trained pipeline minus tombstoned ids, hash-checked. */
+  private[queries] def annIvfDeleteTopK(s: SparkSession, d: String,
+      k: Int, nProbe: Int, topK: Int): DataFrame = {
+    val emb = embOf(s, d)
+    val sample = indexSample(emb, d)
+    val centers = lloyd(sample, k, iters = 10)
+    val assignU = udf((e: Seq[Double]) => nearestCells(centers, e.toArray, 1).head)
+    // the SAME inverted-file artifact ann_ivf_topk maintains — delete is a
+    // maintenance verb on the existing store, not a parallel index
+    val inverted = shared(s, s"ivf_inverted:$d:${dataFp(d)}:$k")(
+      withNorm(emb).withColumn("cell", assignU(col("e")))
+        .select(col("vec_id"), col("cell"), col("e"), col("nrm")))
+    val live = ivfLive(s, inverted, col("vec_id") % 7 === 3,
+      key = s"$d:${dataFp(d)}:$k", compactAt = 0.1)
+    ivfQueryTopK(live, centers, nProbe, topK)
+  }
+
+  /** Tombstone/compaction core, factored for the spec: returns the LIVE
+    * view of `inverted` under `deleted`, compacting the durable store when
+    * the tombstone ratio exceeds `compactAt`. */
+  private[queries] def ivfLive(s: SparkSession, inverted: DataFrame,
+      deleted: Column, key: String, compactAt: Double): DataFrame = {
+    val tombs = shared(s, s"ivf_tombstones:$key")(
+      inverted.filter(deleted).select(col("vec_id")))
+    val nTomb = tombs.count()
+    val nAll = inverted.count()
+    if (nAll > 0 && nTomb.toDouble / nAll > compactAt)
+      shared(s, s"ivf_inverted_compact:$key")(
+        inverted.join(tombs, Seq("vec_id"), "left_anti"))
+    else
+      inverted.join(tombs, Seq("vec_id"), "left_anti")
+  }
+
   /** Filtered IVF top-k: the metadata predicate composed with cell pruning.
     * The inverted file carries the filter attribute (label) alongside the
     * cell id — the standard way vector stores serve filtered ANN without
@@ -1349,6 +1399,16 @@ object VectorOps {
     "ann_ivf_append_topk" -> ((s, d) =>
       annIvfAppendTopK(s, d, k = 16, nProbe = 4, topK = 3)),
 
+    // ---- IVF delete/compaction: tombstones on the durable store ----
+    // Completes create/append/delete on the vector store: vec_id % 7 == 3
+    // is tombstoned (ratio ~14% > the 10% compaction threshold, so the
+    // registered entry exercises the compaction path itself); results are
+    // hash-equal to querying the live vectors under the original codebook
+    // (AnnOracleSql liveWhere replay). IndexStoreSpec pins the threshold
+    // behavior on both sides and the equality of the two regimes.
+    "ann_ivf_delete_topk" -> ((s, d) =>
+      annIvfDeleteTopK(s, d, k = 16, nProbe = 4, topK = 3)),
+
     // ---- filtered IVF ANN: cell pruning composed with the label filter ----
     // Approximate counterpart of sim_filtered_topk: the inverted file
     // carries the label, candidates come from an equi-join on (cell,
@@ -1600,6 +1660,9 @@ object VectorOps {
     "ann_ivf_append_topk" ->
       AnnOracleSql.ivfTopK(k = 16, nProbe = 4, topK = 3, filtered = false,
         sampleWhere = "vec_id % 5 != 4"),
+    "ann_ivf_delete_topk" ->
+      AnnOracleSql.ivfTopK(k = 16, nProbe = 4, topK = 3, filtered = false,
+        liveWhere = "e.vec_id % 7 != 3"),
     "ann_ivf_filtered_topk" ->
       AnnOracleSql.ivfTopK(k = 16, nProbe = 8, topK = 3, filtered = true),
     "ann_pq_topk" -> AnnOracleSql.pqTopK(m = 16, k = 16, topK = 3),

@@ -71,6 +71,50 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("tombstones anti-join below the threshold, compact above it, same results") {
+    withStoreDir {
+      val s = spark.newSession() // fresh artifact-cache identity
+      import s.implicits._
+      val inverted = (0L until 100L)
+        .map(i => (i, (i % 5).toInt, Seq(i.toDouble), 1.0))
+        .toDF("vec_id", "cell", "e", "nrm")
+      val root = sys.props("graft.index.dir")
+      def compactArtifacts(): Array[java.io.File] = {
+        val dirs = new java.io.File(root).listFiles()
+        if (dirs == null) Array.empty
+        else dirs.flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+          .filter(_.getName.startsWith("ivf_inverted_compact_"))
+      }
+      // 5% tombstoned: BELOW the 10% threshold — live view is the
+      // anti-join, and no compacted artifact may be written
+      val below = VectorOps.ivfLive(s, inverted, col("vec_id") % 20 === 0,
+        key = "spec:below", compactAt = 0.1)
+      val belowIds = below.select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(belowIds == (0L until 100L).filter(_ % 20 != 0).toSet)
+      assert(compactArtifacts().isEmpty,
+        "compaction fired below the tombstone threshold")
+      // 25% tombstoned: ABOVE the threshold — the compaction trigger fires,
+      // a compacted inverted file lands in the durable store, and the live
+      // view is identical to the anti-join's
+      val above = VectorOps.ivfLive(s, inverted, col("vec_id") % 4 === 0,
+        key = "spec:above", compactAt = 0.1)
+      val aboveIds = above.select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(aboveIds == (0L until 100L).filter(_ % 4 != 0).toSet)
+      val arts = compactArtifacts()
+      assert(arts.length == 1,
+        s"expected exactly one compacted artifact, got ${arts.length}")
+      // compaction is idempotent: a second call (fresh session) REUSEs the
+      // compacted file rather than rewriting it
+      val mtime = arts.head.lastModified
+      val s2 = s.newSession()
+      val again = VectorOps.ivfLive(s2, inverted, col("vec_id") % 4 === 0,
+        key = "spec:above", compactAt = 0.1)
+      assert(again.select("vec_id").collect().map(_.getLong(0)).toSet == aboveIds)
+      assert(arts.head.lastModified == mtime,
+        "a second consumer rewrote the compacted artifact")
+    }
+  }
+
   test("distinct keys get distinct artifacts even when names sanitize alike") {
     withStoreDir {
       val s = spark
