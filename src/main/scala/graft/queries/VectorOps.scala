@@ -1450,6 +1450,72 @@ object VectorOps {
         .orderBy("cell")
     }),
 
+    // ---- embedding drift monitor: the vector-side dq_drift ----
+    // The monitor an embedding pipeline pairs with dedup_embed_append:
+    // between the base slice (vec_id % 5 != 4) and today's delta, report
+    // (a) the squared L2 shift of the mean vector and (b) the population
+    // drift across the 16 deterministic anchor cells (TV distance +
+    // chi-square, smoothed) — distributional change the scalar dq_drift
+    // cannot see. Same hash discipline as dq_drift: pure rational
+    // arithmetic, every per-dim / per-cell term quantized to 2^-30 and
+    // summed as exact integers so the reduction is order-free on both
+    // engines (per-dim element sums stay < 2^53 at gate scale; a 100 TB
+    // run would widen the quantized accumulator, not the algorithm).
+    // Scale shape: one explode to thin (dim, x) rows -> 64-group agg;
+    // cell assignment reuses the stored anchor ranking; cluster drift is
+    // a 16-group agg + one-row totals broadcast. Bounded aggs only.
+    "dq_drift_embed" -> ((s, d) => {
+      val (en, ranked) = anchorRanked(s, d)
+      val isDelta = col("vec_id") % 5 === 4
+      val Q = 1073741824.0 // 2^30
+      val el = en
+        .select(col("vec_id"), posexplode(col("e")).as(Seq("dim", "x")))
+        .withColumn("is_delta", isDelta)
+      val dims = el.groupBy("dim").agg(
+        sum(when(!col("is_delta"), floor(col("x") * Q)
+          .cast("decimal(38,0)"))).as("sb"),
+        count(when(!col("is_delta"), 1)).as("nb"),
+        sum(when(col("is_delta"), floor(col("x") * Q)
+          .cast("decimal(38,0)"))).as("sd"),
+        count(when(col("is_delta"), 1)).as("nd"))
+      val shiftRow = dims
+        .withColumn("mb", col("sb").cast("double") / Q / col("nb"))
+        .withColumn("md", col("sd").cast("double") / Q / col("nd"))
+        .agg(
+          round(sum(floor((col("mb") - col("md")) * (col("mb") - col("md")) * Q)
+            .cast("decimal(38,0)")).cast("double") / Q, 6).as("value"),
+          max(col("nb")).as("n_base"), max(col("nd")).as("n_delta"))
+        .select(lit("mean_shift_l2sq").as("metric"), col("value"),
+          col("n_base").cast("long").as("n_base"),
+          col("n_delta").cast("long").as("n_delta"))
+      val cells = ranked.filter(col("r") === 1)
+        .select(col("aid").as("key"), isDelta.as("is_delta"))
+      val cc = cells.groupBy("key").agg(
+        count(when(!col("is_delta"), 1)).as("cb"),
+        count(when(col("is_delta"), 1)).as("cd"))
+      val ct = cells.agg(
+        count(when(!col("is_delta"), 1)).as("tb"),
+        count(when(col("is_delta"), 1)).as("td"))
+      val cl = cc.crossJoin(ct) // one-row totals broadcast
+        .withColumn("pb", (col("cb") + 1).cast("double") / (col("tb") + 16))
+        .withColumn("pd", (col("cd") + 1).cast("double") / (col("td") + 16))
+        .agg(
+          round(sum(floor(abs(col("pb") - col("pd")) * Q)
+            .cast("decimal(38,0)")).cast("double") / Q / 2.0, 6).as("tv"),
+          round(sum(floor((col("pd") - col("pb")) * (col("pd") - col("pb"))
+            / col("pb") * Q)
+            .cast("decimal(38,0)")).cast("double") / Q, 6).as("chi2"),
+          max(col("tb")).as("tb"), max(col("td")).as("td"))
+      shiftRow
+        .unionByName(cl.select(lit("cluster_chi2").as("metric"),
+          col("chi2").as("value"), col("tb").cast("long").as("n_base"),
+          col("td").cast("long").as("n_delta")))
+        .unionByName(cl.select(lit("cluster_tv_dist").as("metric"),
+          col("tv").as("value"), col("tb").cast("long").as("n_base"),
+          col("td").cast("long").as("n_delta")))
+        .orderBy("metric")
+    }),
+
     // ---- cluster-balanced sampling: per-cell cap, deterministic draw ----
     // The SemDeDup/DataComp-style balancing step: cap every semantic
     // cluster at 30 docs so giant topics can't dominate the mixture, with
@@ -1971,6 +2037,76 @@ object VectorOps {
         |       FROM sc)
         |SELECT aid AS cell, count(*) AS n, round(avg(ac), 6) AS avg_cos
         |FROM rk WHERE r = 1 GROUP BY aid ORDER BY cell""".stripMargin,
+    // the vector-side drift monitor replays the same anchor-assignment CTE
+    // plus dq_drift's quantized rational-arithmetic idiom (floor(term *
+    // 2^30) summed as HUGEINT, so the reduction is order-free)
+    "dq_drift_embed" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings),
+        |el AS (SELECT vec_id, generate_subscripts(emb, 1) - 1 AS dim,
+        |         unnest(emb) AS x, vec_id % 5 = 4 AS is_delta
+        |       FROM e),
+        |dims AS (
+        |  SELECT dim,
+        |    sum(CAST(floor(x * 1073741824.0) AS HUGEINT))
+        |      FILTER (WHERE NOT is_delta) AS sb,
+        |    count(*) FILTER (WHERE NOT is_delta) AS nb,
+        |    sum(CAST(floor(x * 1073741824.0) AS HUGEINT))
+        |      FILTER (WHERE is_delta) AS sd,
+        |    count(*) FILTER (WHERE is_delta) AS nd
+        |  FROM el GROUP BY dim),
+        |ms AS (
+        |  SELECT round(CAST(sum(CAST(floor(
+        |      (CAST(sb AS DOUBLE) / 1073741824.0 / nb
+        |        - CAST(sd AS DOUBLE) / 1073741824.0 / nd)
+        |      * (CAST(sb AS DOUBLE) / 1073741824.0 / nb
+        |        - CAST(sd AS DOUBLE) / 1073741824.0 / nd)
+        |      * 1073741824.0) AS HUGEINT)) AS DOUBLE) / 1073741824.0, 6)
+        |      AS value,
+        |    CAST(max(nb) AS BIGINT) AS n_base,
+        |    CAST(max(nd) AS BIGINT) AS n_delta
+        |  FROM dims),
+        |a AS (SELECT (vec_id - 7) // 31 AS aid, emb AS ae FROM e
+        |      WHERE vec_id IN (7, 38, 69, 100, 131, 162, 193, 224, 255, 286,
+        |                       317, 348, 379, 410, 441, 472)),
+        |sc AS (
+        |  SELECT e.vec_id, a.aid,
+        |    list_sum(list_transform(list_zip(e.emb, a.ae), s -> s[1]*s[2])) /
+        |      (sqrt(list_sum(list_transform(e.emb, x -> x*x))) *
+        |       sqrt(list_sum(list_transform(a.ae, x -> x*x)))) AS ac
+        |  FROM e, a),
+        |rk AS (SELECT vec_id, aid,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY ac DESC, aid) AS r
+        |       FROM sc),
+        |cells AS (SELECT aid AS key, vec_id % 5 = 4 AS is_delta
+        |          FROM rk WHERE r = 1),
+        |cl AS (
+        |  SELECT
+        |    round(CAST(sum(CAST(floor(abs(pb - pd) * 1073741824.0)
+        |        AS HUGEINT)) AS DOUBLE) / 1073741824.0 / 2.0, 6) AS tv,
+        |    round(CAST(sum(CAST(floor((pd - pb) * (pd - pb) / pb
+        |        * 1073741824.0) AS HUGEINT)) AS DOUBLE) / 1073741824.0, 6)
+        |      AS chi2,
+        |    CAST(max(tb) AS BIGINT) AS n_base,
+        |    CAST(max(td) AS BIGINT) AS n_delta
+        |  FROM (
+        |    SELECT c.cb, c.cd, t.tb, t.td,
+        |      CAST(c.cb + 1 AS DOUBLE) / (t.tb + 16) AS pb,
+        |      CAST(c.cd + 1 AS DOUBLE) / (t.td + 16) AS pd
+        |    FROM (SELECT key, count(*) FILTER (WHERE NOT is_delta) AS cb,
+        |                 count(*) FILTER (WHERE is_delta) AS cd
+        |          FROM cells GROUP BY key) c,
+        |         (SELECT count(*) FILTER (WHERE NOT is_delta) AS tb,
+        |                 count(*) FILTER (WHERE is_delta) AS td
+        |          FROM cells) t))
+        |SELECT 'cluster_chi2' AS metric, chi2 AS value, n_base, n_delta
+        |FROM cl
+        |UNION ALL
+        |SELECT 'cluster_tv_dist', tv, n_base, n_delta FROM cl
+        |UNION ALL
+        |SELECT 'mean_shift_l2sq', value, n_base, n_delta FROM ms
+        |ORDER BY metric""".stripMargin,
     "sample_cluster_balanced" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         |           FROM embeddings),
