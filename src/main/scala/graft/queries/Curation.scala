@@ -65,6 +65,49 @@ object Curation {
       md5(col("text")).as("digest"))
   }
 
+  /** The composed curation pipeline, factored so both the standalone entry
+    * and the SQL front door register the SAME plan. */
+  private[queries] def curationE2e(s: SparkSession, d: String): DataFrame = {
+    val staged = stagedVerdicts(Tables.documents(s, d))
+    val firstOfDigest = staged.groupBy("digest")
+      .agg(min(col("doc_id")).as("first_id"))
+    val comp = VectorOps
+      .starComponents(VectorOps.minhashPairs(s, d).select("id_a", "id_b"))
+      .withColumnRenamed("id", "doc_id")
+    // no broadcast hints: both the digest map and the component map are
+    // corpus-population-sized in the worst case — Catalyst broadcasts
+    // them while small and shuffles on the high-cardinality key when not
+    staged.join(firstOfDigest, Seq("digest"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang_id"), col("c4_verdict"),
+        (col("doc_id") === col("first_id")).as("exact_first"),
+        (coalesce(col("rep"), col("doc_id")) === col("doc_id"))
+          .as("near_kept"),
+        col("sampled"))
+      .withColumn("final_keep",
+        col("lang_id") =!= "und" && col("c4_verdict") === "keep" &&
+          col("exact_first") && col("near_kept") && col("sampled"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared ANSI SQL for the curation front door: executed VERBATIM by
+    * Spark (over the `curation_verdicts` temp view) and by DuckDB (over
+    * the same name bound to the composed oracle CTEs) — the yield report
+    * a curation run ends with, per (language, quality-gate) cell. Stays
+    * inside the dialect intersection (CASE, CAST, count(*), GROUP BY). */
+  private[graft] val SqlCurationReport: String =
+    """SELECT lang_id, c4_verdict,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN final_keep THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  CAST(sum(CASE WHEN exact_first THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS n_exact_dups,
+      |  CAST(sum(CASE WHEN near_kept THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS n_near_dups
+      |FROM curation_verdicts
+      |GROUP BY lang_id, c4_verdict
+      |ORDER BY lang_id, c4_verdict""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- the WHOLE preprocessing pipeline as ONE call ----
     // What "switch to this library" means for a training-data user: the
@@ -79,27 +122,20 @@ object Curation {
     // langid/C4/sample, one md5-keyed agg+join for exact dedup, the
     // shared pair-graph artifact + the component-map join for near-dup
     // — the union of the stages' own scale shapes, nothing extra.
-    "curation_e2e" -> ((s, d) => {
-      val staged = stagedVerdicts(Tables.documents(s, d))
-      val firstOfDigest = staged.groupBy("digest")
-        .agg(min(col("doc_id")).as("first_id"))
-      val comp = VectorOps
-        .starComponents(VectorOps.minhashPairs(s, d).select("id_a", "id_b"))
-        .withColumnRenamed("id", "doc_id")
-      // no broadcast hints: both the digest map and the component map are
-      // corpus-population-sized in the worst case — Catalyst broadcasts
-      // them while small and shuffles on the high-cardinality key when not
-      staged.join(firstOfDigest, Seq("digest"))
-        .join(comp, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("lang_id"), col("c4_verdict"),
-          (col("doc_id") === col("first_id")).as("exact_first"),
-          (coalesce(col("rep"), col("doc_id")) === col("doc_id"))
-            .as("near_kept"),
-          col("sampled"))
-        .withColumn("final_keep",
-          col("lang_id") =!= "und" && col("c4_verdict") === "keep" &&
-            col("exact_first") && col("near_kept") && col("sampled"))
-        .orderBy("doc_id")
+    "curation_e2e" -> ((s, d) => curationE2e(s, d)),
+
+    // ---- the curation chain THROUGH the SQL front door ----
+    // sql_front_door proves SQL parity for relational shapes; this entry
+    // extends the same contract to the LLM extension surface: the
+    // composed verdict table registers as a temp view and ONE shared SQL
+    // text (the per-(lang, quality) yield report a curation run ends
+    // with) executes verbatim on both engines. The Spark plan under the
+    // outer aggregate is curation_e2e's own — per-row verdict codegen,
+    // the digest agg-join, the pair-graph component map — so the SQL
+    // door reaches the full chain, not just TPC-H shapes.
+    "sql_front_door_curation" -> ((s, d) => {
+      curationE2e(s, d).createOrReplaceTempView("curation_verdicts")
+      s.sql(SqlCurationReport)
     }),
 
     // ---- the curation chain ONLINE: 12th streaming drain ----
@@ -548,6 +584,51 @@ object Curation {
     }),
   )
 
+  /** The composed curation pipeline's oracle, split into its CTE chain and
+    * final verdict select so curation_e2e (ordered verdict rows) and
+    * sql_front_door_curation (the shared report text over the same
+    * verdicts) provably replay ONE pipeline. */
+  private def curationOracleCtes: String = {
+    def sc(l: String) =
+      s"len(list_filter(string_split(text, ' '), x -> x IN ${LlmText.inList(LlmText.LangStops(l))}))"
+    s"""comp AS MATERIALIZED (
+      |${VectorOps.CcFixpointOracle.linesIterator.map("  " + _).mkString("\n")}
+      |),
+      |st AS MATERIALIZED (
+      |  SELECT doc_id, n_chars, md5(text) AS digest,
+      |    substring(md5(text), 1, 2) < 'e0' AS sampled,
+      |    len(string_split(text, ' ')) AS n_tok,
+      |    CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS mean_len,
+      |    ${sc("de")} AS s_de, ${sc("en")} AS s_en,
+      |    ${sc("es")} AS s_es, ${sc("fr")} AS s_fr
+      |  FROM documents),
+      |fd AS (SELECT digest, min(doc_id) AS first_id FROM st GROUP BY digest),
+      |v AS (
+      |  SELECT st.doc_id,
+      |    CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+      |         WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+      |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+      |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+      |         ELSE 'fr' END AS lang_id,
+      |    CASE WHEN n_tok < 30 THEN 'too_short'
+      |         WHEN n_tok > 2000 THEN 'too_long'
+      |         WHEN mean_len < 2.0 THEN 'words_too_short'
+      |         WHEN mean_len > 12.0 THEN 'words_too_long'
+      |         ELSE 'keep' END AS c4_verdict,
+      |    st.doc_id = fd.first_id AS exact_first,
+      |    coalesce(c.cluster_rep, st.doc_id) = st.doc_id AS near_kept,
+      |    st.sampled
+      |  FROM st JOIN fd USING (digest)
+      |  LEFT JOIN comp c USING (doc_id))""".stripMargin
+  }
+
+  private def curationOracleSelect: String =
+    """SELECT doc_id, lang_id, c4_verdict, exact_first, near_kept, sampled,
+      |  (lang_id != 'und' AND c4_verdict = 'keep' AND exact_first
+      |   AND near_kept AND sampled) AS final_keep
+      |FROM v""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // streaming == batch: the drained verdicts must equal the batch rule
     // (first occurrence = min doc_id per digest), near-dup stage absent
@@ -586,44 +667,16 @@ object Curation {
     },
     // the composed pipeline: each CTE is the SAME SQL fragment that
     // oracles the stage's standalone entry, chained
-    "curation_e2e" -> {
-      def sc(l: String) =
-        s"len(list_filter(string_split(text, ' '), x -> x IN ${LlmText.inList(LlmText.LangStops(l))}))"
-      s"""WITH comp AS MATERIALIZED (
-        |${VectorOps.CcFixpointOracle.linesIterator.map("  " + _).mkString("\n")}
-        |),
-        |st AS MATERIALIZED (
-        |  SELECT doc_id, n_chars, md5(text) AS digest,
-        |    substring(md5(text), 1, 2) < 'e0' AS sampled,
-        |    len(string_split(text, ' ')) AS n_tok,
-        |    CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
-        |      / len(string_split(text, ' ')) AS mean_len,
-        |    ${sc("de")} AS s_de, ${sc("en")} AS s_en,
-        |    ${sc("es")} AS s_es, ${sc("fr")} AS s_fr
-        |  FROM documents),
-        |fd AS (SELECT digest, min(doc_id) AS first_id FROM st GROUP BY digest),
-        |v AS (
-        |  SELECT st.doc_id,
-        |    CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
-        |         WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
-        |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
-        |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
-        |         ELSE 'fr' END AS lang_id,
-        |    CASE WHEN n_tok < 30 THEN 'too_short'
-        |         WHEN n_tok > 2000 THEN 'too_long'
-        |         WHEN mean_len < 2.0 THEN 'words_too_short'
-        |         WHEN mean_len > 12.0 THEN 'words_too_long'
-        |         ELSE 'keep' END AS c4_verdict,
-        |    st.doc_id = fd.first_id AS exact_first,
-        |    coalesce(c.cluster_rep, st.doc_id) = st.doc_id AS near_kept,
-        |    st.sampled
-        |  FROM st JOIN fd USING (digest)
-        |  LEFT JOIN comp c USING (doc_id))
-        |SELECT doc_id, lang_id, c4_verdict, exact_first, near_kept, sampled,
-        |  (lang_id != 'und' AND c4_verdict = 'keep' AND exact_first
-        |   AND near_kept AND sampled) AS final_keep
-        |FROM v ORDER BY doc_id""".stripMargin
-    },
+    "curation_e2e" ->
+      s"""WITH $curationOracleCtes
+        |$curationOracleSelect ORDER BY doc_id""".stripMargin,
+    // the SAME composed CTEs bound to the view name, then the SHARED
+    // front-door text verbatim — exactly what the Spark entry executes
+    // over its temp view
+    "sql_front_door_curation" ->
+      s"""WITH $curationOracleCtes,
+        |curation_verdicts AS MATERIALIZED ($curationOracleSelect)
+        |$SqlCurationReport""".stripMargin,
     "sample_split" ->
       """SELECT doc_id, lang,
         |  CASE WHEN substring(md5(text), 1, 2) < 'cc' THEN 'train'
