@@ -267,9 +267,12 @@ object Bench {
     // whether anything else shared the cores during the run (the difference
     // between a real regression and a contended reading — see loadAvg).
     val loadEnd = loadAvg()
+    // START load only: a local[32] bench legitimately drives the 1-minute
+    // load toward the core count by the time it finishes, so the end
+    // reading reflects self-load; only a start still past the line after
+    // awaitQuietStart's bounded wait indicates a genuinely contended box.
     val contended =
-      if (math.max(loadStart, loadEnd) > ContendedLoad) ""","contended":true"""
-      else ""
+      if (loadStart > ContendedLoad) ""","contended":true""" else ""
     val meta = s""","runs":$runs,"load":[$loadStart,$loadEnd]$contended"""
     val line = foldedLine(results, errors.toMap, total, sfDir, meta = meta)
 

@@ -845,38 +845,146 @@ object LlmText {
     * lcp_max is the longest prefix the (cap-truncated) suffix at pos
     * shares with ANY other suffix in the corpus — the suffix-array
     * neighbor-LCP computation, factored out so both the repeat-profile
-    * entry and the canonical excision can consume it. */
+    * entry and the canonical excision can consume it.
+    *
+    * PACKED-KEY SORT: the round-10 shape carried a cap-token STRING per
+    * suffix through the range exchange and its localCheckpoint. Instead,
+    * tokens are coded by their DENSE RANK in the corpus vocabulary (a
+    * distributed globalRank over the distinct-token dictionary — no
+    * driver-side vocab, so an open-vocabulary 100 TB corpus needs no
+    * special case) and each suffix's cap codes pack big-endian into
+    * ceil(cap/⌊63/bits⌋) longs. Code order = token string order (dense
+    * rank of a binary-sorted dictionary), every key slot holds the same
+    * code count for every row, and the top bit is never set — so the
+    * fixed-width array<long> ORDER IS the suffix string order exactly
+    * (token-wise comparison is the true SA order; it does not even need
+    * the space-below-tokens corpus contract the string form leaned on),
+    * and the per-position output — hence the entry hash — is unchanged.
+    * The neighbor LCP is read straight off the packed codes (first
+    * differing slot, then code-by-code within it, clamped to both
+    * suffix lengths), so the suffix TEXT never shuffles at all: the
+    * exchanged row is (doc_id, pos, len, ~2-7 longs). Two bounded
+    * driver scalars (vocab size, for the bit width) are the only
+    * non-distributed reads. */
   private[queries] def saLcpPerPos(docs: DataFrame, cap: Int): DataFrame = {
-    val base = tokenized(docs)
-    // the sort (and its localCheckpoint) carries ONE string per row: the
-    // token array is re-split from it after ranking (identical tokens —
-    // single-space joins, the corpus contract), halving the exchanged and
-    // checkpointed bytes
-    val suff = base
-      .select(col("doc_id"), col("n"), posexplode(expr(
-        s"transform(sequence(0, n - 1)," +
-          s" i -> array_join(slice(tk, i + 1, $cap), ' '))"))
-        .as(Seq("pos", "suffix")))
-    val ranked = Ranking.globalRank(suff,
-      Seq(col("suffix"), col("doc_id"), col("pos")), partitions = 32,
-      rankCol = "r")
-      .withColumn("stk", split(col("suffix"), " "))
-    val a = ranked.select(col("doc_id").as("da"), col("pos").as("pa"),
-      col("stk").as("ta"), col("r"))
-    val b = ranked.select(col("doc_id").as("db"), col("pos").as("pb"),
-      col("stk").as("tb"), (col("r") - 1).as("r"))
-    val lcp = a.join(b, "r")
-      .withColumn("m", least(size(col("ta")), size(col("tb"))))
-      .withColumn("flags", expr(
-        "zip_with(slice(ta, 1, m), slice(tb, 1, m), (x, y) -> x = y)"))
-      .withColumn("p", expr("array_position(flags, false)"))
-      .withColumn("lcp",
-        when(col("p") === 0, col("m")).otherwise(col("p") - 1))
-    lcp
-      .select(col("da").as("doc_id"), col("pa").as("pos"), col("lcp"))
-      .unionByName(lcp.select(col("db").as("doc_id"), col("pb").as("pos"),
-        col("lcp")))
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("i", "t")))
+    val dict = Ranking.globalRank(toks.select("t").distinct(),
+      Seq(col("t")), partitions = 32, rankCol = "code")
+    val vocabSize = dict.count() // bounded: vocabulary cardinality
+    var bits = 1
+    while ((1L << bits) <= vocabSize) bits += 1
+    val perLong = 63 / bits
+    val nk = (cap + perLong - 1) / perLong
+    // per-doc code sequence: the dict side is EXPLICITLY broadcast — it
+    // comes out of globalRank as an RDD-backed frame with no stats, and
+    // without the hint Catalyst sort-merge-joins the whole token stream
+    // against it (measured). Vocabulary-bounded like the stop lists; an
+    // open-vocabulary corpus past broadcast size would drop the hint and
+    // take the keyed shuffle. The re-agg carries thin (doc_id, i, code)
+    // rows
+    val coded = toks.join(broadcast(dict), "t")
+      .groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(i, code)))," +
+        " x -> x.code)").as("codes"))
+    val suff = coded.as[(Long, Seq[Long])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, codesSeq) =>
+          val codes = codesSeq.toArray
+          val n = codes.length
+          (0 until n).iterator.map { p =>
+            val keys = new Array[Long](nk)
+            var j = 0
+            while (j < cap) {
+              val c = if (p + j < n) codes(p + j) else 0L // pad < every code
+              keys(j / perLong) = (keys(j / perLong) << bits) | c
+              j += 1
+            }
+            (id, p, math.min(cap, n - p), keys.toSeq)
+          }
+        }
+      }.toDF("doc_id", "pos", "len", "pk")
+    // ADJACENT-PAIR LCP without a rank join: the neighbor property only
+    // needs every CONSECUTIVE pair of the total order, and after the range
+    // exchange + in-partition sort those pairs are (a) adjacent rows
+    // within each partition — one sliding pass, no join, no zipWithIndex
+    // count job — plus (b) the ≤ partitions-1 cross-boundary pairs, whose
+    // first/last rows are a bounded driver collect (the within/cross split
+    // moves with sampling, their UNION is always exactly the n-1
+    // consecutive pairs, so the output cannot depend on boundaries). The
+    // localCheckpoint pins the sorted partitions so the boundary pass and
+    // the sliding pass share one sort; round 10's shape paid the sort
+    // TWICE through zipWithIndex and then shuffled the full payload twice
+    // more through the a⋈b rank join.
+    val lcpOf = packedLcp(bits, perLong, cap, nk)
+    val sortedRdd = suff
+      .repartitionByRange(32, col("pk"), col("doc_id"), col("pos"))
+      .sortWithinPartitions(col("pk"), col("doc_id"), col("pos"))
+      .as[(Long, Int, Int, Seq[Long])]
+      .rdd.localCheckpoint()
+    val ends = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val first = it.next()
+        var last = first
+        while (it.hasNext) last = it.next()
+        Iterator((pid, first, last))
+      }
+    }.collect().sortBy(_._1) // bounded: 2 rows per partition
+    val boundary = ends.toSeq.sliding(2).collect {
+      case Seq((_, _, lastA), (_, firstB, _)) =>
+        val l = lcpOf(lastA._4, firstB._4, lastA._3, firstB._3)
+        Seq((lastA._1, lastA._2, l), (firstB._1, firstB._2, l))
+    }.flatten.toSeq
+    val adjacent = sortedRdd.mapPartitions { it =>
+      var prev: (Long, Int, Int, Seq[Long]) = null
+      it.flatMap { cur =>
+        val out =
+          if (prev == null) Iterator.empty
+          else {
+            val l = lcpOf(prev._4, cur._4, prev._3, cur._3)
+            Iterator((prev._1, prev._2, l), (cur._1, cur._2, l))
+          }
+        prev = cur
+        out
+      }
+    }
+    adjacent.toDF("doc_id", "pos", "lcp")
+      .unionByName(boundary.toDF("doc_id", "pos", "lcp"))
       .groupBy("doc_id", "pos").agg(max(col("lcp")).as("lcp_max"))
+  }
+
+  /** Neighbor LCP straight off the packed suffix keys: first differing
+    * slot, then code-by-code within it, clamped to both suffix lengths.
+    * Pure function of the packing geometry — shared by the executor-side
+    * sliding pass and the driver-side boundary pairs. */
+  private def packedLcp(bits: Int, perLong: Int, cap: Int,
+      nk: Int): (Seq[Long], Seq[Long], Int, Int) => Int = {
+    val mask = (1L << bits) - 1
+    (ka: Seq[Long], kb: Seq[Long], la: Int, lb: Int) => {
+      var l = 0
+      var slot = 0
+      var done = false
+      while (slot < nk && !done) {
+        val cnt = math.min(perLong, cap - slot * perLong)
+        val x = ka(slot)
+        val y = kb(slot)
+        if (x == y) l += cnt
+        else {
+          var j = 0
+          while (j < cnt && !done) {
+            val sh = bits * (cnt - 1 - j)
+            if (((x >>> sh) & mask) == ((y >>> sh) & mask)) { l += 1; j += 1 }
+            else done = true
+          }
+          done = true
+        }
+        slot += 1
+      }
+      math.min(l, math.min(la, lb))
+    }
   }
 
   private[queries] def substringSaLcp(docs: DataFrame, cap: Int,
