@@ -1161,6 +1161,63 @@ object LlmText {
         .orderBy("doc_id")
     }),
 
+    // ---- Gopher repetition gates: the published filter battery ----
+    // Rae et al. 2021 (Gopher / MassiveText, table A1): a document is
+    // removed when too much of it sits in repeated n-grams — top-{2,3,4}-
+    // gram character fraction over {0.20, 0.18, 0.16}, duplicate-{5,6}-
+    // gram character fraction over {0.15, 0.14}. Scores here are the
+    // occurrence-weighted char fractions (count x gram chars / n_chars;
+    // overlaps counted per occurrence — simpler than the paper's
+    // overlap-deduped char sets, documented as such, and monotone in the
+    // same repetition signal). ONE gram explode covers all five n's
+    // (grams tagged by n), one (doc, n, gram) count agg, one conditional
+    // pivot back to a row per doc; the keep flag is INTEGER arithmetic
+    // (chars * k <= n_chars * j) so no FP boundary can drift between
+    // engines. Docs shorter than n simply contribute no n-grams (score
+    // 0 — nothing to repeat).
+    "text_gopher_gates" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .withColumn("tk", split(col("text"), " "))
+        .select(col("doc_id"), col("n_chars"), col("tk"),
+          size(col("tk")).as("m"))
+      val g = t
+        .select(col("doc_id"), col("n_chars"), explode(expr(
+          """flatten(transform(filter(array(2, 3, 4, 5, 6), nn -> m >= nn),
+            |  nn -> transform(sequence(1, m - nn + 1),
+            |    i -> struct(nn AS n, array_join(slice(tk, i, nn), ' ')
+            |      AS gram))))""".stripMargin)).as("gr"))
+        .select(col("doc_id"), col("n_chars"),
+          col("gr.n").as("n"), col("gr.gram").as("gram"))
+      val counts = g.groupBy("doc_id", "n_chars", "n", "gram")
+        .agg(count(lit(1)).as("c"))
+      val perN = counts.groupBy("doc_id", "n_chars", "n")
+        .agg(max(col("c") * length(col("gram"))).as("top_chars"),
+          sum(when(col("c") >= 2, col("c") * length(col("gram")))
+            .otherwise(0L)).as("dup_chars"))
+      val wide = perN.groupBy("doc_id", "n_chars")
+        .agg(
+          max(when(col("n") === 2, col("top_chars"))).as("t2"),
+          max(when(col("n") === 3, col("top_chars"))).as("t3"),
+          max(when(col("n") === 4, col("top_chars"))).as("t4"),
+          max(when(col("n") === 5, col("dup_chars"))).as("d5"),
+          max(when(col("n") === 6, col("dup_chars"))).as("d6"))
+      t.select(col("doc_id"), col("n_chars"))
+        .join(wide, Seq("doc_id", "n_chars"), "left")
+        .na.fill(0L, Seq("t2", "t3", "t4", "d5", "d6"))
+        .select(col("doc_id"),
+          round(col("t2").cast("double") / col("n_chars"), 6).as("top2_frac"),
+          round(col("t3").cast("double") / col("n_chars"), 6).as("top3_frac"),
+          round(col("t4").cast("double") / col("n_chars"), 6).as("top4_frac"),
+          round(col("d5").cast("double") / col("n_chars"), 6).as("dup5_frac"),
+          round(col("d6").cast("double") / col("n_chars"), 6).as("dup6_frac"),
+          (col("t2") * 5 <= col("n_chars") &&
+            col("t3") * 50 <= col("n_chars") * 9 &&
+            col("t4") * 25 <= col("n_chars") * 4 &&
+            col("d5") * 20 <= col("n_chars") * 3 &&
+            col("d6") * 50 <= col("n_chars") * 7).as("gopher_keep"))
+        .orderBy("doc_id")
+    }),
+
     // ---- document fingerprinting: content digest + min rolling 8-gram hash ----
     // One O(n) Rabin-Karp pass per document (native codegen expression,
     // graft.functions.MinRollingHash) instead of one md5 per character;
@@ -2193,6 +2250,60 @@ object LlmText {
         |SELECT doc_id, len(g) AS n_grams, len(list_distinct(g)) AS n_distinct,
         |  round(1.0 - len(list_distinct(g))::DOUBLE / len(g), 6) AS rep_ratio
         |FROM t ORDER BY doc_id""".stripMargin,
+    // the Gopher gate battery: parallel zipped unnests (n tag + gram) over
+    // one flattened per-n gram list, the same count/pivot chain, and the
+    // keep flag as INTEGER inequalities so no FP boundary can drift
+    "text_gopher_gates" ->
+      """WITH t AS MATERIALIZED (
+        |  SELECT doc_id, n_chars, string_split(text, ' ') AS tk,
+        |    len(string_split(text, ' ')) AS m
+        |  FROM documents),
+        |g AS MATERIALIZED (
+        |  SELECT doc_id, n_chars,
+        |    unnest(flatten(list_transform(
+        |      list_filter([2, 3, 4, 5, 6], nn -> m >= nn),
+        |      nn -> list_transform(range(1, m - nn + 2), i -> nn)))) AS n,
+        |    unnest(flatten(list_transform(
+        |      list_filter([2, 3, 4, 5, 6], nn -> m >= nn),
+        |      nn -> list_transform(range(1, m - nn + 2),
+        |        i -> array_to_string(tk[i : i + nn - 1], ' '))))) AS gram
+        |  FROM t),
+        |counts AS MATERIALIZED (
+        |  SELECT doc_id, n_chars, n, gram, count(*) AS c
+        |  FROM g GROUP BY doc_id, n_chars, n, gram),
+        |pern AS MATERIALIZED (
+        |  SELECT doc_id, n_chars, n,
+        |    max(c * length(gram)) AS top_chars,
+        |    sum(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END)
+        |      AS dup_chars
+        |  FROM counts GROUP BY doc_id, n_chars, n),
+        |wide AS MATERIALIZED (
+        |  SELECT doc_id, n_chars,
+        |    coalesce(max(CASE WHEN n = 2 THEN top_chars END), 0) AS t2,
+        |    coalesce(max(CASE WHEN n = 3 THEN top_chars END), 0) AS t3,
+        |    coalesce(max(CASE WHEN n = 4 THEN top_chars END), 0) AS t4,
+        |    coalesce(max(CASE WHEN n = 5 THEN dup_chars END), 0) AS d5,
+        |    coalesce(max(CASE WHEN n = 6 THEN dup_chars END), 0) AS d6
+        |  FROM pern GROUP BY doc_id, n_chars)
+        |SELECT t.doc_id,
+        |  round(CAST(coalesce(w.t2, 0) AS DOUBLE) / t.n_chars, 6)
+        |    AS top2_frac,
+        |  round(CAST(coalesce(w.t3, 0) AS DOUBLE) / t.n_chars, 6)
+        |    AS top3_frac,
+        |  round(CAST(coalesce(w.t4, 0) AS DOUBLE) / t.n_chars, 6)
+        |    AS top4_frac,
+        |  round(CAST(coalesce(w.d5, 0) AS DOUBLE) / t.n_chars, 6)
+        |    AS dup5_frac,
+        |  round(CAST(coalesce(w.d6, 0) AS DOUBLE) / t.n_chars, 6)
+        |    AS dup6_frac,
+        |  (coalesce(w.t2, 0) * 5 <= t.n_chars
+        |   AND coalesce(w.t3, 0) * 50 <= t.n_chars * 9
+        |   AND coalesce(w.t4, 0) * 25 <= t.n_chars * 4
+        |   AND coalesce(w.d5, 0) * 20 <= t.n_chars * 3
+        |   AND coalesce(w.d6, 0) * 50 <= t.n_chars * 7) AS gopher_keep
+        |FROM t
+        |LEFT JOIN wide w USING (doc_id, n_chars)
+        |ORDER BY t.doc_id""".stripMargin,
     "text_bpe_count" ->
       s"""SELECT doc_id,
          |  len(regexp_extract_all(text, '${graft.functions.BpeVocab.oracleRegex}')) AS bpe_tokens,

@@ -514,6 +514,36 @@ object VectorOps {
     * same 16 corpus vectors with zero training. */
   private val AnchorIds: Seq[Long] = (0 until 16).map(i => 7L + 31L * i)
 
+  /** Retrain decision line for ann_retrain_gate: anchor-cell TV distance
+    * past this schedules a codebook retrain. */
+  private val RetrainTvThreshold = 0.05
+
+  /** Anchor-cell population drift between the base slice (vec_id % 5 != 4)
+    * and the delta, over the r=1 cell assignment — one row (tv, chi2, tb,
+    * td), dq_drift's quantized rational arithmetic (see dq_drift_embed).
+    * Shared by the drift monitor and the retrain gate. */
+  private def anchorCellDrift(ranked: DataFrame): DataFrame = {
+    val Q = 1073741824.0 // 2^30
+    val cells = ranked.filter(col("r") === 1)
+      .select(col("aid").as("key"), (col("vec_id") % 5 === 4).as("is_delta"))
+    val cc = cells.groupBy("key").agg(
+      count(when(!col("is_delta"), 1)).as("cb"),
+      count(when(col("is_delta"), 1)).as("cd"))
+    val ct = cells.agg(
+      count(when(!col("is_delta"), 1)).as("tb"),
+      count(when(col("is_delta"), 1)).as("td"))
+    cc.crossJoin(ct) // one-row totals broadcast
+      .withColumn("pb", (col("cb") + 1).cast("double") / (col("tb") + 16))
+      .withColumn("pd", (col("cd") + 1).cast("double") / (col("td") + 16))
+      .agg(
+        round(sum(floor(abs(col("pb") - col("pd")) * Q)
+          .cast("decimal(38,0)")).cast("double") / Q / 2.0, 6).as("tv"),
+        round(sum(floor((col("pd") - col("pb")) * (col("pd") - col("pb"))
+          / col("pb") * Q)
+          .cast("decimal(38,0)")).cast("double") / Q, 6).as("chi2"),
+        max(col("tb")).as("tb"), max(col("td")).as("td"))
+  }
+
   /** The shared anchor-index build: (en, ranked) where `en` is the normed
     * corpus and `ranked` carries, per vector, its 16 anchor cosines as THIN
     * (vec_id, aid, ac, r) rows ranked best-first. r=1 is the vector's cell;
@@ -1450,6 +1480,26 @@ object VectorOps {
         .orderBy("cell")
     }),
 
+    // ---- drift-triggered retrain decision for the IVF store ----
+    // The fourth index-maintenance verb, closing the loop the delete
+    // path's docs point at ("re-train on drift"): the same anchor-cell
+    // population drift dq_drift_embed reports, compared against a
+    // retrain threshold — appends encode with the stale codebook
+    // (ann_ivf_append_topk) UNTIL the delta's cell distribution has
+    // moved enough that stale cells misroute probes, at which point the
+    // store schedules a retrain. Threshold check is on the QUANTIZED
+    // tv value (exact rational on both engines), so the boolean cannot
+    // sit on an FP boundary. Oracle replays drift + threshold; the
+    // decision itself is hash-checked, not just the score.
+    "ann_retrain_gate" -> ((s, d) => {
+      val (_, ranked) = anchorRanked(s, d)
+      anchorCellDrift(ranked)
+        .select(col("tv").as("cluster_tv_dist"),
+          (col("tv") > RetrainTvThreshold).as("retrain"),
+          col("tb").cast("long").as("n_base"),
+          col("td").cast("long").as("n_delta"))
+    }),
+
     // ---- embedding drift monitor: the vector-side dq_drift ----
     // The monitor an embedding pipeline pairs with dedup_embed_append:
     // between the base slice (vec_id % 5 != 4) and today's delta, report
@@ -1488,24 +1538,7 @@ object VectorOps {
         .select(lit("mean_shift_l2sq").as("metric"), col("value"),
           col("n_base").cast("long").as("n_base"),
           col("n_delta").cast("long").as("n_delta"))
-      val cells = ranked.filter(col("r") === 1)
-        .select(col("aid").as("key"), isDelta.as("is_delta"))
-      val cc = cells.groupBy("key").agg(
-        count(when(!col("is_delta"), 1)).as("cb"),
-        count(when(col("is_delta"), 1)).as("cd"))
-      val ct = cells.agg(
-        count(when(!col("is_delta"), 1)).as("tb"),
-        count(when(col("is_delta"), 1)).as("td"))
-      val cl = cc.crossJoin(ct) // one-row totals broadcast
-        .withColumn("pb", (col("cb") + 1).cast("double") / (col("tb") + 16))
-        .withColumn("pd", (col("cd") + 1).cast("double") / (col("td") + 16))
-        .agg(
-          round(sum(floor(abs(col("pb") - col("pd")) * Q)
-            .cast("decimal(38,0)")).cast("double") / Q / 2.0, 6).as("tv"),
-          round(sum(floor((col("pd") - col("pb")) * (col("pd") - col("pb"))
-            / col("pb") * Q)
-            .cast("decimal(38,0)")).cast("double") / Q, 6).as("chi2"),
-          max(col("tb")).as("tb"), max(col("td")).as("td"))
+      val cl = anchorCellDrift(ranked)
       shiftRow
         .unionByName(cl.select(lit("cluster_chi2").as("metric"),
           col("chi2").as("value"), col("tb").cast("long").as("n_base"),
@@ -2037,6 +2070,45 @@ object VectorOps {
         |       FROM sc)
         |SELECT aid AS cell, count(*) AS n, round(avg(ac), 6) AS avg_cos
         |FROM rk WHERE r = 1 GROUP BY aid ORDER BY cell""".stripMargin,
+    // the retrain gate replays the drift oracle's cluster half and applies
+    // the threshold to the same quantized tv, so the DECISION hash-checks
+    "ann_retrain_gate" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings),
+        |a AS (SELECT (vec_id - 7) // 31 AS aid, emb AS ae FROM e
+        |      WHERE vec_id IN (7, 38, 69, 100, 131, 162, 193, 224, 255, 286,
+        |                       317, 348, 379, 410, 441, 472)),
+        |sc AS (
+        |  SELECT e.vec_id, a.aid,
+        |    list_sum(list_transform(list_zip(e.emb, a.ae), s -> s[1]*s[2])) /
+        |      (sqrt(list_sum(list_transform(e.emb, x -> x*x))) *
+        |       sqrt(list_sum(list_transform(a.ae, x -> x*x)))) AS ac
+        |  FROM e, a),
+        |rk AS (SELECT vec_id, aid,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY ac DESC, aid) AS r
+        |       FROM sc),
+        |cells AS (SELECT aid AS key, vec_id % 5 = 4 AS is_delta
+        |          FROM rk WHERE r = 1),
+        |cl AS (
+        |  SELECT
+        |    round(CAST(sum(CAST(floor(abs(pb - pd) * 1073741824.0)
+        |        AS HUGEINT)) AS DOUBLE) / 1073741824.0 / 2.0, 6) AS tv,
+        |    CAST(max(tb) AS BIGINT) AS n_base,
+        |    CAST(max(td) AS BIGINT) AS n_delta
+        |  FROM (
+        |    SELECT c.cb, c.cd, t.tb, t.td,
+        |      CAST(c.cb + 1 AS DOUBLE) / (t.tb + 16) AS pb,
+        |      CAST(c.cd + 1 AS DOUBLE) / (t.td + 16) AS pd
+        |    FROM (SELECT key, count(*) FILTER (WHERE NOT is_delta) AS cb,
+        |                 count(*) FILTER (WHERE is_delta) AS cd
+        |          FROM cells GROUP BY key) c,
+        |         (SELECT count(*) FILTER (WHERE NOT is_delta) AS tb,
+        |                 count(*) FILTER (WHERE is_delta) AS td
+        |          FROM cells) t))
+        |SELECT tv AS cluster_tv_dist, tv > 0.05 AS retrain,
+        |  n_base, n_delta
+        |FROM cl""".stripMargin,
     // the vector-side drift monitor replays the same anchor-assignment CTE
     // plus dq_drift's quantized rational-arithmetic idiom (floor(term *
     // 2^30) summed as HUGEINT, so the reduction is order-free)

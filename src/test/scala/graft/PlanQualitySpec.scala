@@ -45,6 +45,9 @@ class PlanQualitySpec extends SparkSpec {
     // the t-test joins its two one-row group-moment branches; the drift
     // monitor broadcasts its one-row base-bounds and totals aggregates
     "layout_zorder", "layout_zorder_gate", "a16_welch_ttest", "dq_drift",
+    // the vector-side drift monitor and the retrain gate broadcast the
+    // same one-row cell-totals aggregate as dq_drift's totals
+    "dq_drift_embed", "ann_retrain_gate",
     // DSIR broadcasts its one-row LM-normalizer totals (nr/nt/|V|);
     // the anchored filtered ANN, cluster report, and balanced sample all
     // score every vector against the 16-row broadcast anchor table (the
