@@ -866,9 +866,16 @@ object LlmText {
     * exchanged row is (doc_id, pos, len, ~2-7 longs). Two bounded
     * driver scalars (vocab size, for the bit width) are the only
     * non-distributed reads. */
-  private[queries] def saLcpPerPos(docs: DataFrame, cap: Int): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
+  /** The corpus coded by vocabulary dense rank: (doc_id, codes, lens)
+    * where codes(i) is token i's 1-based rank in the binary-sorted
+    * distinct-token dictionary and lens(i) its char length, plus the bit
+    * width needed to pack a code. The dictionary rank is a distributed
+    * globalRank (no driver-side vocab, so an open-vocabulary 100 TB
+    * corpus needs no special case); its two bounded driver scalars
+    * (vocab size → bit width) are the only non-distributed reads.
+    * Shared by the suffix sort and the Gopher gram gates — both replace
+    * string keys with injective packed codes. */
+  private def codedDocs(docs: DataFrame): (DataFrame, Int) = {
     val toks = docs.select(col("doc_id"),
       posexplode(split(col("text"), " ")).as(Seq("i", "t")))
     val dict = Ranking.globalRank(toks.select("t").distinct(),
@@ -876,22 +883,31 @@ object LlmText {
     val vocabSize = dict.count() // bounded: vocabulary cardinality
     var bits = 1
     while ((1L << bits) <= vocabSize) bits += 1
-    val perLong = 63 / bits
-    val nk = (cap + perLong - 1) / perLong
-    // per-doc code sequence: the dict side is EXPLICITLY broadcast — it
-    // comes out of globalRank as an RDD-backed frame with no stats, and
-    // without the hint Catalyst sort-merge-joins the whole token stream
-    // against it (measured). Vocabulary-bounded like the stop lists; an
-    // open-vocabulary corpus past broadcast size would drop the hint and
-    // take the keyed shuffle. The re-agg carries thin (doc_id, i, code)
-    // rows
+    // the dict side is EXPLICITLY broadcast — it comes out of globalRank
+    // as an RDD-backed frame with no stats, and without the hint Catalyst
+    // sort-merge-joins the whole token stream against it (measured).
+    // Vocabulary-bounded like the stop lists; an open-vocabulary corpus
+    // past broadcast size would drop the hint and take the keyed shuffle.
+    // The re-agg carries thin (doc_id, i, code, len) rows
     val coded = toks.join(broadcast(dict), "t")
       .groupBy("doc_id")
-      .agg(expr("transform(array_sort(collect_list(struct(i, code)))," +
-        " x -> x.code)").as("codes"))
-    val suff = coded.as[(Long, Seq[Long])]
+      .agg(
+        expr("transform(array_sort(collect_list(struct(i, code)))," +
+          " x -> x.code)").as("codes"),
+        expr("transform(array_sort(collect_list(named_struct('i', i," +
+          " 'tl', length(t)))), x -> x.tl)").as("lens"))
+    (coded, bits)
+  }
+
+  private[queries] def saLcpPerPos(docs: DataFrame, cap: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val (coded, bits) = codedDocs(docs)
+    val perLong = 63 / bits
+    val nk = (cap + perLong - 1) / perLong
+    val suff = coded.as[(Long, Seq[Long], Seq[Int])]
       .mapPartitions { it =>
-        it.flatMap { case (id, codesSeq) =>
+        it.flatMap { case (id, codesSeq, _) =>
           val codes = codesSeq.toArray
           val n = codes.length
           (0 until n).iterator.map { p =>
@@ -1176,33 +1192,56 @@ object LlmText {
     // engines. Docs shorter than n simply contribute no n-grams (score
     // 0 — nothing to repeat).
     "text_gopher_gates" -> ((s, d) => {
-      val t = Tables.documents(s, d)
-        .withColumn("tk", split(col("text"), " "))
-        .select(col("doc_id"), col("n_chars"), col("tk"),
-          size(col("tk")).as("m"))
-      val g = t
-        .select(col("doc_id"), col("n_chars"), explode(expr(
-          """flatten(transform(filter(array(2, 3, 4, 5, 6), nn -> m >= nn),
-            |  nn -> transform(sequence(1, m - nn + 1),
-            |    i -> struct(nn AS n, array_join(slice(tk, i, nn), ' ')
-            |      AS gram))))""".stripMargin)).as("gr"))
-        .select(col("doc_id"), col("n_chars"),
-          col("gr.n").as("n"), col("gr.gram").as("gram"))
-      val counts = g.groupBy("doc_id", "n_chars", "n", "gram")
-        .agg(count(lit(1)).as("c"))
-      val perN = counts.groupBy("doc_id", "n_chars", "n")
-        .agg(max(col("c") * length(col("gram"))).as("top_chars"),
-          sum(when(col("c") >= 2, col("c") * length(col("gram")))
+      val spark = s
+      import spark.implicits._
+      val docs = Tables.documents(s, d)
+      // grams as PACKED CODES, not strings: the n-gram at (doc, p) keys on
+      // its n dictionary codes packed into longs — injective (bit width
+      // covers the vocabulary), so counts equal string grouping exactly
+      // while neither building nor shuffling a single gram string (the
+      // string form measured 4.0 s at sf0.1, all of it in array_join
+      // construction; this shape runs integer shifts). Gram char length
+      // rides along (sum of token lens + n-1 separators), constant per
+      // key by injectivity.
+      val (coded, bits) = codedDocs(docs)
+      val perLong = 63 / bits
+      val nkMax = (6 + perLong - 1) / perLong
+      val grams = coded.as[(Long, Seq[Long], Seq[Int])]
+        .mapPartitions { it =>
+          it.flatMap { case (id, codesSeq, lensSeq) =>
+            val codes = codesSeq.toArray
+            val lens = lensSeq.toArray
+            val m = codes.length
+            (2 to 6).iterator.filter(m >= _).flatMap { n =>
+              (0 to m - n).iterator.map { p =>
+                val key = new Array[Long](nkMax)
+                var j = 0
+                var gl = n - 1
+                while (j < n) {
+                  key(j / perLong) = (key(j / perLong) << bits) | codes(p + j)
+                  gl += lens(p + j)
+                  j += 1
+                }
+                (id, n, key.toSeq, gl)
+              }
+            }
+          }
+        }.toDF("doc_id", "n", "key", "gl")
+      val counts = grams.groupBy("doc_id", "n", "key")
+        .agg(count(lit(1)).as("c"), max(col("gl")).as("gl"))
+      val perN = counts.groupBy("doc_id", "n")
+        .agg(max(col("c") * col("gl")).as("top_chars"),
+          sum(when(col("c") >= 2, col("c") * col("gl"))
             .otherwise(0L)).as("dup_chars"))
-      val wide = perN.groupBy("doc_id", "n_chars")
+      val wide = perN.groupBy("doc_id")
         .agg(
           max(when(col("n") === 2, col("top_chars"))).as("t2"),
           max(when(col("n") === 3, col("top_chars"))).as("t3"),
           max(when(col("n") === 4, col("top_chars"))).as("t4"),
           max(when(col("n") === 5, col("dup_chars"))).as("d5"),
           max(when(col("n") === 6, col("dup_chars"))).as("d6"))
-      t.select(col("doc_id"), col("n_chars"))
-        .join(wide, Seq("doc_id", "n_chars"), "left")
+      docs.select(col("doc_id"), col("n_chars"))
+        .join(wide, Seq("doc_id"), "left")
         .na.fill(0L, Seq("t2", "t3", "t4", "d5", "d6"))
         .select(col("doc_id"),
           round(col("t2").cast("double") / col("n_chars"), 6).as("top2_frac"),
