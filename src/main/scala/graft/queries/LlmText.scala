@@ -637,6 +637,47 @@ object LlmText {
     assembleSubstringOutput(base, dupRows, w)
   }
 
+  /** First-occurrence duplicate rows over PACKED span keys: the w-token
+    * span at (doc, p) keys on its w dictionary codes packed into longs —
+    * injective at the vocabulary bit width, so the rn > 1 row set equals
+    * the span-string window's exactly while the explode emits longs
+    * instead of w-token strings. Used by the CANONICAL composition only,
+    * where the codedDocs stage is already paid for by the SA half and
+    * packing is a net win (1.5 s vs 2.1 s exclusive at sf0.1); measured a
+    * net LOSS for standalone substringDedup (1.76 s vs 1.16 s — the
+    * coding join + re-agg costs more than the string window it saves),
+    * which therefore keeps the direct string form. The APPEND path also
+    * keeps string spans in its durable index, because packed codes are
+    * relative to THIS corpus's dictionary and a later ingest's
+    * vocabulary drift would silently re-key the stored artifact. */
+  private def packedDupRows(coded: DataFrame, bits: Int, w: Int): DataFrame = {
+    val s = coded.sparkSession
+    import s.implicits._
+    val perLong = 63 / bits
+    val nk = (w + perLong - 1) / perLong
+    val spans = coded.as[(Long, Seq[Long], Seq[Int])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, codesSeq, _) =>
+          val codes = codesSeq.toArray
+          val m = codes.length
+          (0 to m - w).iterator.map { p =>
+            val key = new Array[Long](nk)
+            var j = 0
+            while (j < w) {
+              key(j / perLong) = (key(j / perLong) << bits) | codes(p + j)
+              j += 1
+            }
+            (id, p, key.toSeq)
+          }
+        }
+      }.toDF("doc_id", "pos", "span")
+    val firstSeen = Window.partitionBy("span").orderBy("doc_id", "pos")
+    spans
+      .withColumn("rn", row_number().over(firstSeen))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"), col("pos"))
+  }
+
   /** (doc_id, tk, n) — the tokenized frame every substring consumer shares. */
   private def tokenized(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
@@ -738,12 +779,10 @@ object LlmText {
   private[queries] def substringDedupCanonical(docs: DataFrame, l: Int,
       cap: Int): DataFrame = {
     val base = tokenized(docs)
-    val firstSeen = Window.partitionBy("span").orderBy("doc_id", "pos")
-    val dupStarts = spanRows(base, l)
-      .withColumn("rn", row_number().over(firstSeen))
-      .filter(col("rn") > 1)
-      .select(col("doc_id"), col("pos"))
-    val iv = dupStarts.join(saLcpPerPos(docs, cap), Seq("doc_id", "pos"))
+    val (coded, bits) = codedDocs(docs)
+    val dupStarts = packedDupRows(coded, bits, l)
+    val iv = dupStarts.join(saLcpPerPosFrom(coded, bits, cap),
+      Seq("doc_id", "pos"))
       .select(col("doc_id"), struct(col("pos").as("s"),
         (col("pos") + col("lcp_max") - 1).cast("int").as("e")).as("iv"))
     val perDoc = iv.groupBy("doc_id")
@@ -900,9 +939,16 @@ object LlmText {
   }
 
   private[queries] def saLcpPerPos(docs: DataFrame, cap: Int): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
     val (coded, bits) = codedDocs(docs)
+    saLcpPerPosFrom(coded, bits, cap)
+  }
+
+  /** [[saLcpPerPos]] over a precomputed [[codedDocs]] frame, so composed
+    * consumers (the canonical excision) code the corpus once. */
+  private def saLcpPerPosFrom(coded: DataFrame, bits: Int,
+      cap: Int): DataFrame = {
+    val s = coded.sparkSession
+    import s.implicits._
     val perLong = 63 / bits
     val nk = (cap + perLong - 1) / perLong
     val suff = coded.as[(Long, Seq[Long], Seq[Int])]
