@@ -115,6 +115,34 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("substring append stores its span index once and a fresh session reuses it") {
+    withStoreDir {
+      val Sf = "/root/testdata/sf0.001"
+      val s = spark.newSession() // fresh artifact-cache identity
+      val first = LlmText.substringDedupAppend(s,
+          graft.Tables.documents(s, Sf), w = 10, storeKey = Some("spec:sub"))
+        .collect().map(_.toSeq).toSeq
+      assert(first.nonEmpty)
+      val root = sys.props("graft.index.dir")
+      val arts = new java.io.File(root).listFiles()
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+        .filter(f => f.getName.startsWith("substr_span_index_base_") ||
+          f.getName.startsWith("substr_dups_base_"))
+      assert(arts.length == 2,
+        s"expected the span index + base-dups artifacts, got ${arts.toSeq}")
+      val mtimes = arts.map(f => f.getName -> f.lastModified).toMap
+      // a different session must read the durable artifacts back instead
+      // of re-exploding the base corpus (and must not rewrite them)
+      val s2 = spark.newSession()
+      val again = LlmText.substringDedupAppend(s2,
+          graft.Tables.documents(s2, Sf), w = 10, storeKey = Some("spec:sub"))
+        .collect().map(_.toSeq).toSeq
+      assert(again == first, "stored-index run diverged from the build run")
+      arts.foreach(f => assert(f.lastModified == mtimes(f.getName),
+        s"${f.getName} was rewritten by the reuse path"))
+    }
+  }
+
   test("distinct keys get distinct artifacts even when names sanitize alike") {
     withStoreDir {
       val s = spark
