@@ -779,7 +779,11 @@ object LlmText {
   private[queries] def substringDedupCanonical(docs: DataFrame, l: Int,
       cap: Int): DataFrame = {
     val base = tokenized(docs)
-    val (coded, bits) = codedDocs(docs)
+    val (coded0, bits) = codedDocs(docs)
+    // both halves consume the coded corpus; a LAZY localCheckpoint
+    // materializes the coding join + re-agg once at first use instead of
+    // once per plan branch (thin (doc_id, codes, lens) rows)
+    val coded = coded0.localCheckpoint(false)
     val dupStarts = packedDupRows(coded, bits, l)
     val iv = dupStarts.join(saLcpPerPosFrom(coded, bits, cap),
       Seq("doc_id", "pos"))
