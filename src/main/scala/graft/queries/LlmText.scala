@@ -787,9 +787,23 @@ object LlmText {
     val dupStarts = packedDupRows(coded, bits, l)
     val iv = dupStarts.join(saLcpPerPosFrom(coded, bits, cap),
       Seq("doc_id", "pos"))
-      .select(col("doc_id"), struct(col("pos").as("s"),
-        (col("pos") + col("lcp_max") - 1).cast("int").as("e")).as("iv"))
-    val perDoc = iv.groupBy("doc_id")
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + col("lcp_max") - 1).cast("int").as("e"))
+    assembleCanonicalOutput(base, iv).orderBy("doc_id")
+  }
+
+  /** Back half of the canonical excision, shared by the full rebuild and
+    * the append path: variable-length (doc_id, s, e) excision intervals
+    * folded into per-doc coverage and reassembly. Unordered — callers
+    * order (the append path unions these rows with stored output rows
+    * first). */
+  private def assembleCanonicalOutput(base: DataFrame,
+      ivRows: DataFrame): DataFrame = {
+    val perDoc = ivRows
+      .select(col("doc_id"),
+        struct(col("s").cast("int").as("s"), col("e").cast("int").as("e"))
+          .as("iv"))
+      .groupBy("doc_id")
       .agg(array_sort(collect_list(col("iv"))).as("ivs"),
         count(lit(1)).as("n_excised"))
     withMergedCoverage(
@@ -801,7 +815,6 @@ object LlmText {
         coalesce(col("n_excised"), lit(0L)).as("n_excised"),
         col("n_dup_tokens"),
         md5(array_join(col("kept"), " ")).as("kept_md5"))
-      .orderBy("doc_id")
   }
 
   /** Incremental fixed-w substring dedup — the append path the full
@@ -863,6 +876,117 @@ object LlmText {
       .filter(col("rn") > 1)
       .select(col("doc_id"), col("pos"))
     assembleSubstringOutput(base, baseDups.unionByName(newDups), w)
+  }
+
+  /** Canonical excision intervals computed WITHIN window groups — the
+    * kernel that makes the canonical path INCREMENTAL. For any duplicated
+    * start p, every suffix achieving its maximal repeat length shares
+    * >= l tokens with p's suffix, hence shares p's l-window — so the
+    * global SA's lcp_max at dup starts is exactly the max LCP among
+    * co-occurrences of the SAME window (and since suffixes with a common
+    * prefix form a contiguous block of the global suffix order, sorting
+    * each group by its post-window TAILS and taking neighbor LCPs is the
+    * classical SA neighbor-max property applied per group). Input `occ`
+    * is (doc_id, pos, span) occurrence rows; tails slice from the docs'
+    * token arrays scoped to those rows. Emits one (span, doc_id, s, e)
+    * interval per NON-FIRST occurrence (rn > 1 in global (doc_id, pos)
+    * order within the group), e = s + l + max(neighbor tail LCP) - 1 —
+    * auto-clamped to the cap because tails are cap-l tokens at most.
+    * Group-sized windows: partition skew = duplication hotness, the same
+    * documented hazard as the fixed-w first-occurrence window. */
+  private def canonGroupIvs(occ: DataFrame, allDocs: DataFrame, l: Int,
+      cap: Int): DataFrame = {
+    val t = tokenized(allDocs).select(col("doc_id"), col("tk"))
+    val withTail = occ.join(t, "doc_id")
+      .select(col("span"), col("doc_id"), col("pos"),
+        expr(s"slice(tk, pos + 1 + $l, ${cap - l})").as("tail"))
+    val rnW = Window.partitionBy("span").orderBy("doc_id", "pos")
+    val tailW = Window.partitionBy("span")
+      .orderBy(col("tail"), col("doc_id"), col("pos"))
+    def lcp(oc: String): Column = expr(
+      s"""CASE WHEN $oc IS NULL THEN 0 ELSE
+         |  CASE WHEN array_position(
+         |      zip_with(slice(tail, 1, least(size(tail), size($oc))),
+         |               slice($oc, 1, least(size(tail), size($oc))),
+         |               (x, y) -> x = y), false) = 0
+         |    THEN least(size(tail), size($oc))
+         |    ELSE CAST(array_position(
+         |      zip_with(slice(tail, 1, least(size(tail), size($oc))),
+         |               slice($oc, 1, least(size(tail), size($oc))),
+         |               (x, y) -> x = y), false) AS INT) - 1 END END"""
+        .stripMargin)
+    withTail
+      .withColumn("rn", row_number().over(rnW))
+      .withColumn("tp", lag(col("tail"), 1).over(tailW))
+      .withColumn("tn", lead(col("tail"), 1).over(tailW))
+      .filter(col("rn") > 1)
+      .withColumn("replen", lit(l) + greatest(lcp("tp"), lcp("tn")))
+      .select(col("span"), col("doc_id"), col("pos").cast("int").as("s"),
+        (col("pos") + col("replen") - 1).cast("int").as("e"))
+  }
+
+  /** Incremental canonical excision — [[substringDedupCanonical]]'s
+    * append path, completing the substring family's incremental story
+    * (fixed-w landed earlier this round). Three durable base artifacts:
+    * the base l-window OCCURRENCE table (the group index — at 100 TB the
+    * span key becomes a 128-bit hash, same note as the fixed-w path; it
+    * must stay content-keyed, not dictionary-coded, for cross-ingest
+    * validity), the base canonical INTERVALS tagged by their span, and
+    * the base OUTPUT rows. A delta ingest explodes only delta docs; the
+    * groups its spans touch are recomputed over base ∪ delta membership
+    * (a span-keyed semi-join pulls the base occurrences, tails re-slice
+    * from ONLY the affected docs' text), while every untouched group's
+    * intervals — and every unaffected doc's finished output row — are
+    * reused verbatim from the store. Exactness: an untouched group's
+    * membership, ranks, and tails are identical in the base-only and
+    * full runs; a touched group is recomputed exactly; and a base
+    * start's repeat length can only change via a suffix sharing >= l
+    * tokens, which by the window-share argument lives in a touched
+    * group. Hash-equal to the full canonical rebuild — which is the
+    * registered oracle.
+    *
+    * Honest bench caveat: the synthetic corpus's 31-word vocabulary makes
+    * nearly EVERY window group delta-touched, so at sf0.1 the append
+    * (2.9 s) measures as a rebuild plus bookkeeping rather than a win
+    * (rebuild 1.7 s). The incremental payoff is proportional to the
+    * UNTOUCHED-group fraction — near 1 on a realistic open-vocabulary
+    * crawl, near 0 here by construction. The correctness contract (and
+    * the store-reuse shape) is what this entry pins; DedupSubstringSpec's
+    * grown-interval case is the semantics that must survive. */
+  private[queries] def substringDedupCanonicalAppend(s: SparkSession,
+      docs: DataFrame, l: Int, cap: Int,
+      storeKey: Option[String]): DataFrame = {
+    def keep(name: String)(build: => DataFrame): DataFrame = storeKey match {
+      case Some(k) => VectorOps.shared(s, s"$name:$k")(build)
+      case None    => build
+    }
+    val isDelta = col("doc_id") % 5 === 4
+    val baseDocs = docs.filter(!isDelta)
+    val baseOcc = keep("substr_canon_occ_base")(
+      spanRows(tokenized(baseDocs), l))
+    val baseIv = keep("substr_canon_iv_base")(
+      canonGroupIvs(baseOcc, baseDocs, l, cap))
+    val baseOut = keep("substr_canon_out_base")(
+      assembleCanonicalOutput(tokenized(baseDocs),
+        baseIv.select("doc_id", "s", "e")))
+    val deltaOcc = spanRows(tokenized(docs.filter(isDelta)), l)
+    val touched = deltaOcc.select("span").distinct()
+    val occTouched = baseOcc.join(touched, Seq("span"), "left_semi")
+      .unionByName(deltaOcc)
+    val newIvs = canonGroupIvs(occTouched, docs, l, cap)
+    val keptIvs = baseIv.join(touched, Seq("span"), "left_anti")
+    val allIvs = keptIvs.select("doc_id", "s", "e")
+      .unionByName(newIvs.select("doc_id", "s", "e"))
+    // affected = any doc holding a touched-group occurrence (its interval
+    // set may gain members or grow) plus every delta doc (needs an output
+    // row even without spans); everyone else's stored row is final
+    val affected = occTouched.select("doc_id")
+      .unionByName(docs.filter(isDelta).select("doc_id")).distinct()
+    val outAffected = assembleCanonicalOutput(
+      tokenized(docs).join(affected, Seq("doc_id"), "left_semi"),
+      allIvs.join(affected, Seq("doc_id"), "left_semi"))
+    val outKept = baseOut.join(affected, Seq("doc_id"), "left_anti")
+    outAffected.unionByName(outKept).orderBy("doc_id")
   }
 
   /** Suffix-array-style VARIABLE-LENGTH repeat detection — the other half
@@ -1081,6 +1205,11 @@ object LlmText {
     // ---- canonical variable-length excision: the Lee et al. end product ----
     "dedup_substring_canonical" -> ((s, d) =>
       substringDedupCanonical(Tables.documents(s, d), l = 10, cap = 20)),
+
+    // ---- incremental canonical: delta groups only, rest from the store ----
+    "dedup_substring_canonical_append" -> ((s, d) =>
+      substringDedupCanonicalAppend(s, Tables.documents(s, d), l = 10,
+        cap = 20, storeKey = Some(s"$d:${VectorOps.docsFp(d)}:l10c20"))),
 
     // ---- suffix-sort + LCP: variable-length repeat profile ----
     "dedup_substring_sa" -> ((s, d) =>
@@ -1841,6 +1970,75 @@ object LlmText {
       |LEFT JOIN ka k USING (doc_id)
       |ORDER BY t.doc_id""".stripMargin
 
+  /** Composed canonical-excision replay, shared by dedup_substring_canonical
+    * and its append path (whose contract is hash-equality to the rebuild). */
+  private val canonicalOracleSql =
+    """WITH t AS MATERIALIZED (
+      |  SELECT doc_id, string_split(text, ' ') AS tk,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |spans AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    unnest(range(greatest(n - 9, 0))) AS pos,
+      |    unnest(list_transform(range(greatest(n - 9, 0)),
+      |      i -> array_to_string(tk[i + 1 : i + 10], ' '))) AS span
+      |  FROM t),
+      |rk AS MATERIALIZED (
+      |  SELECT doc_id, pos,
+      |    row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+      |  FROM spans),
+      |dups AS MATERIALIZED (SELECT doc_id, pos FROM rk WHERE rn > 1),
+      |suff AS MATERIALIZED (
+      |  SELECT doc_id, n,
+      |    unnest(range(n)) AS pos,
+      |    unnest(list_transform(range(n), i -> tk[i + 1 : i + 20])) AS stk
+      |  FROM t),
+      |s2 AS MATERIALIZED (
+      |  SELECT doc_id, pos, stk,
+      |    row_number() OVER (
+      |      ORDER BY array_to_string(stk, ' '), doc_id, pos) AS r
+      |  FROM suff),
+      |pair AS MATERIALIZED (
+      |  SELECT a.doc_id AS da, a.pos AS pa, b.doc_id AS db, b.pos AS pb,
+      |    least(len(a.stk), len(b.stk)) AS m,
+      |    list_position(list_transform(
+      |      range(least(len(a.stk), len(b.stk))),
+      |      i -> a.stk[i + 1] = b.stk[i + 1]), false) AS p
+      |  FROM s2 a JOIN s2 b ON b.r = a.r + 1),
+      |lc AS MATERIALIZED (
+      |  SELECT da, pa, db, pb,
+      |    CASE WHEN p IS NULL OR p = 0 THEN m ELSE p - 1 END AS lcp
+      |  FROM pair),
+      |pp AS MATERIALIZED (
+      |  SELECT doc_id, pos, max(lcp) AS lcp_max FROM (
+      |    SELECT da AS doc_id, pa AS pos, lcp FROM lc
+      |    UNION ALL SELECT db AS doc_id, pb AS pos, lcp FROM lc)
+      |  GROUP BY doc_id, pos),
+      |iv AS MATERIALIZED (
+      |  SELECT d.doc_id, d.pos AS s, d.pos + pp.lcp_max - 1 AS e
+      |  FROM dups d JOIN pp ON pp.doc_id = d.doc_id AND pp.pos = d.pos),
+      |nx AS MATERIALIZED (
+      |  SELECT doc_id, count(*) AS n_excised FROM iv GROUP BY doc_id),
+      |toks AS MATERIALIZED (
+      |  SELECT doc_id, unnest(range(n)) AS j, unnest(tk) AS tok FROM t),
+      |ka AS MATERIALIZED (
+      |  SELECT tt.doc_id, count(*) AS n_kept,
+      |    md5(coalesce(string_agg(tt.tok, ' ' ORDER BY tt.j), ''))
+      |      AS kept_md5
+      |  FROM toks tt
+      |  WHERE NOT EXISTS (SELECT 1 FROM iv u
+      |    WHERE u.doc_id = tt.doc_id AND u.s <= tt.j AND tt.j <= u.e)
+      |  GROUP BY tt.doc_id)
+      |SELECT t.doc_id,
+      |  CAST(t.n AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(nx.n_excised, 0) AS BIGINT) AS n_excised,
+      |  CAST(t.n - coalesce(ka.n_kept, 0) AS BIGINT) AS n_dup_tokens,
+      |  coalesce(ka.kept_md5, md5('')) AS kept_md5
+      |FROM t
+      |LEFT JOIN nx USING (doc_id)
+      |LEFT JOIN ka USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, count(*) AS dup_count, min(doc_id) AS keep_id
@@ -1939,72 +2137,10 @@ object LlmText {
     // variable-length [s, e] excision intervals; coverage and kept text
     // fall out of one NOT EXISTS over the intervals, and n_dup_tokens is
     // n - n_kept (the union size, computed without replaying the fold)
-    "dedup_substring_canonical" ->
-      """WITH t AS MATERIALIZED (
-        |  SELECT doc_id, string_split(text, ' ') AS tk,
-        |    len(string_split(text, ' ')) AS n
-        |  FROM documents),
-        |spans AS MATERIALIZED (
-        |  SELECT doc_id,
-        |    unnest(range(greatest(n - 9, 0))) AS pos,
-        |    unnest(list_transform(range(greatest(n - 9, 0)),
-        |      i -> array_to_string(tk[i + 1 : i + 10], ' '))) AS span
-        |  FROM t),
-        |rk AS MATERIALIZED (
-        |  SELECT doc_id, pos,
-        |    row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
-        |  FROM spans),
-        |dups AS MATERIALIZED (SELECT doc_id, pos FROM rk WHERE rn > 1),
-        |suff AS MATERIALIZED (
-        |  SELECT doc_id, n,
-        |    unnest(range(n)) AS pos,
-        |    unnest(list_transform(range(n), i -> tk[i + 1 : i + 20])) AS stk
-        |  FROM t),
-        |s2 AS MATERIALIZED (
-        |  SELECT doc_id, pos, stk,
-        |    row_number() OVER (
-        |      ORDER BY array_to_string(stk, ' '), doc_id, pos) AS r
-        |  FROM suff),
-        |pair AS MATERIALIZED (
-        |  SELECT a.doc_id AS da, a.pos AS pa, b.doc_id AS db, b.pos AS pb,
-        |    least(len(a.stk), len(b.stk)) AS m,
-        |    list_position(list_transform(
-        |      range(least(len(a.stk), len(b.stk))),
-        |      i -> a.stk[i + 1] = b.stk[i + 1]), false) AS p
-        |  FROM s2 a JOIN s2 b ON b.r = a.r + 1),
-        |lc AS MATERIALIZED (
-        |  SELECT da, pa, db, pb,
-        |    CASE WHEN p IS NULL OR p = 0 THEN m ELSE p - 1 END AS lcp
-        |  FROM pair),
-        |pp AS MATERIALIZED (
-        |  SELECT doc_id, pos, max(lcp) AS lcp_max FROM (
-        |    SELECT da AS doc_id, pa AS pos, lcp FROM lc
-        |    UNION ALL SELECT db AS doc_id, pb AS pos, lcp FROM lc)
-        |  GROUP BY doc_id, pos),
-        |iv AS MATERIALIZED (
-        |  SELECT d.doc_id, d.pos AS s, d.pos + pp.lcp_max - 1 AS e
-        |  FROM dups d JOIN pp ON pp.doc_id = d.doc_id AND pp.pos = d.pos),
-        |nx AS MATERIALIZED (
-        |  SELECT doc_id, count(*) AS n_excised FROM iv GROUP BY doc_id),
-        |toks AS MATERIALIZED (
-        |  SELECT doc_id, unnest(range(n)) AS j, unnest(tk) AS tok FROM t),
-        |ka AS MATERIALIZED (
-        |  SELECT tt.doc_id, count(*) AS n_kept,
-        |    md5(coalesce(string_agg(tt.tok, ' ' ORDER BY tt.j), ''))
-        |      AS kept_md5
-        |  FROM toks tt
-        |  WHERE NOT EXISTS (SELECT 1 FROM iv u
-        |    WHERE u.doc_id = tt.doc_id AND u.s <= tt.j AND tt.j <= u.e)
-        |  GROUP BY tt.doc_id)
-        |SELECT t.doc_id,
-        |  CAST(t.n AS BIGINT) AS n_tokens,
-        |  CAST(coalesce(nx.n_excised, 0) AS BIGINT) AS n_excised,
-        |  CAST(t.n - coalesce(ka.n_kept, 0) AS BIGINT) AS n_dup_tokens,
-        |  coalesce(ka.kept_md5, md5('')) AS kept_md5
-        |FROM t
-        |LEFT JOIN nx USING (doc_id)
-        |LEFT JOIN ka USING (doc_id)
-        |ORDER BY t.doc_id""".stripMargin,
+    "dedup_substring_canonical" -> canonicalOracleSql,
+    // append contract = hash-equality to the canonical rebuild (the same
+    // convention as every other *_append entry)
+    "dedup_substring_canonical_append" -> canonicalOracleSql,
     "text_quality" ->
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
          |SELECT doc_id,

@@ -243,6 +243,53 @@ class DedupSubstringSpec extends SparkSpec {
     }
   }
 
+  test("canonical append matches the rebuild, including a grown base interval") {
+    val s = spark
+    import s.implicits._
+    // The case that makes incremental canonical hard: base docs 1 and 2
+    // share passage Q (so doc 2 already holds a base interval of length
+    // 10), and DELTA doc 4 carries Q extended by three more tokens that
+    // doc 2 ALSO continues with — the delta arrival must GROW doc 2's
+    // stored interval from 10 to 13. Plus a plain delta dup (doc 9
+    // repeats doc 1's passage at an offset).
+    val q = (0 until 10).map(i => s"q$i")
+    val ext = Seq("x0", "x1", "x2")
+    val docs = Seq(
+      (1L, (q ++ Seq("a0", "a1")).mkString(" ")),
+      (2L, (Seq("b0") ++ q ++ ext ++ Seq("b1")).mkString(" ")),
+      (4L, (Seq("j0", "j1") ++ q ++ ext).mkString(" ")),
+      (9L, (Seq("k0", "k1", "k2") ++ q).mkString(" "))
+    ).toDF("doc_id", "text")
+    val rebuild = LlmText.substringDedupCanonical(docs, l = 10, cap = 20)
+      .collect().map(_.toSeq).toSeq
+    val append = LlmText.substringDedupCanonicalAppend(s, docs, l = 10,
+      cap = 20, storeKey = None).collect().map(_.toSeq).toSeq
+    assert(append == rebuild)
+    val byId = append.map(r => r.head -> r).toMap
+    // doc 2's excision grew to the full 13-token repeat (Q++ext recurs in
+    // delta doc 4, which precedes nothing in doc 2 — doc 2 is a NON-first
+    // occurrence of Q via doc 1, and its repeat length is set by doc 4)
+    assert(byId(2L)(3) == 13L,
+      s"doc 2's interval must grow to 13 via the delta: ${byId(2L)}")
+    assert(byId(9L)(3) == 10L, s"plain delta dup: ${byId(9L)}")
+  }
+
+  test("canonical append matches the rebuild on random low-entropy corpora") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 8) {
+      val docs = (0 until (6 + rnd.nextInt(5))).map {
+        i => (i.toLong, Seq.fill(1 + rnd.nextInt(23))("abc" (rnd.nextInt(3)).toString).mkString(" "))
+      }.toDF("doc_id", "text")
+      val rebuild = LlmText.substringDedupCanonical(docs, l = 3, cap = 6)
+        .collect().map(_.toSeq).toSeq
+      val append = LlmText.substringDedupCanonicalAppend(s, docs, l = 3,
+        cap = 6, storeKey = None).collect().map(_.toSeq).toSeq
+      assert(append == rebuild, s"trial $trial diverged")
+    }
+  }
+
   test("suffix-sort LCP reports exact variable-length repeats (capped)") {
     val s = spark
     import s.implicits._
