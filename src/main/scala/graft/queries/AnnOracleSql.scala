@@ -148,6 +148,40 @@ private[queries] object AnnOracleSql {
     withClause(ctes, topKSelect(topK))
   }
 
+  /** Oracle for [[VectorOps.semDedup]] — SemDeDup (Abbas et al. 2023,
+    * arXiv:2303.09540): the SAME trained coarse quantizer as ivfTopK, then
+    * within each cell the greedy duplicate scan the released implementation
+    * runs on the per-cluster similarity matrix. A vector is DROPPED iff some
+    * other vector of its cell precedes it in (sim-to-centroid ASC, vec_id
+    * ASC) order and has cosine >= tau with it — so the survivor of each
+    * duplicate group is the one FARTHEST from the centroid, the paper's
+    * keep rule. Every float the verdict compares is an ordered fold both
+    * engines share (dot/nrm as elsewhere; simc reuses the trained center
+    * lists verbatim), so keep flags hash-match bit-exactly. */
+  def semDedup(k: Int, tau: String): String = {
+    val ctes = baseCtes() ++ kmeansCtes("v", "sm", k, m = 1, subDim = Dim) ++
+      Seq(
+        cellRank("cr", "e", s"cv$Iters"),
+        s"""cn AS MATERIALIZED (
+          |  SELECT cid, c, ${nrm("c")} AS cnrm FROM cv$Iters)""".stripMargin,
+        s"""en AS MATERIALIZED (
+          |  SELECT e.vec_id, e.emb, ${nrm("e.emb")} AS nrm, cn.cid AS cell,
+          |    ${dot("e.emb", "cn.c")} / (${nrm("e.emb")} * cn.cnrm) AS simc
+          |  FROM e JOIN cr ON cr.vec_id = e.vec_id AND cr.rn = 1
+          |  JOIN cn ON cn.cid = cr.cid)""".stripMargin,
+        s"""dr AS MATERIALIZED (
+          |  SELECT DISTINCT a.vec_id
+          |  FROM en a JOIN en b ON a.cell = b.cell AND a.vec_id != b.vec_id
+          |    AND (b.simc < a.simc OR (b.simc = a.simc AND b.vec_id < a.vec_id))
+          |  WHERE ${dot("a.emb", "b.emb")} / (a.nrm * b.nrm) >= $tau)"""
+          .stripMargin)
+    withClause(ctes,
+      s"""SELECT en.vec_id, CAST(en.cell AS BIGINT) AS cell,
+        |  round(en.simc, 6) AS sim_centroid, dr.vec_id IS NULL AS keep
+        |FROM en LEFT JOIN dr ON dr.vec_id = en.vec_id
+        |ORDER BY en.vec_id""".stripMargin)
+  }
+
   /** Oracle for [[VectorOps.annLshTopK]]: even the seeded RNG is replayed
     * in SQL. [[VectorOps.hyperplanes]] draws +-1 plane coefficients from
     * `java.util.Random(seed).nextBoolean()` — a 48-bit LCG (seed' =

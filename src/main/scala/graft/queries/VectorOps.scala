@@ -468,6 +468,84 @@ object VectorOps {
       inverted.join(tombs, Seq("vec_id"), "left_anti")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup at the
+    * cluster scope: train the SAME deterministic coarse quantizer the IVF
+    * index uses, assign every vector to its nearest centroid, and run the
+    * duplicate scan WITHIN each cell only. A vector is dropped iff another
+    * vector of its cell precedes it in (sim-to-centroid ASC, vec_id ASC)
+    * order and has cosine >= tau with it — the released implementation's
+    * greedy pass over the per-cluster similarity matrix, which keeps the
+    * member of each duplicate group FARTHEST from the centroid (the
+    * paper's keep rule: retain the least prototypical example).
+    *
+    * Scale shape: this is the method's published trade — pair comparisons
+    * are confined to cells (k grows with the corpus so cell sizes stay
+    * bounded; the paper runs 50k clusters on 600M embeddings), the
+    * codebook is a bounded broadcast artifact, and only (vec_id, cell)
+    * verdict rows leave the pair join. Unlike dedup_embed_cosine's
+    * LSH-pair DISCOVERY output, this emits the per-document END verdict
+    * (keep/drop) a curation pipeline consumes directly.
+    *
+    * EXACT oracle: [[AnnOracleSql.semDedup]] replays Lloyd, the cell
+    * assignment, the centroid similarity and the greedy predecessor rule
+    * in SQL; every compared float is the shared ordered fold, so the
+    * keep column hash-matches bit-for-bit. */
+  private[queries] def semDedup(s: SparkSession, d: String, k: Int,
+      tau: Double): DataFrame =
+    semDedupOf(s, embOf(s, d), k, tau, storeKey = Some(s"$d:${dataFp(d)}"))
+
+  /** Core of SemDeDup over an arbitrary (vec_id, e) frame; `storeKey =
+    * None` skips the sample cache and the durable cell artifact (spec use —
+    * the registered entry always persists its assignment). */
+  private[queries] def semDedupOf(s: SparkSession, emb: DataFrame, k: Int,
+      tau: Double, storeKey: Option[String]): DataFrame = {
+    val sample = storeKey match {
+      case Some(key) => indexSample(emb, key)
+      case None => emb.orderBy("vec_id").limit(4096).select("e").collect()
+        .map(_.getSeq[Double](0).toArray)
+    }
+    val centers = lloyd(sample, k, iters = 10)
+    // centroid norms via the same left-to-right fold as nrm() in SQL
+    val cnrm = centers.map { c =>
+      var a = 0.0; var j = 0
+      while (j < c.length) { a += c(j) * c(j); j += 1 }
+      math.sqrt(a)
+    }
+    val assignU = udf((e: Seq[Double]) => {
+      val cell = nearestCells(centers, e.toArray, 1).head
+      var dt = 0.0; var nm = 0.0; var j = 0
+      while (j < e.length) {
+        dt += e(j) * centers(cell)(j); nm += e(j) * e(j); j += 1
+      }
+      (cell.toLong, dt / (math.sqrt(nm) * cnrm(cell)))
+    })
+    // (vec_id, cell, simc, e, nrm): the cell/centroid-sim assignment is the
+    // same class of durable index artifact as the IVF inverted file
+    val en0 = withNorm(emb).withColumn("a", assignU(col("e")))
+      .select(col("vec_id"), col("a._1").as("cell"), col("a._2").as("simc"),
+        col("e"), col("nrm"))
+    val en = storeKey match {
+      case Some(key) => shared(s, s"semdedup_cells:$key:$k")(en0)
+      case None      => en0
+    }
+    val left = en.select(col("vec_id").as("ida"), col("cell"),
+      col("simc").as("sa"), col("e").as("ea"), col("nrm").as("na"))
+    val right = en.select(col("vec_id").as("idb"), col("cell"),
+      col("simc").as("sb"), col("e").as("eb"), col("nrm").as("nb"))
+    val dropped = left.join(right, Seq("cell"))
+      .filter(col("ida") =!= col("idb") &&
+        (col("sb") < col("sa") ||
+          (col("sb") === col("sa") && col("idb") < col("ida"))))
+      .filter(dot(col("ea"), col("eb")) / (col("na") * col("nb")) >= tau)
+      .select(col("ida").as("vec_id")).distinct()
+      .withColumn("dropped", lit(true))
+    en.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        round(col("simc"), 6).as("sim_centroid"),
+        col("dropped").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** Filtered IVF top-k: the metadata predicate composed with cell pruning.
     * The inverted file carries the filter attribute (label) alongside the
     * cell id — the standard way vector stores serve filtered ANN without
@@ -1666,6 +1744,14 @@ object VectorOps {
     "dedup_embed_cosine" -> ((s, d) =>
       embedCosineDedup(s, embOf(s, d), threshold = 0.9)),
 
+    // ---- SemDeDup: cluster-scoped semantic dedup, per-doc keep verdict ----
+    // Abbas et al. 2023 — k-means cells bound the pair space, the greedy
+    // (sim-to-centroid ASC, id ASC) predecessor rule keeps the least
+    // prototypical member of each duplicate group. Exactly oracled via the
+    // Lloyd replay (AnnOracleSql.semDedup). See semDedup for the scale
+    // contract (k grows with the corpus; cells stay bounded).
+    "dedup_semdedup" -> ((s, d) => semDedup(s, d, k = 16, tau = 0.45)),
+
     // ---- incremental embedding near-dup: delta-only signing vs base ----
     "dedup_embed_append" -> ((s, d) =>
       embedCosineAppend(s, d, threshold = 0.9).orderBy("id_a", "id_b")),
@@ -1920,6 +2006,7 @@ object VectorOps {
         |        (PARTITION BY qid ORDER BY votes DESC, nl) AS rn FROM v)
         |WHERE rn = 1 ORDER BY qid""".stripMargin,
     "dedup_embed_cosine" -> AllPairsCosineOracle,
+    "dedup_semdedup" -> AnnOracleSql.semDedup(k = 16, tau = "0.45"),
     // append path must equal the full rebuild over the whole corpus
     "dedup_embed_append" -> AllPairsCosineOracle,
     "dedup_ngram_jaccard" ->
