@@ -157,9 +157,12 @@ private[queries] object AnnOracleSql {
     * duplicate group is the one FARTHEST from the centroid, the paper's
     * keep rule. Every float the verdict compares is an ordered fold both
     * engines share (dot/nrm as elsewhere; simc reuses the trained center
-    * lists verbatim), so keep flags hash-match bit-exactly. */
-  def semDedup(k: Int, tau: String): String = {
-    val ctes = baseCtes() ++ kmeansCtes("v", "sm", k, m = 1, subDim = Dim) ++
+    * lists verbatim), so keep flags hash-match bit-exactly. `sampleWhere`
+    * restricts the Lloyd training sample (the append path's stale
+    * base-trained codebook) without restricting the verdicted corpus. */
+  def semDedup(k: Int, tau: String, sampleWhere: String = ""): String = {
+    val ctes = baseCtes(sampleWhere) ++
+      kmeansCtes("v", "sm", k, m = 1, subDim = Dim) ++
       Seq(
         cellRank("cr", "e", s"cv$Iters"),
         s"""cn AS MATERIALIZED (

@@ -505,6 +505,21 @@ object VectorOps {
         .map(_.getSeq[Double](0).toArray)
     }
     val centers = lloyd(sample, k, iters = 10)
+    // (vec_id, cell, simc, e, nrm): the cell/centroid-sim assignment is the
+    // same class of durable index artifact as the IVF inverted file
+    val en0 = semAssign(emb, centers)
+    val en = storeKey match {
+      case Some(key) => shared(s, s"semdedup_cells:$key:$k")(en0)
+      case None      => en0
+    }
+    semVerdict(en, tau).orderBy("vec_id")
+  }
+
+  /** Cell/centroid-similarity assignment of `emb` against `centers` —
+    * shared by the one-shot and append SemDeDup forms so verdicts under
+    * the same codebook are bit-identical. */
+  private def semAssign(emb: DataFrame,
+      centers: Array[Array[Double]]): DataFrame = {
     // centroid norms via the same left-to-right fold as nrm() in SQL
     val cnrm = centers.map { c =>
       var a = 0.0; var j = 0
@@ -519,15 +534,16 @@ object VectorOps {
       }
       (cell.toLong, dt / (math.sqrt(nm) * cnrm(cell)))
     })
-    // (vec_id, cell, simc, e, nrm): the cell/centroid-sim assignment is the
-    // same class of durable index artifact as the IVF inverted file
-    val en0 = withNorm(emb).withColumn("a", assignU(col("e")))
+    withNorm(emb).withColumn("a", assignU(col("e")))
       .select(col("vec_id"), col("a._1").as("cell"), col("a._2").as("simc"),
         col("e"), col("nrm"))
-    val en = storeKey match {
-      case Some(key) => shared(s, s"semdedup_cells:$key:$k")(en0)
-      case None      => en0
-    }
+  }
+
+  /** The greedy per-cell SemDeDup verdict over an assignment frame: drop a
+    * vector iff a same-cell predecessor in (simc ASC, id ASC) order is
+    * within cosine `tau`. Verdicts are cell-local, which is what makes the
+    * append path's touched-cell recomputation exact. */
+  private def semVerdict(en: DataFrame, tau: Double): DataFrame = {
     val left = en.select(col("vec_id").as("ida"), col("cell"),
       col("simc").as("sa"), col("e").as("ea"), col("nrm").as("na"))
     val right = en.select(col("vec_id").as("idb"), col("cell"),
@@ -543,7 +559,51 @@ object VectorOps {
       .select(col("vec_id"), col("cell"),
         round(col("simc"), 6).as("sim_centroid"),
         col("dropped").isNull.as("keep"))
-      .orderBy("vec_id")
+  }
+
+  /** Incremental SemDeDup — the append verb for the semantic-dedup verdict,
+    * completing the family's daily-crawl story (MinHash, embedding-LSH,
+    * substring and IVF all have one). Same stale-codebook contract as
+    * [[annIvfAppendTopK]]: centers are trained on the BASE slice only and
+    * never retrained on ingest (ann_retrain_gate is the drift monitor that
+    * decides when they should be). Because verdicts are CELL-LOCAL, a delta
+    * batch only dirties the cells it lands in: the durable base artifacts
+    * (cell assignment + per-cell verdict) are reused VERBATIM for untouched
+    * cells, and only touched cells re-run the greedy scan over their
+    * base ∪ delta members — per-ingest cost O(delta + touched-cell mass),
+    * not O(corpus). Note the delta can flip a base vector's verdict (a new
+    * less-prototypical member becomes the group's survivor), which is why
+    * touched cells recompute rather than merge — and the result is
+    * hash-equal to the one-shot scan under the same base-trained codebook,
+    * which is exactly what [[AnnOracleSql.semDedup]] with a base-restricted
+    * training sample checks. */
+  private[queries] def semDedupAppendOf(s: SparkSession, emb: DataFrame,
+      k: Int, tau: Double, storeKey: Option[String]): DataFrame = {
+    def keep(name: String)(build: => DataFrame): DataFrame = storeKey match {
+      case Some(kk) => shared(s, s"$name:$kk:$k:$tau")(build)
+      case None     => build
+    }
+    val isDelta = col("vec_id") % 5 === 4
+    val base = emb.filter(!isDelta)
+    def sampleOf() = base.orderBy("vec_id").limit(4096).select("e").collect()
+      .map(_.getSeq[Double](0).toArray)
+    val sample = storeKey match {
+      case Some(kk) => sampleCache.getOrElseUpdate(s"$kk#semddbase", sampleOf())
+      case None     => sampleOf()
+    }
+    val centers = lloyd(sample, k, iters = 10)
+    val baseCells = keep("semdd_cells_base")(semAssign(base, centers))
+    val baseVerdict = keep("semdd_verdict_base")(semVerdict(baseCells, tau))
+    val deltaCells = semAssign(emb.filter(isDelta), centers)
+    val touched = deltaCells.select("cell").distinct()
+    // untouched cells ship their stored verdict rows unchanged; touched
+    // cells re-scan base ∪ delta members (both joins key on the small
+    // touched-cell set — ≤ k rows — so Catalyst broadcasts it)
+    val untouched = baseVerdict.join(touched, Seq("cell"), "left_anti")
+    val recomputed = semVerdict(
+      baseCells.unionByName(deltaCells).join(touched, Seq("cell"), "left_semi"),
+      tau)
+    untouched.unionByName(recomputed).orderBy("vec_id")
   }
 
   /** Filtered IVF top-k: the metadata predicate composed with cell pruning.
@@ -1752,6 +1812,16 @@ object VectorOps {
     // contract (k grows with the corpus; cells stay bounded).
     "dedup_semdedup" -> ((s, d) => semDedup(s, d, k = 16, tau = 0.45)),
 
+    // ---- incremental SemDeDup: delta-only assignment, touched-cell rescan --
+    // The append verb for the semantic verdict: base cell assignment and
+    // per-cell verdicts are durable REUSEd artifacts; a delta ingest
+    // assigns only itself under the stale base codebook and recomputes
+    // only the cells it touches. Hash-equal to the one-shot scan under the
+    // same base-trained codebook (the oracle restricts Lloyd's sample to
+    // the base slice and verdicts the whole corpus).
+    "dedup_semdedup_append" -> ((s, d) => semDedupAppendOf(s, embOf(s, d),
+      k = 16, tau = 0.45, storeKey = Some(s"$d:${dataFp(d)}"))),
+
     // ---- incremental embedding near-dup: delta-only signing vs base ----
     "dedup_embed_append" -> ((s, d) =>
       embedCosineAppend(s, d, threshold = 0.9).orderBy("id_a", "id_b")),
@@ -2007,6 +2077,9 @@ object VectorOps {
         |WHERE rn = 1 ORDER BY qid""".stripMargin,
     "dedup_embed_cosine" -> AllPairsCosineOracle,
     "dedup_semdedup" -> AnnOracleSql.semDedup(k = 16, tau = "0.45"),
+    // append path: same verdict semantics, Lloyd sample base-restricted
+    "dedup_semdedup_append" -> AnnOracleSql.semDedup(k = 16, tau = "0.45",
+      sampleWhere = "vec_id % 5 != 4"),
     // append path must equal the full rebuild over the whole corpus
     "dedup_embed_append" -> AllPairsCosineOracle,
     "dedup_ngram_jaccard" ->

@@ -55,6 +55,61 @@ class SemDedupSpec extends SparkSpec {
     assert(out.count(!_.getAs[Boolean]("keep")) == 4)
   }
 
+  test("append path: cross-split cliques resolve greedily, incl. a delta head") {
+    import spark.implicits._
+    // which clique member lands least prototypical (the greedy head) is
+    // decided by the trained centroids, so scan a FIXED candidate seed
+    // list for one that heads a clique with a DELTA member — the case
+    // where the ingest must flip a stored base verdict. Deterministic:
+    // the same seed wins every run; drift in the greedy rule or the
+    // assignment makes every candidate fail loudly.
+    val found = Seq(7L, 11L, 13L, 17L, 23L).view.map { seed =>
+      val rng = new scala.util.Random(seed)
+      def unit(): Array[Double] = {
+        val v = Array.fill(64)(rng.nextGaussian())
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / n)
+      }
+      // spread corpus; ids with %5==4 land in the delta slice
+      val base = (0L until 200L).map(i => (i, unit()))
+      // 3 cliques of 4 near-identical members (2 base + 2 delta ids) each
+      // seeded off a spread anchor (itself a 5th, base member)
+      val cliques = (0 until 3).flatMap { g =>
+        val (_, v) = base(g * 30)
+        Seq(1000L + g * 10, 1001L + g * 10, 1004L + g * 10, 1009L + g * 10)
+          .map { id =>
+            val noisy = v.map(x => x + 0.02 * rng.nextGaussian())
+            val n = math.sqrt(noisy.map(x => x * x).sum)
+            (id, noisy.map(_ / n))
+          }
+      }
+      val emb = (base ++ cliques).toDF("vec_id", "e")
+      val out = VectorOps.semDedupAppendOf(spark, emb, k = 8, tau = 0.9,
+        storeKey = None).collect()
+      val verdict = out.map(r =>
+        r.getAs[Long]("vec_id") ->
+          (r.getAs[Long]("cell"), r.getAs[Double]("sim_centroid"),
+            r.getAs[Boolean]("keep"))).toMap
+      val heads = (0 until 3).map { g =>
+        val ids = Seq(1000L + g * 10, 1001L + g * 10, 1004L + g * 10,
+          1009L + g * 10, g * 30L)
+        val members = ids.map(id => id -> verdict(id))
+        assert(members.map(_._2._1).distinct.size == 1,
+          s"seed $seed clique $g not co-located: $members")
+        val kept = members.filter(_._2._3)
+        assert(kept.size == 1, s"seed $seed clique $g kept ${kept.size}: $members")
+        val head = members.minBy { case (id, (_, simc, _)) => (simc, id) }._1
+        assert(kept.head._1 == head,
+          s"seed $seed clique $g kept ${kept.head._1}, expected greedy head $head")
+        head
+      }
+      assert(out.count(!_.getAs[Boolean]("keep")) == 12)
+      heads.exists(_ % 5 == 4)
+    }.exists(identity)
+    assert(found,
+      "no candidate seed produced a delta-headed clique — the flip case is unexercised")
+  }
+
   test("sf0.001 verdict equals the brute-force greedy rule") {
     val out = VectorOps.queries("dedup_semdedup")(spark, Sf).collect()
     // rounded sim_centroid values are unique per cell on this data (checked
