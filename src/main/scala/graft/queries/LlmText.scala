@@ -1924,39 +1924,7 @@ object LlmText {
     // transcribed in identical order, and the ranking sorts the ROUNDED
     // score with an id tie-break so a last-ulp ln() wobble cannot flip
     // ranks.
-    "sim_bm25_topk" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val dfq = tf.groupBy("w").agg(count(lit(1)).as("df"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tok"))
-      val q = docs.filter(col("doc_id") % 50 === 0)
-        .select(col("doc_id").as("qid"),
-          explode(array_distinct(slice(split(col("text"), " "), 1, 8))).as("w"))
-      val contrib = tf.join(broadcast(q), "w")
-        .filter(col("doc_id") =!= col("qid"))
-        .join(broadcast(dfq), "w")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("idf", log(lit(1.0) +
-          (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-            (col("df").cast("double") + lit(0.5))))
-        .withColumn("contrib",
-          col("idf") * (col("tf").cast("double") * lit(2.2)) /
-            (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
-              (col("dl").cast("double") /
-                (col("n_tok").cast("double") / col("n_docs").cast("double"))))))
-      val scored = contrib.groupBy("qid", "doc_id")
-        .agg(expr("round(aggregate(array_sort(collect_list(struct(w, contrib)))" +
-          ", 0D, (a, x) -> a + x.contrib), 6)").as("score"))
-      val win = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
-      scored.withColumn("rnk", row_number().over(win))
-        .filter(col("rnk") <= 3)
-        .select(col("qid"), col("rnk").cast("long").as("rnk"),
-          col("doc_id").as("nid"), col("score"))
-        .orderBy("qid", "rnk")
-    }),
+    "sim_bm25_topk" -> ((s, d) => bm25Ranked(s, d, topN = 3).orderBy("qid", "rnk")),
 
     // ---- multimodal plumbing: opaque binary column + typed metadata ----
     // Decode itself is stubbed (no codec libs in env); the Spark-side schema,
@@ -1971,6 +1939,89 @@ object LlmText {
           ascii(substring(col("text"), 1, 1)).as("first_byte"))
         .orderBy("doc_id"))
   )
+
+  /** Okapi BM25 per-query top-N (k1=1.2, b=0.75, Lucene's
+    * ln(1 + (N-df+0.5)/(df+0.5)) idf floor); queries are the first 8
+    * distinct tokens of every 50th document. Shared by `sim_bm25_topk`
+    * (N=3) and the RRF fusion (`sim_rrf_topk`, N=20), so the lexical
+    * ranking both consume is one definition. Bit-exactness: the
+    * per-(query, doc) score is a term-ordered fold (array_sort +
+    * aggregate here, list_sum(list(... ORDER BY w)) in the oracle),
+    * every scalar op is transcribed in identical order, and ranking
+    * sorts the ROUNDED score with an id tie-break so a last-ulp ln()
+    * wobble cannot flip ranks. */
+  private[queries] def bm25Ranked(s: SparkSession, d: String,
+      topN: Int): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dfq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tok"))
+    val q = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(slice(split(col("text"), " "), 1, 8))).as("w"))
+    val contrib = tf.join(broadcast(q), "w")
+      .filter(col("doc_id") =!= col("qid"))
+      .join(broadcast(dfq), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("contrib",
+        col("idf") * (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
+            (col("dl").cast("double") /
+              (col("n_tok").cast("double") / col("n_docs").cast("double"))))))
+    val scored = contrib.groupBy("qid", "doc_id")
+      .agg(expr("round(aggregate(array_sort(collect_list(struct(w, contrib)))" +
+        ", 0D, (a, x) -> a + x.contrib), 6)").as("score"))
+    val win = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= topN)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"),
+        col("doc_id").as("nid"), col("score"))
+  }
+
+  /** The BM25 CTE block of the oracle, parameterized by the rank cutoff —
+    * shared verbatim by sim_bm25_topk's oracle and the RRF fusion's. Ends
+    * with `bmr` = (qid, rnk, nid, score). */
+  private[queries] def bm25OracleCtes(topN: Int): String =
+    s"""tok AS MATERIALIZED (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |tf AS MATERIALIZED (
+      |  SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+      |dl AS MATERIALIZED (
+      |  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+      |dfq AS MATERIALIZED (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      |st AS MATERIALIZED (
+      |  SELECT count(*) AS n_docs, sum(dl) AS n_tok FROM dl),
+      |q AS MATERIALIZED (
+      |  SELECT doc_id AS qid,
+      |    unnest(list_distinct(string_split(text, ' ')[1:8])) AS w
+      |  FROM documents WHERE doc_id % 50 = 0),
+      |c AS MATERIALIZED (
+      |  SELECT q.qid, tf.doc_id AS nid, tf.w,
+      |    ln(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+      |        / (CAST(dfq.df AS DOUBLE) + 0.5))
+      |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+      |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+      |          (CAST(dl.dl AS DOUBLE) /
+      |            (CAST(st.n_tok AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))
+      |      AS contrib
+      |  FROM tf JOIN q ON q.w = tf.w AND tf.doc_id != q.qid
+      |    JOIN dfq ON dfq.w = tf.w
+      |    JOIN dl ON dl.doc_id = tf.doc_id
+      |    CROSS JOIN st),
+      |sc AS MATERIALIZED (
+      |  SELECT qid, nid, round(list_sum(list(contrib ORDER BY w)), 6) AS score
+      |  FROM c GROUP BY qid, nid),
+      |bmr AS MATERIALIZED (
+      |  SELECT qid, CAST(rk AS BIGINT) AS rnk, nid, score
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+      |          ORDER BY score DESC, nid) AS rk FROM sc)
+      |  WHERE rk <= $topN)""".stripMargin
 
   /** Full-rebuild replay of the fixed-w substring dedup, shared by
     * `dedup_substring` and `dedup_substring_append` (whose contract is
@@ -2627,39 +2678,8 @@ object LlmText {
         |SELECT doc_id, word, tf, df, round(tfidf, 6) AS tfidf, rk
         |FROM r WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
     "sim_bm25_topk" ->
-      """WITH tok AS MATERIALIZED (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-        |tf AS MATERIALIZED (
-        |  SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
-        |dl AS MATERIALIZED (
-        |  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-        |dfq AS MATERIALIZED (SELECT w, count(*) AS df FROM tf GROUP BY w),
-        |st AS MATERIALIZED (
-        |  SELECT count(*) AS n_docs, sum(dl) AS n_tok FROM dl),
-        |q AS MATERIALIZED (
-        |  SELECT doc_id AS qid,
-        |    unnest(list_distinct(string_split(text, ' ')[1:8])) AS w
-        |  FROM documents WHERE doc_id % 50 = 0),
-        |c AS MATERIALIZED (
-        |  SELECT q.qid, tf.doc_id AS nid, tf.w,
-        |    ln(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
-        |        / (CAST(dfq.df AS DOUBLE) + 0.5))
-        |      * (CAST(tf.tf AS DOUBLE) * 2.2)
-        |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
-        |          (CAST(dl.dl AS DOUBLE) /
-        |            (CAST(st.n_tok AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))
-        |      AS contrib
-        |  FROM tf JOIN q ON q.w = tf.w AND tf.doc_id != q.qid
-        |    JOIN dfq ON dfq.w = tf.w
-        |    JOIN dl ON dl.doc_id = tf.doc_id
-        |    CROSS JOIN st),
-        |sc AS MATERIALIZED (
-        |  SELECT qid, nid, round(list_sum(list(contrib ORDER BY w)), 6) AS score
-        |  FROM c GROUP BY qid, nid),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
-        |        ORDER BY score DESC, nid) AS rk FROM sc)
-        |SELECT qid, CAST(rk AS BIGINT) AS rnk, nid, score
-        |FROM r WHERE rk <= 3 ORDER BY qid, rnk""".stripMargin,
+      s"""WITH ${bm25OracleCtes(topN = 3)}
+        |SELECT qid, rnk, nid, score FROM bmr ORDER BY qid, rnk""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id,
         |  octet_length(encode(text)) AS n_bytes,

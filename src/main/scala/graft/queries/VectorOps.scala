@@ -1238,6 +1238,38 @@ object VectorOps {
         .orderBy("qid", "rnk")
     }),
 
+    // ---- hybrid retrieval, rank-fusion form: RRF over cosine + BM25 ----
+    // Reciprocal Rank Fusion (Cormack et al. SIGIR'09, k=60) — the fusion
+    // production RAG stacks actually deploy (Elasticsearch/OpenSearch
+    // hybrid search), complementing sim_hybrid_topk's score-weighted
+    // form: ranks, not scores, so neither signal needs calibration. Each
+    // side contributes 1/(60+rank) for its top-20; candidates surfacing
+    // in only one list keep that single term (the standard union
+    // semantics). Exactness: both input rankings are already
+    // deterministic (exact cosine; BM25 ranked on its rounded score),
+    // ranks are integers, and the two-term fused sum is the identical
+    // IEEE expression on both engines — so the fused ranking hash-matches
+    // with no recall floor. Scale shape: the fusion itself joins two
+    // thin top-N-per-query lists on (qid, nid) — negligible next to the
+    // input rankings, and either side swaps to its ANN/inverted index
+    // without touching the fusion.
+    "sim_rrf_topk" -> ((s, d) => {
+      val cosR = bruteForceTopK(embOf(s, d), topK = 20)
+        .select(col("qid"), col("nid"), col("rnk").as("ra"))
+      val lexR = LlmText.bm25Ranked(s, d, topN = 20)
+        .select(col("qid"), col("nid"), col("rnk").as("rb"))
+      val fused = cosR.join(lexR, Seq("qid", "nid"), "full")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60.0) + col("ra").cast("double")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("rb").cast("double")), lit(0.0)))
+      val w = Window.partitionBy("qid").orderBy(col("rrf").desc, col("nid"))
+      fused.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("rk").cast("long").as("rnk"), col("nid"),
+          round(col("rrf"), 6).as("rrf"))
+        .orderBy("qid", "rnk")
+    }),
+
     // ---- connected components via alternating large-star/small-star ----
     // The O(log n)-round CC algorithm (Kiveris et al., "Connected
     // Components in MapReduce and Beyond") over the same near-dup graph:
@@ -1954,6 +1986,32 @@ object VectorOps {
       """SELECT (SELECT count(*) FROM documents) AS n_docs,
         |  0::BIGINT AS n_only_blocked, 0::BIGINT AS n_only_exact,
         |  true AS sets_equal""".stripMargin,
+    "sim_rrf_topk" ->
+      s"""WITH ${LlmText.bm25OracleCtes(topN = 20)},
+        |ce AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cq AS MATERIALIZED (
+        |  SELECT vec_id AS qid, emb AS qe FROM ce WHERE vec_id % 50 = 0),
+        |cp AS MATERIALIZED (
+        |  SELECT cq.qid, ce.vec_id AS nid,
+        |    list_sum(list_transform(list_zip(cq.qe, ce.emb), s -> s[1]*s[2])) /
+        |      (sqrt(list_sum(list_transform(cq.qe, x -> x*x))) *
+        |       sqrt(list_sum(list_transform(ce.emb, x -> x*x)))) AS c
+        |  FROM cq JOIN ce ON ce.vec_id != cq.qid),
+        |cosr AS MATERIALIZED (
+        |  SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid
+        |  FROM (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |          ORDER BY c DESC, nid) AS rnk FROM cp)
+        |  WHERE rnk <= 20),
+        |fused AS MATERIALIZED (
+        |  SELECT coalesce(a.qid, b.qid) AS qid, coalesce(a.nid, b.nid) AS nid,
+        |    coalesce(1.0 / (60.0 + CAST(a.rnk AS DOUBLE)), 0.0) +
+        |    coalesce(1.0 / (60.0 + CAST(b.rnk AS DOUBLE)), 0.0) AS rrf
+        |  FROM cosr a FULL JOIN bmr b ON a.qid = b.qid AND a.nid = b.nid)
+        |SELECT qid, CAST(rk AS BIGINT) AS rnk, nid, round(rrf, 6) AS rrf
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY rrf DESC, nid) AS rk FROM fused)
+        |WHERE rk <= 3 ORDER BY qid, rnk""".stripMargin,
     "sim_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id % 50 = 0),

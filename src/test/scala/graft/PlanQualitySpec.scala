@@ -30,8 +30,10 @@ class PlanQualitySpec extends SparkSpec {
     // the pHash gate joins its two one-row certificate aggregates
     "x7_hll_union_gate", "text_unigram_logprob", "text_bigram_logprob",
     "mm_phash_dedup_gate",
-    // BM25 broadcasts its one-row (n_docs, total-token) corpus stats
-    "sim_bm25_topk",
+    // BM25 broadcasts its one-row (n_docs, total-token) corpus stats; the
+    // RRF fusion inherits both BM25's stats broadcast and the exact-cosine
+    // side's non-equi query-sample broadcast
+    "sim_bm25_topk", "sim_rrf_topk",
     // the store-fidelity gate re-runs the brute-force baseline (the same
     // tiny-broadcast inequality join) against its durable parquet copy
     "ann_index_store_gate",
