@@ -1270,6 +1270,35 @@ object VectorOps {
         .orderBy("qid", "rnk")
     }),
 
+    // ---- hard-negative mining: lexically close, semantically far ----
+    // The contrastive-training data op (DPR/ANCE-style): for each query,
+    // candidates that BM25 ranks high (top-20, lexically confusable) but
+    // whose embedding cosine is BELOW 0.5 (semantically unrelated) — the
+    // negatives that actually teach a retriever, unlike random ones. Top-3
+    // per query by BM25 score (hardest first). Exactness: the BM25 ranking
+    // is deterministic on its rounded score, the cosine is the shared
+    // exact fold, and the 0.5 gate compares bit-identical values on both
+    // engines. Scale shape: the candidate set is a thin top-20-per-query
+    // list; embeddings join back by id (two equi joins), so the mining
+    // pass never scans query × corpus — the BM25 index bounds it.
+    "sim_hard_negatives" -> ((s, d) => {
+      val en = withNorm(embOf(s, d))
+      val qe = en.select(col("vec_id").as("qid"), col("e").as("eq"),
+        col("nrm").as("nq"))
+      val ne = en.select(col("vec_id").as("nid"), col("e").as("en"),
+        col("nrm").as("nn"))
+      val cand = LlmText.bm25Ranked(s, d, topN = 20)
+        .join(qe, "qid").join(ne, "nid")
+        .withColumn("c", dot(col("eq"), col("en")) / (col("nq") * col("nn")))
+        .filter(col("c") < 0.5)
+      val w = Window.partitionBy("qid").orderBy(col("score").desc, col("nid"))
+      cand.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("rk").cast("long").as("rnk"), col("nid"),
+          col("score"), round(col("c"), 6).as("cos"))
+        .orderBy("qid", "rnk")
+    }),
+
     // ---- connected components via alternating large-star/small-star ----
     // The O(log n)-round CC algorithm (Kiveris et al., "Connected
     // Components in MapReduce and Beyond") over the same near-dup graph:
@@ -2011,6 +2040,22 @@ object VectorOps {
         |SELECT qid, CAST(rk AS BIGINT) AS rnk, nid, round(rrf, 6) AS rrf
         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
         |        ORDER BY rrf DESC, nid) AS rk FROM fused)
+        |WHERE rk <= 3 ORDER BY qid, rnk""".stripMargin,
+    "sim_hard_negatives" ->
+      s"""WITH ${LlmText.bm25OracleCtes(topN = 20)},
+        |ce AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cand AS MATERIALIZED (
+        |  SELECT bmr.qid, bmr.nid, bmr.score,
+        |    list_sum(list_transform(list_zip(a.emb, b.emb), s -> s[1]*s[2])) /
+        |      (sqrt(list_sum(list_transform(a.emb, x -> x*x))) *
+        |       sqrt(list_sum(list_transform(b.emb, x -> x*x)))) AS c
+        |  FROM bmr JOIN ce a ON a.vec_id = bmr.qid
+        |    JOIN ce b ON b.vec_id = bmr.nid)
+        |SELECT qid, CAST(rk AS BIGINT) AS rnk, nid, score, round(c, 6) AS cos
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY score DESC, nid) AS rk
+        |      FROM cand WHERE c < 0.5)
         |WHERE rk <= 3 ORDER BY qid, rnk""".stripMargin,
     "sim_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
