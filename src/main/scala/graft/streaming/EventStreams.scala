@@ -124,6 +124,46 @@ object EventStreams {
     ()
   }
 
+  /** doc_id midpoint for two-batch staging. The split must preserve id
+    * ORDER across batches (an id-hash split would interleave ids and break
+    * the drains' running-sum / first-occurrence equality with the batch
+    * rule), so a max(doc_id) is genuinely needed — but it comes from the
+    * parquet FOOTER column statistics, not a column scan: O(#files)
+    * metadata reads on the driver instead of a corpus-column pass.
+    * (Spark's own aggregate pushdown only exists on the v2 source, which
+    * the default useV1SourceList keeps off for parquet — hence the direct
+    * footer read.) Falls back to the scan-shaped agg only for a file
+    * whose doc_id column carries no statistics. */
+  private def docIdMidpoint(s: SparkSession, d: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val fs = root.getFileSystem(conf)
+    val files = (if (fs.getFileStatus(root).isDirectory)
+      fs.listStatus(root).toSeq else Seq(fs.getFileStatus(root)))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val maxes = files.flatMap { f =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+      try rd.getFooter.getBlocks.asScala.flatMap { b =>
+        b.getColumns.asScala
+          .find(_.getPath.toDotString == "doc_id")
+          .flatMap(c => Option(c.getStatistics)
+            .filter(st => st.hasNonNullValue && !st.isEmpty)
+            .map(_.genericGetMax match {
+              case l: java.lang.Long    => l.longValue
+              case i: java.lang.Integer => i.longValue
+              case o => throw new IllegalStateException(
+                s"doc_id stats of unexpected type ${o.getClass}")
+            }))
+      } finally rd.close()
+    }
+    val mx =
+      if (maxes.nonEmpty) maxes.max
+      else graft.Tables.documents(s, d).agg(max(col("doc_id"))).head().getLong(0)
+    mx / 2
+  }
+
   /** Batch events normalized for staging: ts as TimestampType (epoch-micros
     * exact — `timestamp_micros`, not a lossy double division). */
   private def stagedEvents(s: SparkSession, d: String): DataFrame =
@@ -922,7 +962,7 @@ object EventStreams {
     val docs = graft.Tables.documents(s, d)
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"))
-    val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val mid = docIdMidpoint(s, d)
     val tmp = newStaging("graft_stream_cur")
     stageFile(tmp, "a_docs.parquet", docs.filter(col("doc_id") <= mid))
     stageFile(tmp, "b_docs.parquet", docs.filter(col("doc_id") > mid))
@@ -979,7 +1019,7 @@ object EventStreams {
     val docs = graft.Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val mid = docIdMidpoint(s, d)
     val tmp = newStaging("graft_stream_pack")
     stageFile(tmp, "a_docs.parquet", docs.filter(col("doc_id") <= mid))
     stageFile(tmp, "b_docs.parquet", docs.filter(col("doc_id") > mid))
