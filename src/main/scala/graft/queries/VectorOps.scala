@@ -1603,6 +1603,49 @@ object VectorOps {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- asymmetric containment: the small-doc-inside-big-doc case ----
+    // C(A,B) = |A∩B| / |A| >= 0.9 over the same 3-gram shingle sets — the
+    // quote/excerpt/boilerplate-wrapper duplication Jaccard structurally
+    // misses when sizes differ (|A∩B|/|A∪B| dilutes with |B|). Lossless
+    // prefix filter, asymmetric form (Chaudhuri et al. ICDE'06 SSJoin;
+    // same df-ascending order as dedup_ngram_jaccard): if B misses ALL of
+    // A's first |A| - ceil(t|A|) + 1 tokens, the overlap can't reach
+    // t·|A| — so only the CONTAINED side emits a prefix, joined against
+    // the full posting list of the container side (rare-first ordering
+    // keeps those postings tiny). Verification and the threshold are pure
+    // integer arithmetic (inter*10 >= |A|*9) — no FP boundary to flip.
+    "dedup_containment" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val t = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          array_sort(array_distinct(transform(shingleCol(col("text"), "toks"),
+            x => xxhash64(x)))).as("w"))
+      val dfTbl = t.select(explode(col("w")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val rnW = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
+      val pref = t.select(col("doc_id"), size(col("w")).as("n"),
+          explode(col("w")).as("tok"))
+        .join(dfTbl, "tok")
+        .withColumn("rn", row_number().over(rnW))
+        .filter(col("rn") <= expr("n - (9 * n + 9) div 10 + 1"))
+        .select(col("doc_id"), col("tok"))
+      val post = t.select(col("doc_id").as("id_b"), explode(col("w")).as("tok"))
+      val cand = pref.as("x").join(post,
+          col("x.tok") === post("tok") && col("x.doc_id") =!= col("id_b"))
+        .select(col("x.doc_id").as("id_a"), col("id_b"))
+        .distinct()
+      val wa = t.select(col("doc_id").as("id_a"), col("w").as("wa"))
+      val wb = t.select(col("doc_id").as("id_b"), col("w").as("wb"))
+      cand.join(wa, "id_a").join(wb, "id_b")
+        .filter(size(col("wb")) * 10 >= size(col("wa")) * 9)
+        .withColumn("inter", expr("sorted_intersect_size(wa, wb)"))
+        .filter(col("inter") * 10 >= size(col("wa")) * 9)
+        .select(col("id_a"), col("id_b"),
+          round(col("inter").cast("double") / size(col("wa")), 6).as("cont"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- IVF ANN: coarse k-means quantizer, probe nearest cells ----
     // The cluster-index scale path: train a small codebook, assign every
     // vector to its nearest centroid (the inverted file), then answer each
@@ -2200,6 +2243,25 @@ object VectorOps {
         |  round(len(list_intersect(a.w, b.w))::DOUBLE / len(list_distinct(a.w || b.w)), 6) AS jac
         |FROM t a JOIN t b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.w, b.w))::DOUBLE / len(list_distinct(a.w || b.w)) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    // directed all-pairs containment (quadratic — sf0.01-gate only, like
+    // the other all-pairs oracles); the integer threshold keeps the gate
+    // FP-free on both engines
+    "dedup_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+        |         ELSE list_distinct(list_transform(
+        |            range(1, len(string_split(text, ' ')) - 1),
+        |            i -> string_split(text, ' ')[i] || ' ' ||
+        |                 string_split(text, ' ')[i + 1] || ' ' ||
+        |                 string_split(text, ' ')[i + 2]))
+        |    END AS w
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.w, b.w))::DOUBLE / len(a.w), 6) AS cont
+        |FROM t a JOIN t b ON a.doc_id != b.doc_id
+        |WHERE len(list_intersect(a.w, b.w)) * 10 >= len(a.w) * 9
         |ORDER BY id_a, id_b""".stripMargin,
     // true connected-components fixpoint via recursive CTE over the same
     // all-pairs >= 0.9 jaccard graph — an under-converged Spark label
