@@ -1347,6 +1347,43 @@ object VectorOps {
         .orderBy("doc_id")
     }),
 
+    // ---- leakage audit: near-dup pairs must not cross the hold-out line --
+    // The eval-integrity check every serious pipeline runs (GPT-3's
+    // appendix C problem): a near-dup pair with one member in train and
+    // one in val/test leaks the answer key, because the hash split keys
+    // on exact text and near-dups hash apart. The gate counts near-dup
+    // pairs crossing sample_split's boundary BEFORE canonical dedup
+    // (n_cross_raw — the leakage you'd ship without dedup) and AFTER
+    // (n_cross_kept — provably 0, since each component keeps exactly one
+    // member). Certificate shape like the recall gates: the oracle derives
+    // both counts from the data alone, so the hash compare re-proves
+    // "dedup before split" does its job every round. Scale shape: the
+    // shared pair-graph artifact + two thin (doc_id, label) maps joined
+    // by id — no new corpus pass.
+    "split_leakage_gate" -> ((s, d) => {
+      val pairs = minhashPairs(s, d).select("id_a", "id_b")
+      val h = substring(md5(col("text")), 1, 2)
+      val splits = Tables.documents(s, d).select(col("doc_id"),
+        when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+          .as("split"))
+      val comp = starComponents(pairs).withColumnRenamed("id", "doc_id")
+      val kept = Tables.documents(s, d).select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (coalesce(col("rep"), col("doc_id")) === col("doc_id")).as("kept"))
+      val sa = splits.select(col("doc_id").as("id_a"), col("split").as("spa"))
+      val sb = splits.select(col("doc_id").as("id_b"), col("split").as("spb"))
+      val ka = kept.select(col("doc_id").as("id_a"), col("kept").as("keep_a"))
+      val kb = kept.select(col("doc_id").as("id_b"), col("kept").as("keep_b"))
+      pairs.join(sa, "id_a").join(sb, "id_b").join(ka, "id_a").join(kb, "id_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          count(when(col("spa") =!= col("spb"), 1)).as("n_cross_raw"),
+          count(when(col("spa") =!= col("spb") &&
+            col("keep_a") && col("keep_b"), 1)).as("n_cross_kept"))
+        .select(col("n_pairs"), col("n_cross_raw"), col("n_cross_kept"),
+          (col("n_cross_kept") === 0).as("leak_free"))
+    }),
+
     // ---- graph centrality: PageRank over the near-dup graph ----
     // Ranks documents by duplicate-graph centrality (which docs sit at the
     // middle of big copy clusters — the triage order for a dedup report).
@@ -2280,6 +2317,48 @@ object VectorOps {
         |  d.n_chars
         |FROM documents d LEFT JOIN comp c USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // leakage audit: all-pairs >= 0.9 graph + the md5 split rule + the
+    // fixpoint components — both counts derived from the data alone
+    "split_leakage_gate" ->
+      s"""WITH comp AS MATERIALIZED (
+        |${CcFixpointOracle.linesIterator.map("  " + _).mkString("\n")}
+        |),
+        |tt AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+        |         ELSE list_distinct(list_transform(
+        |            range(1, len(string_split(text, ' ')) - 1),
+        |            i -> string_split(text, ' ')[i] || ' ' ||
+        |                 string_split(text, ' ')[i + 1] || ' ' ||
+        |                 string_split(text, ' ')[i + 2]))
+        |    END AS w
+        |  FROM documents),
+        |prs AS MATERIALIZED (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM tt a JOIN tt b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.w, b.w))::DOUBLE
+        |          / len(list_distinct(a.w || b.w)) >= 0.9),
+        |sp AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN substring(md5(text), 1, 2) < 'cc' THEN 'train'
+        |         WHEN substring(md5(text), 1, 2) < 'e6' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |kp AS MATERIALIZED (
+        |  SELECT d.doc_id,
+        |    coalesce(c.cluster_rep, d.doc_id) = d.doc_id AS kept
+        |  FROM documents d LEFT JOIN comp c USING (doc_id))
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(*) FILTER (sa.split != sb.split) AS BIGINT)
+        |    AS n_cross_raw,
+        |  CAST(count(*) FILTER (sa.split != sb.split AND ka.kept AND kb.kept)
+        |    AS BIGINT) AS n_cross_kept,
+        |  count(*) FILTER (sa.split != sb.split AND ka.kept AND kb.kept) = 0
+        |    AS leak_free
+        |FROM prs JOIN sp sa ON sa.doc_id = prs.id_a
+        |  JOIN sp sb ON sb.doc_id = prs.id_b
+        |  JOIN kp ka ON ka.doc_id = prs.id_a
+        |  JOIN kp kb ON kb.doc_id = prs.id_b""".stripMargin,
     "graph_pagerank" ->
       """WITH t AS (
         |  SELECT doc_id,
