@@ -319,10 +319,11 @@ object LlmText {
           |FROM wt$i w, gr$i g""".stripMargin).mkString("\nUNION ALL\n") +
       "\nORDER BY it"
 
-  /** Scoring oracle: replay training to wt$iters, then score each document
-    * (same dot order as lrZ) and compare against the rule verdict. */
-  private def lrScoreOracle(iters: Int, lr: Double): String =
-    "WITH " + (lrCtes(iters, lr) :+
+  /** Training replay + per-doc scoring as a CTE chain ending in `scored`
+    * = (doc_id, score, keep_pred, keep_rule, agree) — shared by the score
+    * and calibration oracles (same dot order as lrZ). */
+  private def lrScoredCtes(iters: Int, lr: Double): Seq[String] =
+    lrCtes(iters, lr) ++ Seq(
       s"""ftd AS MATERIALIZED (
         |  SELECT doc_id,
         |    CASE WHEN n_tok < 30 THEN 0.0 WHEN n_tok > 2000 THEN 0.0
@@ -338,13 +339,35 @@ object LlmText {
         |    LEAST(n_tok, 512)::DOUBLE / 64.0 AS x4
         |  FROM (SELECT doc_id, n_chars, text, string_split(text, ' ') AS w,
         |          len(string_split(text, ' ')) AS n_tok
-        |        FROM documents))""".stripMargin).mkString(",\n") + "\n" +
-      s"""SELECT doc_id, round(z, 6) AS score, z > 0 AS keep_pred,
-        |  y > 0.5 AS keep_rule, (z > 0) = (y > 0.5) AS agree
-        |FROM (SELECT f.doc_id, f.y,
-        |        w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3 + w.w4*x4 AS z
-        |      FROM ftd f, wt$iters w)
-        |ORDER BY doc_id""".stripMargin
+        |        FROM documents))""".stripMargin,
+      s"""scored AS MATERIALIZED (
+        |  SELECT doc_id, round(z, 6) AS score, z > 0 AS keep_pred,
+        |    y > 0.5 AS keep_rule, (z > 0) = (y > 0.5) AS agree
+        |  FROM (SELECT f.doc_id, f.y,
+        |          w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3 + w.w4*x4 AS z
+        |        FROM ftd f, wt$iters w))""".stripMargin)
+
+  /** Scoring oracle: replay training to wt$iters, then score each document
+    * (same dot order as lrZ) and compare against the rule verdict. */
+  private def lrScoreOracle(iters: Int, lr: Double): String =
+    "WITH " + lrScoredCtes(iters, lr).mkString(",\n") + "\n" +
+      """SELECT doc_id, score, keep_pred, keep_rule, agree
+        |FROM scored ORDER BY doc_id""".stripMargin
+
+  /** Calibration oracle: integer margin bins over the scored table, each
+    * bin's mean via the quantized order-free sum (dq_drift's discipline). */
+  private def lrCalibrationOracle(iters: Int, lr: Double): String =
+    "WITH " + lrScoredCtes(iters, lr).mkString(",\n") + "\n" +
+      """SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) FILTER (keep_rule) AS BIGINT) AS n_rule_pos,
+        |  round(count(*) FILTER (keep_rule)::DOUBLE / count(*), 6)
+        |    AS frac_rule_pos,
+        |  round((sum(CAST(floor(score * 1048576.0) AS BIGINT))::DOUBLE
+        |           / count(*)) / 1048576.0, 6) AS mean_score
+        |FROM (SELECT *,
+        |        LEAST(GREATEST(CAST(floor(score) AS BIGINT), -4), 4) AS bin
+        |      FROM scored)
+        |GROUP BY bin ORDER BY bin""".stripMargin
 
   private def lrCtes(iters: Int, lr: Double): Seq[String] = {
     val ctes = scala.collection.mutable.ArrayBuffer(
@@ -1322,6 +1345,31 @@ object LlmText {
     // verdict it distilled. One per-row pass; the model is five doubles.
     "quality_lr_score" -> ((s, d) => lrScore(s, d, iters = 12, lr = 8.0)),
 
+    // ---- calibration report for the distilled quality model ----
+    // The eval a model-based filter ships with: integer margin bins over
+    // the scored corpus, per-bin population, rule-positive rate (is a
+    // high margin actually high quality by the rule it distilled?) and
+    // mean margin. Bins cut the ROUNDED score (engine-identical) with
+    // integer floor/clamp; the per-bin mean rides dq_drift's quantized
+    // order-free integer sum, so every emitted number is exact on both
+    // engines. One per-row pass over the scored frame + one tiny agg.
+    "quality_lr_calibration" -> ((s, d) => {
+      val sc = lrScore(s, d, iters = 12, lr = 8.0)
+      sc.withColumn("bin",
+          least(greatest(floor(col("score")), lit(-4L)), lit(4L)))
+        .withColumn("q", floor(col("score") * lit(1048576.0)))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("keep_rule"), 1)).as("n_rule_pos"),
+          sum("q").as("qsum"))
+        .select(col("bin"), col("n"), col("n_rule_pos"),
+          round(col("n_rule_pos").cast("double") / col("n"), 6)
+            .as("frac_rule_pos"),
+          round((col("qsum").cast("double") / col("n")) / lit(1048576.0), 6)
+            .as("mean_score"))
+        .orderBy("bin")
+    }),
+
     // ---- BPE training, merge iteration 0: corpus pair counts ----
     // The distributed half of tokenizer training: count adjacent character
     // pairs across every word in the corpus and surface the top merge
@@ -2281,6 +2329,7 @@ object LlmText {
     "text_bpe_tokenize5" -> bpeTokenizeOracle(rounds = 5),
     "quality_lr_train" -> lrTrainOracle(iters = 12, lr = 8.0),
     "quality_lr_score" -> lrScoreOracle(iters = 12, lr = 8.0),
+    "quality_lr_calibration" -> lrCalibrationOracle(iters = 12, lr = 8.0),
     "text_bpe_pairs" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
         |p AS (SELECT unnest(list_transform(range(1, length(w)),
