@@ -124,6 +124,50 @@ object Curation {
     // — the union of the stages' own scale shapes, nothing extra.
     "curation_e2e" -> ((s, d) => curationE2e(s, d)),
 
+    // ---- the data-loader END PRODUCT: curated train-split epoch manifest --
+    // What a training job actually mounts: canonical near-dup survivors,
+    // restricted to the train hash-split, in the reproducible shuffled
+    // epoch order, packed greedily into 2048-token contexts — (doc_id,
+    // pos, n_tokens, bin_id), composed from the engine's own stages
+    // (dedup_canonical ∘ sample_split ∘ corpus_shuffle ∘ pack_sequences).
+    // Scale shape: the union of the stages' own shapes — shared pair-graph
+    // artifact + component map join, per-row split/hash expressions, the
+    // range-exchange rank (never a one-reducer window), and the sharded
+    // two-phase prefix sum in POS order (pos is dense, so the range shard
+    // is order-preserving exactly like pack_sequences' doc_id shard; the
+    // offset roll-up window sorts one row per shard — corpus/1024 rows,
+    // not the corpus). The composed oracle chains the stages' own SQL.
+    "train_manifest" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val comp = VectorOps.starComponents(
+          VectorOps.minhashPairs(s, d).select("id_a", "id_b"))
+        .withColumnRenamed("id", "doc_id")
+      val train = docs.join(comp, Seq("doc_id"), "left")
+        .filter(coalesce(col("rep"), col("doc_id")) === col("doc_id") &&
+          substring(md5(col("text")), 1, 2) < "cc")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          ((col("doc_id") % 16777216L) * 2654435761L % 16777216L).as("h"))
+      val ranked = Ranking.globalRank(train, Seq(col("h"), col("doc_id")),
+        partitions = 32, rankCol = "pos")
+      val t = ranked.withColumn("shard", floor(col("pos") / 1024L))
+      val localW = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("pos")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val offW = org.apache.spark.sql.expressions.Window.orderBy("shard")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val offsets = t.groupBy("shard").agg(sum("n_tokens").as("st"))
+        .withColumn("offset", coalesce(sum("st").over(offW), lit(0L)))
+        .select("shard", "offset")
+      t.withColumn("local_cum", sum("n_tokens").over(localW))
+        .join(broadcast(offsets), Seq("shard"))
+        .withColumn("cum", col("offset") + col("local_cum"))
+        .select(col("doc_id"), col("pos"), col("n_tokens"),
+          floor((col("cum") - 1) / 2048L).cast("long").as("bin_id"))
+        .orderBy("doc_id")
+    }),
+
     // ---- the curation chain THROUGH the SQL front door ----
     // sql_front_door proves SQL parity for relational shapes; this entry
     // extends the same contract to the LLM extension surface: the
@@ -677,6 +721,29 @@ object Curation {
       s"""WITH $curationOracleCtes,
         |curation_verdicts AS MATERIALIZED ($curationOracleSelect)
         |$SqlCurationReport""".stripMargin,
+    // composed loader manifest: canonical survivors (component fixpoint) ∘
+    // train hash-split ∘ shuffle rank ∘ running-sum packing — each stage
+    // the same SQL its standalone entry oracles with
+    "train_manifest" ->
+      s"""WITH comp AS MATERIALIZED (
+        |${VectorOps.CcFixpointOracle.linesIterator.map("  " + _).mkString("\n")}
+        |),
+        |tr AS MATERIALIZED (
+        |  SELECT d.doc_id,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |    ((d.doc_id % 16777216) * 2654435761) % 16777216 AS h
+        |  FROM documents d LEFT JOIN comp c USING (doc_id)
+        |  WHERE coalesce(c.cluster_rep, d.doc_id) = d.doc_id
+        |    AND substring(md5(d.text), 1, 2) < 'cc'),
+        |rk AS MATERIALIZED (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS pos
+        |  FROM tr)
+        |SELECT doc_id, pos, n_tokens,
+        |  CAST(floor((sum(n_tokens) OVER (ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+        |    / 2048.0) AS BIGINT) AS bin_id
+        |FROM rk ORDER BY doc_id""".stripMargin,
     "sample_split" ->
       """SELECT doc_id, lang,
         |  CASE WHEN substring(md5(text), 1, 2) < 'cc' THEN 'train'

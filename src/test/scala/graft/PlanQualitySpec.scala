@@ -218,7 +218,9 @@ class PlanQualitySpec extends SparkSpec {
     // a way the structural checks below cannot see: the sequence-packing
     // offset roll-up sorts one row per (lang, shard) — corpus/shardSize
     // rows, not the corpus (LlmText.packSequences step 3)
-    val reducedFrameAllowed = Set("pack_sequences", "pack_sequences_bpe")
+    // train_manifest's offset roll-up is the same shape over per-shard rows
+    val reducedFrameAllowed =
+      Set("pack_sequences", "pack_sequences_bpe", "train_manifest")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         if (reducedFrameAllowed(name)) None
