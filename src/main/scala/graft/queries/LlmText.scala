@@ -1865,6 +1865,36 @@ object LlmText {
         .orderBy("doc_id")
     }),
 
+    // ---- the mixture TABLE itself: what each source contributes ----
+    // Every training run documents its mixture (The Pile's table 1, ROOTS'
+    // appendix): per source, the raw population, the temperature-flattened
+    // keep rate, and what the deterministic draw actually yields in docs
+    // AND tokens. Same rates and same draw as sample_mixture (so the two
+    // entries can never disagree); one per-source agg + one corpus pass.
+    "mixture_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      val counts = docs.groupBy("source")
+        .agg(count(lit(1)).cast("double").as("n_s"))
+      val totals = counts.agg(
+        sum(pow(col("n_s"), 0.7)).as("w_sum"), sum(col("n_s")).as("n_tot"))
+      val rates = counts.crossJoin(broadcast(totals))
+        .withColumn("rate", least(lit(1.0),
+          lit(0.5) * col("n_tot") * pow(col("n_s"), 0.7) / col("w_sum") / col("n_s")))
+        .select("source", "rate")
+      val u = (col("doc_id") % 16777216L) * 2654435761L % 16777216L /
+        lit(16777216.0)
+      docs.join(broadcast(rates), "source")
+        .withColumn("kept", u < col("rate"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          count(when(col("kept"), 1)).as("n_kept"),
+          sum(when(col("kept"), col("n_tok")).otherwise(lit(0L)))
+            .as("kept_tokens"),
+          round(max(col("rate")), 6).as("rate"))
+        .orderBy("source")
+    }),
+
     // ---- deterministic global training-order shuffle ----
     // Training pipelines need the corpus in a reproducible pseudo-random
     // order (same epoch order on every rerun, resumable mid-epoch). The
@@ -2624,6 +2654,29 @@ object LlmText {
         |WHERE ((d.doc_id % 16777216) * 2654435761) % 16777216 / 16777216.0
         |      < r.rate
         |ORDER BY d.doc_id""".stripMargin,
+    "mixture_report" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS DOUBLE) AS n_s
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT sum(pow(n_s, 0.7)) AS w_sum, sum(n_s) AS n_tot FROM c),
+        |r AS (
+        |  SELECT source,
+        |    least(1.0, 0.5 * n_tot * pow(n_s, 0.7) / w_sum / n_s) AS rate
+        |  FROM c, t),
+        |dd AS (
+        |  SELECT d.source,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+        |    ((d.doc_id % 16777216) * 2654435761) % 16777216 / 16777216.0
+        |      < r.rate AS kept,
+        |    r.rate
+        |  FROM documents d JOIN r ON d.source = r.source)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) FILTER (kept) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT)
+        |    AS kept_tokens,
+        |  round(max(rate), 6) AS rate
+        |FROM dd GROUP BY source ORDER BY source""".stripMargin,
     "corpus_shuffle" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -30,6 +30,8 @@ class PlanQualitySpec extends SparkSpec {
     // the pHash gate joins its two one-row certificate aggregates
     "x7_hll_union_gate", "text_unigram_logprob", "text_bigram_logprob",
     "mm_phash_dedup_gate",
+    // mixture_report shares sample_mixture's one-row weight-normalizer
+    "mixture_report",
     // BM25 broadcasts its one-row (n_docs, total-token) corpus stats; the
     // RRF fusion inherits both BM25's stats broadcast and the exact-cosine
     // side's non-equi query-sample broadcast
