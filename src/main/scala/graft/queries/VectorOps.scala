@@ -1270,6 +1270,68 @@ object VectorOps {
         .orderBy("qid", "rnk")
     }),
 
+    // ---- MMR diversification: relevance minus redundancy, greedy top-3 --
+    // Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98) — the
+    // standard rerank that keeps a result list from being three copies of
+    // the same passage: pick argmax rel, then twice argmax of
+    // 0.5·rel − 0.5·max-sim-to-already-selected over the cosine top-20.
+    // The greedy rounds are UNROLLED (three argmax windows), like
+    // graph_pagerank's unrolled iterations. Exactness: rel and the
+    // candidate-pair sims are the shared exact folds rounded to 6dp
+    // BEFORE scoring, the MMR combination is two exact literal products,
+    // and every argmax breaks ties on nid — so selection is bit-identical
+    // on both engines. Scale shape: per query the rerank touches only its
+    // 20-candidate slice (20×20 pair sims), joined by id — the expensive
+    // part is the input ranking, which swaps to the ANN index unchanged.
+    "sim_mmr_topk" -> ((s, d) => {
+      val en = withNorm(embOf(s, d))
+      val cand = bruteForceTopK(embOf(s, d), topK = 20)
+        .select(col("qid"), col("nid"), col("cos").as("rel"))
+      val ea = en.select(col("vec_id").as("nid"), col("e").as("ea"),
+        col("nrm").as("nna"))
+      val eb = en.select(col("vec_id").as("nb"), col("e").as("eb"),
+        col("nrm").as("nnb"))
+      val ps = cand.select(col("qid"), col("nid"))
+        .join(cand.select(col("qid"), col("nid").as("nb")), "qid")
+        .filter(col("nid") =!= col("nb"))
+        .join(ea, "nid").join(eb, "nb")
+        .select(col("qid"), col("nid"), col("nb"),
+          round(dot(col("ea"), col("eb")) / (col("nna") * col("nnb")), 6)
+            .as("sim"))
+      def argmax(df: DataFrame, score: Column): DataFrame = {
+        val w = Window.partitionBy("qid").orderBy(score.desc, col("nid"))
+        df.withColumn("sc", score).withColumn("r", row_number().over(w))
+          .filter(col("r") === 1)
+      }
+      val s1 = argmax(cand, col("rel"))
+        .select(col("qid"), col("nid").as("sel1"), col("sc").as("sc1"))
+      val p1 = ps.select(col("qid"), col("nid"), col("nb").as("sel1"),
+        col("sim").as("sim1"))
+      val c2 = cand.join(s1, "qid").filter(col("nid") =!= col("sel1"))
+        .join(p1, Seq("qid", "nid", "sel1"))
+      val s2 = argmax(c2, lit(0.5) * col("rel") - lit(0.5) * col("sim1"))
+        .select(col("qid"), col("nid").as("sel2"), col("sc").as("sc2"))
+      val p2 = ps.select(col("qid"), col("nid"), col("nb").as("sel2"),
+        col("sim").as("sim2"))
+      val c3 = c2.join(s2, "qid").filter(col("nid") =!= col("sel2"))
+        .join(p2, Seq("qid", "nid", "sel2"))
+      val s3 = argmax(c3,
+          lit(0.5) * col("rel") - lit(0.5) * greatest(col("sim1"), col("sim2")))
+        .select(col("qid"), col("nid").as("sel3"), col("sc").as("sc3"))
+      // NO final round: the scores are exact combinations of already-6dp
+      // inputs, bit-identical on both engines — rounding again would land
+      // 0.5·(a−b) on a 7th-decimal half and flip between Spark's
+      // decimal-string HALF_UP and DuckDB's binary rounding (observed at
+      // sf0.1: 0.1253935 → 0.125394 vs 0.125393)
+      s1.select(col("qid"), lit(1L).as("rnk"), col("sel1").as("nid"),
+          col("sc1").as("mmr"))
+        .unionByName(s2.select(col("qid"), lit(2L).as("rnk"),
+          col("sel2").as("nid"), col("sc2").as("mmr")))
+        .unionByName(s3.select(col("qid"), lit(3L).as("rnk"),
+          col("sel3").as("nid"), col("sc3").as("mmr")))
+        .orderBy("qid", "rnk")
+    }),
+
     // ---- hard-negative mining: lexically close, semantically far ----
     // The contrastive-training data op (DPR/ANCE-style): for each query,
     // candidates that BM25 ranks high (top-20, lexically confusable) but
@@ -2121,6 +2183,59 @@ object VectorOps {
         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
         |        ORDER BY rrf DESC, nid) AS rk FROM fused)
         |WHERE rk <= 3 ORDER BY qid, rnk""".stripMargin,
+    "sim_mmr_topk" ->
+      """WITH ce AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cq AS MATERIALIZED (
+        |  SELECT vec_id AS qid, emb AS qe FROM ce WHERE vec_id % 50 = 0),
+        |cp AS MATERIALIZED (
+        |  SELECT cq.qid, ce.vec_id AS nid,
+        |    list_sum(list_transform(list_zip(cq.qe, ce.emb), s -> s[1]*s[2])) /
+        |      (sqrt(list_sum(list_transform(cq.qe, x -> x*x))) *
+        |       sqrt(list_sum(list_transform(ce.emb, x -> x*x)))) AS c
+        |  FROM cq JOIN ce ON ce.vec_id != cq.qid),
+        |cnd AS MATERIALIZED (
+        |  SELECT qid, nid, round(c, 6) AS rel
+        |  FROM (SELECT qid, nid, c, row_number() OVER (PARTITION BY qid
+        |          ORDER BY c DESC, nid) AS rnk FROM cp)
+        |  WHERE rnk <= 20),
+        |ps AS MATERIALIZED (
+        |  SELECT x.qid, x.nid, y.nid AS nb,
+        |    round(list_sum(list_transform(list_zip(a.emb, b.emb),
+        |            s -> s[1]*s[2])) /
+        |      (sqrt(list_sum(list_transform(a.emb, x -> x*x))) *
+        |       sqrt(list_sum(list_transform(b.emb, x -> x*x)))), 6) AS sim
+        |  FROM cnd x JOIN cnd y ON x.qid = y.qid AND x.nid != y.nid
+        |    JOIN ce a ON a.vec_id = x.nid
+        |    JOIN ce b ON b.vec_id = y.nid),
+        |s1 AS MATERIALIZED (
+        |  SELECT qid, nid AS sel1, rel AS sc1
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |          ORDER BY rel DESC, nid) AS r FROM cnd) WHERE r = 1),
+        |r2 AS MATERIALIZED (
+        |  SELECT c.qid, c.nid, c.rel, p.sim AS sim1,
+        |    0.5 * c.rel - 0.5 * p.sim AS sc
+        |  FROM cnd c JOIN s1 ON s1.qid = c.qid AND c.nid != s1.sel1
+        |    JOIN ps p ON p.qid = c.qid AND p.nid = c.nid AND p.nb = s1.sel1),
+        |s2 AS MATERIALIZED (
+        |  SELECT qid, nid AS sel2, sc AS sc2
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |          ORDER BY sc DESC, nid) AS r FROM r2) WHERE r = 1),
+        |r3 AS MATERIALIZED (
+        |  SELECT c.qid, c.nid,
+        |    0.5 * c.rel - 0.5 * GREATEST(c.sim1, p.sim) AS sc
+        |  FROM r2 c JOIN s2 ON s2.qid = c.qid AND c.nid != s2.sel2
+        |    JOIN ps p ON p.qid = c.qid AND p.nid = c.nid AND p.nb = s2.sel2),
+        |s3 AS MATERIALIZED (
+        |  SELECT qid, nid AS sel3, sc AS sc3
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |          ORDER BY sc DESC, nid) AS r FROM r3) WHERE r = 1)
+        |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, sc AS mmr
+        |FROM (
+        |  SELECT qid, 1 AS rnk, sel1 AS nid, sc1 AS sc FROM s1
+        |  UNION ALL SELECT qid, 2, sel2, sc2 FROM s2
+        |  UNION ALL SELECT qid, 3, sel3, sc3 FROM s3)
+        |ORDER BY qid, rnk""".stripMargin,
     "sim_hard_negatives" ->
       s"""WITH ${LlmText.bm25OracleCtes(topN = 20)},
         |ce AS MATERIALIZED (
