@@ -148,6 +148,47 @@ private[queries] object AnnOracleSql {
     withClause(ctes, topKSelect(topK))
   }
 
+  /** Oracle for [[VectorOps.annSqTopK]] — scalar quantization: per-dim
+    * corpus [min, max] (order-free aggregates), op-for-op encode
+    * (floor((v-mn)/(mx-mn)·255) clamped) and mid-bin decode
+    * (mn + (code+0.5)·(mx-mn)/255), the ADC fold in dimension order, the
+    * same shortlist rank and exact re-rank. */
+  def sqTopK(topK: Int): String = {
+    val ctes = baseCtes() ++ Seq(
+      """mm AS MATERIALIZED (
+        |  SELECT pos, min(v) AS mn, max(v) AS mx
+        |  FROM (SELECT generate_subscripts(emb, 1) AS pos, unnest(emb) AS v
+        |        FROM e) GROUP BY pos)""".stripMargin,
+      """dc AS MATERIALIZED (
+        |  SELECT vec_id, list(mn +
+        |      (CASE WHEN mx = mn THEN 0
+        |            ELSE LEAST(GREATEST(CAST(floor((v - mn) / (mx - mn)
+        |              * 255.0) AS BIGINT), 0), 255) END
+        |       + 0.5) * (mx - mn) / 255.0
+        |    ORDER BY pos) AS de
+        |  FROM (SELECT vec_id, generate_subscripts(emb, 1) AS pos,
+        |          unnest(emb) AS v FROM e) x JOIN mm USING (pos)
+        |  GROUP BY vec_id)""".stripMargin,
+      s"""q AS MATERIALIZED (
+        |  SELECT vec_id AS qid, emb AS qe, ${nrm("emb")} AS qn FROM e
+        |  WHERE vec_id % 50 = 0)""".stripMargin,
+      s"""sl AS MATERIALIZED (
+        |  SELECT qid, nid FROM (
+        |    SELECT q.qid, d.vec_id AS nid,
+        |      row_number() OVER (PARTITION BY q.qid ORDER BY
+        |        (${dot("q.qe", "d.de")} /
+        |         sqrt(list_sum(list_transform(d.de, x -> x*x)))) / q.qn
+        |          DESC, d.vec_id) AS prnk
+        |    FROM q JOIN dc d ON d.vec_id != q.qid)
+        |  WHERE prnk <= ${topK * 10})""".stripMargin,
+      s"""p AS MATERIALIZED (
+        |  SELECT sl.qid, sl.nid,
+        |    ${dot("a.emb", "b.emb")} / (${nrm("a.emb")} * ${nrm("b.emb")}) AS c
+        |  FROM sl JOIN e a ON a.vec_id = sl.qid
+        |    JOIN e b ON b.vec_id = sl.nid)""".stripMargin)
+    withClause(ctes, topKSelect(topK))
+  }
+
   /** Oracle for [[VectorOps.semDedup]] — SemDeDup (Abbas et al. 2023,
     * arXiv:2303.09540): the SAME trained coarse quantizer as ivfTopK, then
     * within each cell the greedy duplicate scan the released implementation

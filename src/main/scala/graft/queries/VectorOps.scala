@@ -830,6 +830,80 @@ object VectorOps {
       .orderBy("qid", "rnk")
   }
 
+  /** Per-dimension [min, max] corpus bounds — the SQ "codebook": 64 bounded
+    * rows per dataset, cached like the training sample. */
+  private val sqBoundsCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[(Double, Double)]]
+  SessionCaches.register("vectorops.sqBoundsCache")(() => sqBoundsCache.clear())
+
+  /** Scalar-quantization (SQ8) top-k — the compression vector stores reach
+    * for before PQ (one byte per dimension, ~8× over float64 here, no
+    * codebook training): per-DIMENSION corpus [min, max], each component
+    * stored as floor((x-min)/range·255) clamped to [0,255], queries scored
+    * asymmetrically (exact query vector against the dequantized corpus —
+    * standard SQ ADC with the +0.5 mid-bin reconstruction), shortlist
+    * (topK·10) re-ranked with exact cosine so output rows carry TRUE
+    * cosines, like annPqTopK. EXACT oracle: min/max are order-free, the
+    * encode/decode arithmetic is transcribed op-for-op, and the ADC fold
+    * runs in dimension order on both engines — the whole approximate
+    * pipeline hash-matches. The 64-row bounds collect is a bounded index
+    * artifact (the same class as the 4096-row training sample). */
+  private[queries] def annSqTopK(s: SparkSession, emb: DataFrame, d: String,
+      topK: Int): DataFrame = {
+    val en = withNorm(emb)
+    val mm = sqBoundsCache.getOrElseUpdate(s"$d:${dataFp(d)}", {
+      SessionCaches.onSessionEnd(s)
+      en.select(posexplode(col("e")).as(Seq("pos", "v")))
+        .groupBy("pos").agg(min("v").as("mn"), max("v").as("mx"))
+        .orderBy("pos").collect()
+        .map(r => (r.getAs[Double]("mn"), r.getAs[Double]("mx")))
+    })
+    val mn = mm.map(_._1); val mx = mm.map(_._2)
+    val encodeU = udf((e: Seq[Double]) => {
+      val out = new Array[Long](e.length); var j = 0
+      while (j < e.length) {
+        val r = mx(j) - mn(j)
+        out(j) = if (r == 0.0) 0L
+          else math.min(255L, math.max(0L,
+            math.floor((e(j) - mn(j)) / r * 255.0).toLong))
+        j += 1
+      }
+      out
+    })
+    val approxU = udf((qe: Seq[Double], codes: Seq[Long]) => {
+      var dt = 0.0; var nd = 0.0; var j = 0
+      while (j < codes.length) {
+        val dec = mn(j) + (codes(j) + 0.5) * (mx(j) - mn(j)) / 255.0
+        dt += qe(j) * dec; nd += dec * dec; j += 1
+      }
+      dt / math.sqrt(nd)
+    })
+    // the byte-code table is the durable index artifact, like pq_codes
+    val codes = shared(s, s"sq_codes:$d:${dataFp(d)}")(
+      en.withColumn("codes", encodeU(col("e")))
+        .select(col("vec_id").as("nid"), col("codes")))
+    val q = broadcast(en.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn")))
+    val wSq = Window.partitionBy("qid").orderBy(col("sq").desc, col("nid"))
+    val shortlist = codes.join(q, col("nid") =!= col("qid"))
+      .withColumn("sq", approxU(col("qe"), col("codes")) / col("qn"))
+      .withColumn("prnk", row_number().over(wSq))
+      .filter(col("prnk") <= topK * 10)
+      .select("qid", "nid")
+    val n = en.select(col("vec_id").as("nid"), col("e"), col("nrm"))
+    val q2 = en.select(col("vec_id").as("qid"), col("e").as("qe"),
+      col("nrm").as("qn"))
+    val w = Window.partitionBy("qid").orderBy(col("c").desc, col("nid"))
+    shortlist.join(q2, "qid").join(n, "nid")
+      .select(col("qid"), col("nid"),
+        (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("c"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nid"),
+        round(col("c"), 6).as("cos"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Composed IVF+PQ top-k — the full 100 TB ANN index shape: IVF prunes
     * (only nProbe/kc of the corpus is scored per query) AND PQ compresses
     * (scored rows carry m nibble codes + a norm, never raw vectors).
@@ -1924,6 +1998,17 @@ object VectorOps {
         annPqTopK(s, emb, d, m = 16, k = 16, topK = 3), floor = 0.5)
     }),
 
+    // ---- scalar quantization (SQ8): byte-per-dimension compression ----
+    // The no-training quantizer vector stores default to before PQ; exact
+    // oracle replays min/max bounds, encode/decode and the ADC fold
+    // op-for-op; recall vs brute force additionally gated below.
+    "ann_sq_topk" -> ((s, d) => annSqTopK(s, embOf(s, d), d, topK = 3)),
+    "ann_sq_recall_gate" -> ((s, d) => {
+      val emb = embOf(s, d)
+      recallGate(shared(s, s"bf_top1:$d:${dataFp(d)}")(bruteForceTopK(emb, 1)),
+        annSqTopK(s, emb, d, topK = 3), floor = 0.5)
+    }),
+
     // ---- k-NN majority-vote label classification over embeddings ----
     // The embedding-quality eval of a training pipeline: classify each
     // query vector by the majority label of its exact top-3 neighbors and
@@ -2145,6 +2230,10 @@ object VectorOps {
         |  AND EXISTS (SELECT 1 FROM embeddings e
         |              WHERE e.label = q.label AND e.vec_id != q.vec_id)""".stripMargin,
     "ann_pq_recall_gate" ->
+      """SELECT count(*) AS n_queries, true AS recall_ok
+        |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+    "ann_sq_topk" -> AnnOracleSql.sqTopK(topK = 3),
+    "ann_sq_recall_gate" ->
       """SELECT count(*) AS n_queries, true AS recall_ok
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
     "ann_ivfpq_recall_gate" ->

@@ -16,7 +16,7 @@ class PlanQualitySpec extends SparkSpec {
   private val nestedLoopAllowed = Set(
     "sim_cosine_topk", "sim_knn_classify", "ann_lsh_topk", "ann_ivf_topk",
     "ann_ivf_append_topk", // same query path as ann_ivf_topk
-    "ann_pq_topk", "ann_pq_recall_gate",
+    "ann_pq_topk", "ann_pq_recall_gate", "ann_sq_topk", "ann_sq_recall_gate",
     "ann_lsh_recall_gate", "ann_ivf_recall_gate", "dedup_simhash_exact_gate",
     // single-row corpus-count broadcasts (idf denominator; CMS N bound;
     // Q22's scalar average-balance threshold; Q11's scalar global-value
