@@ -1726,6 +1726,43 @@ object VectorOps {
     basePairs.unionByName(jaccardVerify(s, d, deltaCand))
   }
 
+  /** (doc_id, w): sorted hashed 3-gram shingle sets — the containment
+    * family's set representation (long compares beat string compares in
+    * the merge-intersect; injective modulo ~2^-64 collisions). */
+  private def shingleHashSets(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        array_sort(array_distinct(transform(shingleCol(col("text"), "toks"),
+          x => xxhash64(x)))).as("w"))
+
+  /** Asymmetric containment prefix rows (t = 0.9): each doc's first
+    * n − ⌈0.9n⌉ + 1 tokens under the (df, tok) order. `dfTbl` may be a
+    * FROZEN snapshot (the append path): tokens missing from it rank as
+    * df = 0 — any fixed total order keeps the filter lossless. */
+  private def containPrefix(t: DataFrame, dfTbl: DataFrame): DataFrame = {
+    val rnW = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
+    t.select(col("doc_id"), size(col("w")).as("n"), explode(col("w")).as("tok"))
+      .join(dfTbl, Seq("tok"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("rn", row_number().over(rnW))
+      .filter(col("rn") <= expr("n - (9 * n + 9) div 10 + 1"))
+      .select(col("doc_id"), col("tok"))
+  }
+
+  /** Exact integer containment verification over candidate (id_a, id_b)
+    * pairs — shared by the full and append paths so both emit bit-equal
+    * rows for the same pair. */
+  private def containVerify(t: DataFrame, cand: DataFrame): DataFrame = {
+    val wa = t.select(col("doc_id").as("id_a"), col("w").as("wa"))
+    val wb = t.select(col("doc_id").as("id_b"), col("w").as("wb"))
+    cand.join(wa, "id_a").join(wb, "id_b")
+      .filter(size(col("wb")) * 10 >= size(col("wa")) * 9)
+      .withColumn("inter", expr("sorted_intersect_size(wa, wb)"))
+      .filter(col("inter") * 10 >= size(col("wa")) * 9)
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") / size(col("wa")), 6).as("cont"))
+  }
+
   private val moreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- n-gram jaccard near-dup: prefix-filter (AllPairs) set-similarity
     //      join over word 3-gram shingle sets ----
@@ -1789,33 +1826,70 @@ object VectorOps {
     // integer arithmetic (inter*10 >= |A|*9) — no FP boundary to flip.
     "dedup_containment" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      val t = Tables.documents(s, d)
-        .withColumn("toks", split(col("text"), " "))
-        .select(col("doc_id"),
-          array_sort(array_distinct(transform(shingleCol(col("text"), "toks"),
-            x => xxhash64(x)))).as("w"))
+      val t = shingleHashSets(Tables.documents(s, d))
       val dfTbl = t.select(explode(col("w")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("df"))
-      val rnW = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
-      val pref = t.select(col("doc_id"), size(col("w")).as("n"),
-          explode(col("w")).as("tok"))
-        .join(dfTbl, "tok")
-        .withColumn("rn", row_number().over(rnW))
-        .filter(col("rn") <= expr("n - (9 * n + 9) div 10 + 1"))
-        .select(col("doc_id"), col("tok"))
+      val pref = containPrefix(t, dfTbl)
       val post = t.select(col("doc_id").as("id_b"), explode(col("w")).as("tok"))
       val cand = pref.as("x").join(post,
           col("x.tok") === post("tok") && col("x.doc_id") =!= col("id_b"))
         .select(col("x.doc_id").as("id_a"), col("id_b"))
         .distinct()
-      val wa = t.select(col("doc_id").as("id_a"), col("w").as("wa"))
-      val wb = t.select(col("doc_id").as("id_b"), col("w").as("wb"))
-      cand.join(wa, "id_a").join(wb, "id_b")
-        .filter(size(col("wb")) * 10 >= size(col("wa")) * 9)
-        .withColumn("inter", expr("sorted_intersect_size(wa, wb)"))
-        .filter(col("inter") * 10 >= size(col("wa")) * 9)
-        .select(col("id_a"), col("id_b"),
-          round(col("inter").cast("double") / size(col("wa")), 6).as("cont"))
+      containVerify(t, cand).orderBy("id_a", "id_b")
+    }),
+
+    // ---- incremental containment: frozen-df prefixes, delta-only explode --
+    // The append verb for the asymmetric family. The df-ascending prefix
+    // ORDER is only a performance heuristic — the filter is lossless under
+    // ANY fixed total token order — so the base's df table is FROZEN as a
+    // durable artifact (the stale-statistics analog of the IVF append's
+    // stale codebook; tokens unseen in base rank as df = 0, i.e. rarest
+    // — exactly right). Base shingle sets, prefixes and verified
+    // base-base pairs are durable and reused verbatim (a pair's
+    // containment depends only on its two members — final forever); a
+    // delta ingest explodes only itself: delta prefixes probe
+    // base ∪ delta postings (delta-contained case), stored base prefixes
+    // probe delta postings alone (base-contained-in-delta case). Coverage
+    // is exhaustive by the same case split, and since verification
+    // recomputes exact containment on candidates, the result is
+    // hash-equal to the full rebuild — which IS the oracle.
+    "dedup_containment_append" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, d)
+      val key = s"$d:${docsFp(d)}"
+      val isDelta = col("doc_id") % 5 === 4
+      val tBase = shared(s, s"contain_sets_base:$key")(
+        shingleHashSets(docs.filter(!isDelta)))
+      val dfBase = shared(s, s"contain_df_base:$key")(
+        tBase.select(explode(col("w")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("df")))
+      val prefBase = shared(s, s"contain_pref_base:$key")(
+        containPrefix(tBase, dfBase))
+      // postings re-derive from the stored sets (one cheap explode) —
+      // storing them would duplicate the sets at shingle granularity
+      val postBase = tBase.select(col("doc_id").as("id_b"),
+        explode(col("w")).as("tok"))
+      val basePairs = shared(s, s"contain_pairs_base:$key")(
+        containVerify(tBase,
+          prefBase.as("x").join(postBase,
+              col("x.tok") === postBase("tok") &&
+                col("x.doc_id") =!= col("id_b"))
+            .select(col("x.doc_id").as("id_a"), col("id_b")).distinct()))
+      val tDelta = shingleHashSets(docs.filter(isDelta))
+      val tAll = tBase.unionByName(tDelta)
+      val postDelta = tDelta.select(col("doc_id").as("id_b"),
+        explode(col("w")).as("tok"))
+      val postAll = postBase.unionByName(postDelta)
+      val prefDelta = containPrefix(tDelta, dfBase)
+      val cand = prefDelta.as("x").join(postAll,
+          col("x.tok") === postAll("tok") && col("x.doc_id") =!= col("id_b"))
+        .select(col("x.doc_id").as("id_a"), col("id_b"))
+        .unionByName(prefBase.as("y").join(postDelta,
+            col("y.tok") === postDelta("tok") &&
+              col("y.doc_id") =!= col("id_b"))
+          .select(col("y.doc_id").as("id_a"), col("id_b")))
+        .distinct()
+      basePairs.unionByName(containVerify(tAll, cand))
         .orderBy("id_a", "id_b")
     }),
 
@@ -2158,6 +2232,26 @@ object VectorOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     baseQueries ++ moreQueries
 
+  /** Directed all-pairs containment ≥ 0.9 (quadratic — sf0.01-gate only),
+    * shared by the full scan and its append path (whose contract is
+    * hash-equality to the full rebuild). */
+  private val ContainmentOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+      |         ELSE list_distinct(list_transform(
+      |            range(1, len(string_split(text, ' ')) - 1),
+      |            i -> string_split(text, ' ')[i] || ' ' ||
+      |                 string_split(text, ' ')[i + 1] || ' ' ||
+      |                 string_split(text, ' ')[i + 2]))
+      |    END AS w
+      |  FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(len(list_intersect(a.w, b.w))::DOUBLE / len(a.w), 6) AS cont
+      |FROM t a JOIN t b ON a.doc_id != b.doc_id
+      |WHERE len(list_intersect(a.w, b.w)) * 10 >= len(a.w) * 9
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** The recursive-CTE true connected-components fixpoint, shared by the
     * label-propagation and star-contraction implementations. */
   private[queries] val CcFixpointOracle: String =
@@ -2487,23 +2581,10 @@ object VectorOps {
         |ORDER BY id_a, id_b""".stripMargin,
     // directed all-pairs containment (quadratic — sf0.01-gate only, like
     // the other all-pairs oracles); the integer threshold keeps the gate
-    // FP-free on both engines
-    "dedup_containment" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
-        |         ELSE list_distinct(list_transform(
-        |            range(1, len(string_split(text, ' ')) - 1),
-        |            i -> string_split(text, ' ')[i] || ' ' ||
-        |                 string_split(text, ' ')[i + 1] || ' ' ||
-        |                 string_split(text, ' ')[i + 2]))
-        |    END AS w
-        |  FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  round(len(list_intersect(a.w, b.w))::DOUBLE / len(a.w), 6) AS cont
-        |FROM t a JOIN t b ON a.doc_id != b.doc_id
-        |WHERE len(list_intersect(a.w, b.w)) * 10 >= len(a.w) * 9
-        |ORDER BY id_a, id_b""".stripMargin,
+    // FP-free on both engines. The append path's contract is hash-equality
+    // to the full rebuild, so it shares this oracle verbatim.
+    "dedup_containment_append" -> ContainmentOracle,
+    "dedup_containment" -> ContainmentOracle,
     // true connected-components fixpoint via recursive CTE over the same
     // all-pairs >= 0.9 jaccard graph — an under-converged Spark label
     // propagation (or a wrong star contraction) would hash-mismatch
