@@ -205,6 +205,26 @@ object VectorOps {
       .orderBy("qid", "rnk")
   }
 
+  /** RRF fusion of the cosine and BM25 top-20s (see the registry comment
+    * at `sim_rrf_topk`); factored out so the SQL front door can bind the
+    * same frame as a temp view. */
+  private def rrfTopK(s: SparkSession, d: String): DataFrame = {
+    val cosR = bruteForceTopK(embOf(s, d), topK = 20)
+      .select(col("qid"), col("nid"), col("rnk").as("ra"))
+    val lexR = LlmText.bm25Ranked(s, d, topN = 20)
+      .select(col("qid"), col("nid"), col("rnk").as("rb"))
+    val fused = cosR.join(lexR, Seq("qid", "nid"), "full")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("ra").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("rb").cast("double")), lit(0.0)))
+    val w = Window.partitionBy("qid").orderBy(col("rrf").desc, col("nid"))
+    fused.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk").cast("long").as("rnk"), col("nid"),
+        round(col("rrf"), 6).as("rrf"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Exact filtered top-k: like [[bruteForceTopK]] but each query only
     * competes within its own label class. The label equality is an equi key,
     * so Catalyst plans a broadcast HASH join (the unfiltered baseline needs
@@ -1327,21 +1347,20 @@ object VectorOps {
     // thin top-N-per-query lists on (qid, nid) — negligible next to the
     // input rankings, and either side swaps to its ANN/inverted index
     // without touching the fusion.
-    "sim_rrf_topk" -> ((s, d) => {
-      val cosR = bruteForceTopK(embOf(s, d), topK = 20)
-        .select(col("qid"), col("nid"), col("rnk").as("ra"))
-      val lexR = LlmText.bm25Ranked(s, d, topN = 20)
-        .select(col("qid"), col("nid"), col("rnk").as("rb"))
-      val fused = cosR.join(lexR, Seq("qid", "nid"), "full")
-        .withColumn("rrf",
-          coalesce(lit(1.0) / (lit(60.0) + col("ra").cast("double")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60.0) + col("rb").cast("double")), lit(0.0)))
-      val w = Window.partitionBy("qid").orderBy(col("rrf").desc, col("nid"))
-      fused.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select(col("qid"), col("rk").cast("long").as("rnk"), col("nid"),
-          round(col("rrf"), 6).as("rrf"))
-        .orderBy("qid", "rnk")
+    "sim_rrf_topk" -> ((s, d) => rrfTopK(s, d)),
+
+    // ---- retrieval through the SQL front door ----
+    // sql_front_door_curation's contract extended to the retrieval stack:
+    // the fused RRF ranking and the exact semantic top-3 register as temp
+    // views, and ONE shared report text (per fused rank, how many results
+    // pure semantic search would also have returned — the lexical-lift
+    // readout of a hybrid stack) executes verbatim on both engines. The
+    // Spark plan under the report is the fusion's own.
+    "sql_front_door_retrieval" -> ((s, d) => {
+      rrfTopK(s, d).createOrReplaceTempView("rrf_topk")
+      bruteForceTopK(embOf(s, d), topK = 3)
+        .createOrReplaceTempView("cos_topk")
+      s.sql(SqlRetrievalReport)
     }),
 
     // ---- MMR diversification: relevance minus redundancy, greedy top-3 --
@@ -2232,6 +2251,50 @@ object VectorOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     baseQueries ++ moreQueries
 
+  /** CTE chain of the RRF oracle (BM25 top-20 `bmr`, cosine top-20
+    * `cosr`, union-semantics fusion `fused`) and its final select —
+    * split so the SQL front door can bind the fused frame as a view. */
+  private lazy val RrfOracleCtes: String =
+    s"""${LlmText.bm25OracleCtes(topN = 20)},
+      |ce AS MATERIALIZED (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |cq AS MATERIALIZED (
+      |  SELECT vec_id AS qid, emb AS qe FROM ce WHERE vec_id % 50 = 0),
+      |cp AS MATERIALIZED (
+      |  SELECT cq.qid, ce.vec_id AS nid,
+      |    list_sum(list_transform(list_zip(cq.qe, ce.emb), s -> s[1]*s[2])) /
+      |      (sqrt(list_sum(list_transform(cq.qe, x -> x*x))) *
+      |       sqrt(list_sum(list_transform(ce.emb, x -> x*x)))) AS c
+      |  FROM cq JOIN ce ON ce.vec_id != cq.qid),
+      |cosr AS MATERIALIZED (
+      |  SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid
+      |  FROM (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+      |          ORDER BY c DESC, nid) AS rnk FROM cp)
+      |  WHERE rnk <= 20),
+      |fused AS MATERIALIZED (
+      |  SELECT coalesce(a.qid, b.qid) AS qid, coalesce(a.nid, b.nid) AS nid,
+      |    coalesce(1.0 / (60.0 + CAST(a.rnk AS DOUBLE)), 0.0) +
+      |    coalesce(1.0 / (60.0 + CAST(b.rnk AS DOUBLE)), 0.0) AS rrf
+      |  FROM cosr a FULL JOIN bmr b ON a.qid = b.qid AND a.nid = b.nid)"""
+      .stripMargin
+
+  private val RrfOracleSelect: String =
+    """SELECT qid, CAST(rk AS BIGINT) AS rnk, nid, round(rrf, 6) AS rrf
+      |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+      |        ORDER BY rrf DESC, nid) AS rk FROM fused)
+      |WHERE rk <= 3""".stripMargin
+
+  /** The shared front-door report: per fused rank, how many results the
+    * pure semantic top-3 would also have returned — the lexical-lift
+    * readout of a hybrid stack. Dialect intersection only. */
+  private[queries] val SqlRetrievalReport: String =
+    """SELECT r.rnk, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN c.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_in_cos_top3
+      |FROM rrf_topk r LEFT JOIN cos_topk c
+      |  ON c.qid = r.qid AND c.nid = r.nid
+      |GROUP BY r.rnk ORDER BY r.rnk""".stripMargin
+
   /** Directed all-pairs containment ≥ 0.9 (quadratic — sf0.01-gate only),
     * shared by the full scan and its append path (whose contract is
     * hash-equality to the full rebuild). */
@@ -2341,31 +2404,19 @@ object VectorOps {
         |  0::BIGINT AS n_only_blocked, 0::BIGINT AS n_only_exact,
         |  true AS sets_equal""".stripMargin,
     "sim_rrf_topk" ->
-      s"""WITH ${LlmText.bm25OracleCtes(topN = 20)},
-        |ce AS MATERIALIZED (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |cq AS MATERIALIZED (
-        |  SELECT vec_id AS qid, emb AS qe FROM ce WHERE vec_id % 50 = 0),
-        |cp AS MATERIALIZED (
-        |  SELECT cq.qid, ce.vec_id AS nid,
-        |    list_sum(list_transform(list_zip(cq.qe, ce.emb), s -> s[1]*s[2])) /
-        |      (sqrt(list_sum(list_transform(cq.qe, x -> x*x))) *
-        |       sqrt(list_sum(list_transform(ce.emb, x -> x*x)))) AS c
-        |  FROM cq JOIN ce ON ce.vec_id != cq.qid),
-        |cosr AS MATERIALIZED (
-        |  SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid
-        |  FROM (SELECT qid, nid, row_number() OVER (PARTITION BY qid
-        |          ORDER BY c DESC, nid) AS rnk FROM cp)
-        |  WHERE rnk <= 20),
-        |fused AS MATERIALIZED (
-        |  SELECT coalesce(a.qid, b.qid) AS qid, coalesce(a.nid, b.nid) AS nid,
-        |    coalesce(1.0 / (60.0 + CAST(a.rnk AS DOUBLE)), 0.0) +
-        |    coalesce(1.0 / (60.0 + CAST(b.rnk AS DOUBLE)), 0.0) AS rrf
-        |  FROM cosr a FULL JOIN bmr b ON a.qid = b.qid AND a.nid = b.nid)
-        |SELECT qid, CAST(rk AS BIGINT) AS rnk, nid, round(rrf, 6) AS rrf
-        |FROM (SELECT *, row_number() OVER (PARTITION BY qid
-        |        ORDER BY rrf DESC, nid) AS rk FROM fused)
-        |WHERE rk <= 3 ORDER BY qid, rnk""".stripMargin,
+      s"""WITH $RrfOracleCtes
+        |$RrfOracleSelect ORDER BY qid, rnk""".stripMargin,
+    // retrieval through the SQL front door: the fused ranking and the
+    // exact top-3 bound as views + ONE shared report text on both engines
+    "sql_front_door_retrieval" ->
+      s"""WITH $RrfOracleCtes,
+        |rrf_topk AS MATERIALIZED ($RrfOracleSelect),
+        |cos_topk AS MATERIALIZED (
+        |  SELECT qid, rnk, nid FROM (
+        |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |      ORDER BY c DESC, nid) AS rnk FROM cp)
+        |  WHERE rnk <= 3)
+        |$SqlRetrievalReport""".stripMargin,
     "sim_mmr_topk" ->
       """WITH ce AS MATERIALIZED (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
