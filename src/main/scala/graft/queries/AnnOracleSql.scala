@@ -148,6 +148,45 @@ private[queries] object AnnOracleSql {
     withClause(ctes, topKSelect(topK))
   }
 
+  /** Oracle for `sim_rrf_ann_topk` — RRF with the IVF index as the dense
+    * side: the trained IVF top-20 (same CTE chain as ivfTopK) fused with
+    * the BM25 top-20 under union semantics. The proof of the fusion's
+    * index-swap claim: the dense ranking changed engines, the fusion text
+    * did not, and the whole composition still hash-matches. */
+  def rrfAnnTopK(k: Int, nProbe: Int): String = {
+    val ctes = Seq(graft.queries.LlmText.bm25OracleCtes(topN = 20)) ++
+      baseCtes() ++ kmeansCtes("v", "sm", k, m = 1, subDim = Dim) ++ Seq(
+      cellRank("cr", "e", s"cv$Iters"),
+      s"""en AS MATERIALIZED (
+        |  SELECT e.vec_id, e.emb, ${nrm("e.emb")} AS nrm, cr.cid AS cell
+        |  FROM e JOIN cr ON cr.vec_id = e.vec_id AND cr.rn = 1)""".stripMargin,
+      s"""q AS MATERIALIZED (
+        |  SELECT eq.vec_id AS qid, eq.emb AS qe, eq.nrm AS qn, cr.cid AS cell
+        |  FROM en eq JOIN cr ON cr.vec_id = eq.vec_id AND cr.rn <= $nProbe
+        |  WHERE eq.vec_id % 50 = 0)""".stripMargin,
+      s"""p AS MATERIALIZED (
+        |  SELECT q.qid, en.vec_id AS nid,
+        |    ${dot("q.qe", "en.emb")} / (q.qn * en.nrm) AS c
+        |  FROM q JOIN en ON en.cell = q.cell AND en.vec_id != q.qid)"""
+        .stripMargin,
+      """annr AS MATERIALIZED (
+        |  SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid
+        |  FROM (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |          ORDER BY c DESC, nid) AS rnk FROM p)
+        |  WHERE rnk <= 20)""".stripMargin,
+      """fused AS MATERIALIZED (
+        |  SELECT coalesce(a.qid, b.qid) AS qid, coalesce(a.nid, b.nid) AS nid,
+        |    coalesce(1.0 / (60.0 + CAST(a.rnk AS DOUBLE)), 0.0) +
+        |    coalesce(1.0 / (60.0 + CAST(b.rnk AS DOUBLE)), 0.0) AS rrf
+        |  FROM annr a FULL JOIN bmr b ON a.qid = b.qid AND a.nid = b.nid)"""
+        .stripMargin)
+    withClause(ctes,
+      """SELECT qid, CAST(rk AS BIGINT) AS rnk, nid, round(rrf, 6) AS rrf
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY rrf DESC, nid) AS rk FROM fused)
+        |WHERE rk <= 3 ORDER BY qid, rnk""".stripMargin)
+  }
+
   /** Oracle for [[VectorOps.annSqTopK]] — scalar quantization: per-dim
     * corpus [min, max] (order-free aggregates), op-for-op encode
     * (floor((v-mn)/(mx-mn)·255) clamped) and mid-bin decode

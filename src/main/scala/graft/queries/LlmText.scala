@@ -2097,12 +2097,12 @@ object LlmText {
       |dfq AS MATERIALIZED (SELECT w, count(*) AS df FROM tf GROUP BY w),
       |st AS MATERIALIZED (
       |  SELECT count(*) AS n_docs, sum(dl) AS n_tok FROM dl),
-      |q AS MATERIALIZED (
+      |bq AS MATERIALIZED (
       |  SELECT doc_id AS qid,
       |    unnest(list_distinct(string_split(text, ' ')[1:8])) AS w
       |  FROM documents WHERE doc_id % 50 = 0),
       |c AS MATERIALIZED (
-      |  SELECT q.qid, tf.doc_id AS nid, tf.w,
+      |  SELECT bq.qid, tf.doc_id AS nid, tf.w,
       |    ln(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
       |        / (CAST(dfq.df AS DOUBLE) + 0.5))
       |      * (CAST(tf.tf AS DOUBLE) * 2.2)
@@ -2110,7 +2110,7 @@ object LlmText {
       |          (CAST(dl.dl AS DOUBLE) /
       |            (CAST(st.n_tok AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))
       |      AS contrib
-      |  FROM tf JOIN q ON q.w = tf.w AND tf.doc_id != q.qid
+      |  FROM tf JOIN bq ON bq.w = tf.w AND tf.doc_id != bq.qid
       |    JOIN dfq ON dfq.w = tf.w
       |    JOIN dl ON dl.doc_id = tf.doc_id
       |    CROSS JOIN st),

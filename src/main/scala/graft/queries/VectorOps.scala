@@ -1349,6 +1349,30 @@ object VectorOps {
     // without touching the fusion.
     "sim_rrf_topk" -> ((s, d) => rrfTopK(s, d)),
 
+    // ---- RRF with the INDEX as the dense side: the swap, proven ----
+    // sim_rrf_topk's scale claim is "either side swaps to its index
+    // without touching the fusion" — this entry IS that swap: the IVF
+    // index's top-20 (cell-pruned, ~nProbe/k of the corpus scored per
+    // query) replaces the exact scan, the fusion arithmetic is identical,
+    // and the whole composition still hash-matches an exact oracle (the
+    // trained-IVF CTE chain fused with the BM25 chain in SQL).
+    "sim_rrf_ann_topk" -> ((s, d) => {
+      val annR = annIvfTopK(s, embOf(s, d), d, k = 16, nProbe = 4, topK = 20)
+        .select(col("qid"), col("nid"), col("rnk").as("ra"))
+      val lexR = LlmText.bm25Ranked(s, d, topN = 20)
+        .select(col("qid"), col("nid"), col("rnk").as("rb"))
+      val fused = annR.join(lexR, Seq("qid", "nid"), "full")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60.0) + col("ra").cast("double")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("rb").cast("double")), lit(0.0)))
+      val w = Window.partitionBy("qid").orderBy(col("rrf").desc, col("nid"))
+      fused.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("rk").cast("long").as("rnk"), col("nid"),
+          round(col("rrf"), 6).as("rrf"))
+        .orderBy("qid", "rnk")
+    }),
+
     // ---- retrieval through the SQL front door ----
     // sql_front_door_curation's contract extended to the retrieval stack:
     // the fused RRF ranking and the exact semantic top-3 register as temp
@@ -2406,6 +2430,7 @@ object VectorOps {
     "sim_rrf_topk" ->
       s"""WITH $RrfOracleCtes
         |$RrfOracleSelect ORDER BY qid, rnk""".stripMargin,
+    "sim_rrf_ann_topk" -> AnnOracleSql.rrfAnnTopK(k = 16, nProbe = 4),
     // retrieval through the SQL front door: the fused ranking and the
     // exact top-3 bound as views + ONE shared report text on both engines
     "sql_front_door_retrieval" ->
