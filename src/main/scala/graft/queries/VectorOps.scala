@@ -1806,6 +1806,66 @@ object VectorOps {
         round(col("inter").cast("double") / size(col("wa")), 6).as("cont"))
   }
 
+  /** Full asymmetric-containment scan over an arbitrary documents frame
+    * (doc_id, text). */
+  private[queries] def containmentOf(s: SparkSession,
+      docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = shingleHashSets(docs)
+    val dfTbl = t.select(explode(col("w")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val pref = containPrefix(t, dfTbl)
+    val post = t.select(col("doc_id").as("id_b"), explode(col("w")).as("tok"))
+    val cand = pref.as("x").join(post,
+        col("x.tok") === post("tok") && col("x.doc_id") =!= col("id_b"))
+      .select(col("x.doc_id").as("id_a"), col("id_b"))
+      .distinct()
+    containVerify(t, cand)
+  }
+
+  /** Append path of the containment scan (see the registry comment at
+    * `dedup_containment_append`); `storeKey = None` skips the durable
+    * artifacts (spec use). */
+  private[queries] def containmentAppendOf(s: SparkSession, docs: DataFrame,
+      storeKey: Option[String]): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    def keep(name: String)(build: => DataFrame): DataFrame = storeKey match {
+      case Some(kk) => shared(s, s"$name:$kk")(build)
+      case None     => build
+    }
+    val isDelta = col("doc_id") % 5 === 4
+    val tBase = keep("contain_sets_base")(shingleHashSets(docs.filter(!isDelta)))
+    val dfBase = keep("contain_df_base")(
+      tBase.select(explode(col("w")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df")))
+    val prefBase = keep("contain_pref_base")(containPrefix(tBase, dfBase))
+    // postings re-derive from the stored sets (one cheap explode) —
+    // storing them would duplicate the sets at shingle granularity
+    val postBase = tBase.select(col("doc_id").as("id_b"),
+      explode(col("w")).as("tok"))
+    val basePairs = keep("contain_pairs_base")(
+      containVerify(tBase,
+        prefBase.as("x").join(postBase,
+            col("x.tok") === postBase("tok") &&
+              col("x.doc_id") =!= col("id_b"))
+          .select(col("x.doc_id").as("id_a"), col("id_b")).distinct()))
+    val tDelta = shingleHashSets(docs.filter(isDelta))
+    val tAll = tBase.unionByName(tDelta)
+    val postDelta = tDelta.select(col("doc_id").as("id_b"),
+      explode(col("w")).as("tok"))
+    val postAll = postBase.unionByName(postDelta)
+    val prefDelta = containPrefix(tDelta, dfBase)
+    val cand = prefDelta.as("x").join(postAll,
+        col("x.tok") === postAll("tok") && col("x.doc_id") =!= col("id_b"))
+      .select(col("x.doc_id").as("id_a"), col("id_b"))
+      .unionByName(prefBase.as("y").join(postDelta,
+          col("y.tok") === postDelta("tok") &&
+            col("y.doc_id") =!= col("id_b"))
+        .select(col("y.doc_id").as("id_a"), col("id_b")))
+      .distinct()
+    basePairs.unionByName(containVerify(tAll, cand))
+  }
+
   private val moreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- n-gram jaccard near-dup: prefix-filter (AllPairs) set-similarity
     //      join over word 3-gram shingle sets ----
@@ -1867,19 +1927,8 @@ object VectorOps {
     // the full posting list of the container side (rare-first ordering
     // keeps those postings tiny). Verification and the threshold are pure
     // integer arithmetic (inter*10 >= |A|*9) — no FP boundary to flip.
-    "dedup_containment" -> ((s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      val t = shingleHashSets(Tables.documents(s, d))
-      val dfTbl = t.select(explode(col("w")).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("df"))
-      val pref = containPrefix(t, dfTbl)
-      val post = t.select(col("doc_id").as("id_b"), explode(col("w")).as("tok"))
-      val cand = pref.as("x").join(post,
-          col("x.tok") === post("tok") && col("x.doc_id") =!= col("id_b"))
-        .select(col("x.doc_id").as("id_a"), col("id_b"))
-        .distinct()
-      containVerify(t, cand).orderBy("id_a", "id_b")
-    }),
+    "dedup_containment" -> ((s, d) =>
+      containmentOf(s, Tables.documents(s, d)).orderBy("id_a", "id_b")),
 
     // ---- incremental containment: frozen-df prefixes, delta-only explode --
     // The append verb for the asymmetric family. The df-ascending prefix
@@ -1896,45 +1945,9 @@ object VectorOps {
     // is exhaustive by the same case split, and since verification
     // recomputes exact containment on candidates, the result is
     // hash-equal to the full rebuild — which IS the oracle.
-    "dedup_containment_append" -> ((s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      val docs = Tables.documents(s, d)
-      val key = s"$d:${docsFp(d)}"
-      val isDelta = col("doc_id") % 5 === 4
-      val tBase = shared(s, s"contain_sets_base:$key")(
-        shingleHashSets(docs.filter(!isDelta)))
-      val dfBase = shared(s, s"contain_df_base:$key")(
-        tBase.select(explode(col("w")).as("tok"))
-          .groupBy("tok").agg(count(lit(1)).as("df")))
-      val prefBase = shared(s, s"contain_pref_base:$key")(
-        containPrefix(tBase, dfBase))
-      // postings re-derive from the stored sets (one cheap explode) —
-      // storing them would duplicate the sets at shingle granularity
-      val postBase = tBase.select(col("doc_id").as("id_b"),
-        explode(col("w")).as("tok"))
-      val basePairs = shared(s, s"contain_pairs_base:$key")(
-        containVerify(tBase,
-          prefBase.as("x").join(postBase,
-              col("x.tok") === postBase("tok") &&
-                col("x.doc_id") =!= col("id_b"))
-            .select(col("x.doc_id").as("id_a"), col("id_b")).distinct()))
-      val tDelta = shingleHashSets(docs.filter(isDelta))
-      val tAll = tBase.unionByName(tDelta)
-      val postDelta = tDelta.select(col("doc_id").as("id_b"),
-        explode(col("w")).as("tok"))
-      val postAll = postBase.unionByName(postDelta)
-      val prefDelta = containPrefix(tDelta, dfBase)
-      val cand = prefDelta.as("x").join(postAll,
-          col("x.tok") === postAll("tok") && col("x.doc_id") =!= col("id_b"))
-        .select(col("x.doc_id").as("id_a"), col("id_b"))
-        .unionByName(prefBase.as("y").join(postDelta,
-            col("y.tok") === postDelta("tok") &&
-              col("y.doc_id") =!= col("id_b"))
-          .select(col("y.doc_id").as("id_a"), col("id_b")))
-        .distinct()
-      basePairs.unionByName(containVerify(tAll, cand))
-        .orderBy("id_a", "id_b")
-    }),
+    "dedup_containment_append" -> ((s, d) => containmentAppendOf(s,
+      Tables.documents(s, d), storeKey = Some(s"$d:${docsFp(d)}"))
+      .orderBy("id_a", "id_b")),
 
     // ---- IVF ANN: coarse k-means quantizer, probe nearest cells ----
     // The cluster-index scale path: train a small codebook, assign every
