@@ -187,6 +187,66 @@ private[queries] object AnnOracleSql {
         |WHERE rk <= 3 ORDER BY qid, rnk""".stripMargin)
   }
 
+  /** Oracle for `sim_rrf_swap_overlap`: BOTH fusion pipelines — exact
+    * dense and trained-IVF dense, each fused with the same BM25 top-20 —
+    * composed in one query, then the per-query top-3 overlap. An exact,
+    * hash-checked end-metric of the index swap (not a floor gate). */
+  def rrfSwapOverlap(k: Int, nProbe: Int): String = {
+    def fuse(dense: String, out: String): Seq[String] = Seq(
+      s"""$out AS MATERIALIZED (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |        ORDER BY rrf DESC, nid) AS rk
+        |    FROM (SELECT coalesce(a.qid, b.qid) AS qid,
+        |            coalesce(a.nid, b.nid) AS nid,
+        |            coalesce(1.0 / (60.0 + CAST(a.rnk AS DOUBLE)), 0.0) +
+        |            coalesce(1.0 / (60.0 + CAST(b.rnk AS DOUBLE)), 0.0)
+        |              AS rrf
+        |          FROM $dense a FULL JOIN bmr b
+        |            ON a.qid = b.qid AND a.nid = b.nid))
+        |  WHERE rk <= 3)""".stripMargin)
+    val ctes = Seq(graft.queries.LlmText.bm25OracleCtes(topN = 20)) ++
+      baseCtes() ++ kmeansCtes("v", "sm", k, m = 1, subDim = Dim) ++ Seq(
+      cellRank("cr", "e", s"cv$Iters"),
+      s"""en AS MATERIALIZED (
+        |  SELECT e.vec_id, e.emb, ${nrm("e.emb")} AS nrm, cr.cid AS cell
+        |  FROM e JOIN cr ON cr.vec_id = e.vec_id AND cr.rn = 1)""".stripMargin,
+      s"""q AS MATERIALIZED (
+        |  SELECT eq.vec_id AS qid, eq.emb AS qe, eq.nrm AS qn, cr.cid AS cell
+        |  FROM en eq JOIN cr ON cr.vec_id = eq.vec_id AND cr.rn <= $nProbe
+        |  WHERE eq.vec_id % 50 = 0)""".stripMargin,
+      s"""p AS MATERIALIZED (
+        |  SELECT q.qid, en.vec_id AS nid,
+        |    ${dot("q.qe", "en.emb")} / (q.qn * en.nrm) AS c
+        |  FROM q JOIN en ON en.cell = q.cell AND en.vec_id != q.qid)"""
+        .stripMargin,
+      """annr AS MATERIALIZED (
+        |  SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid
+        |  FROM (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |          ORDER BY c DESC, nid) AS rnk FROM p)
+        |  WHERE rnk <= 20)""".stripMargin,
+      s"""xq AS MATERIALIZED (
+        |  SELECT vec_id AS qid, emb AS qe, ${nrm("emb")} AS qn FROM e
+        |  WHERE vec_id % 50 = 0)""".stripMargin,
+      s"""xp AS MATERIALIZED (
+        |  SELECT xq.qid, e.vec_id AS nid,
+        |    ${dot("xq.qe", "e.emb")} / (xq.qn * ${nrm("e.emb")}) AS c
+        |  FROM xq JOIN e ON e.vec_id != xq.qid)""".stripMargin,
+      """xr AS MATERIALIZED (
+        |  SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid
+        |  FROM (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |          ORDER BY c DESC, nid) AS rnk FROM xp)
+        |  WHERE rnk <= 20)""".stripMargin) ++
+      fuse("annr", "a3") ++ fuse("xr", "x3")
+    withClause(ctes,
+      """SELECT qq.qid, CAST(coalesce(c.cnt, 0) AS BIGINT) AS n_common
+        |FROM (SELECT DISTINCT qid FROM x3) qq LEFT JOIN
+        |  (SELECT x3.qid, count(*) AS cnt
+        |   FROM x3 JOIN a3 ON a3.qid = x3.qid AND a3.nid = x3.nid
+        |   GROUP BY x3.qid) c ON c.qid = qq.qid
+        |ORDER BY qq.qid""".stripMargin)
+  }
+
   /** Oracle for [[VectorOps.annSqTopK]] — scalar quantization: per-dim
     * corpus [min, max] (order-free aggregates), op-for-op encode
     * (floor((v-mn)/(mx-mn)·255) clamped) and mid-bin decode

@@ -225,6 +225,25 @@ object VectorOps {
       .orderBy("qid", "rnk")
   }
 
+  /** RRF with the IVF index as the dense side (see the registry comment
+    * at `sim_rrf_ann_topk`). */
+  private def rrfAnnTopK(s: SparkSession, d: String): DataFrame = {
+    val annR = annIvfTopK(s, embOf(s, d), d, k = 16, nProbe = 4, topK = 20)
+      .select(col("qid"), col("nid"), col("rnk").as("ra"))
+    val lexR = LlmText.bm25Ranked(s, d, topN = 20)
+      .select(col("qid"), col("nid"), col("rnk").as("rb"))
+    val fused = annR.join(lexR, Seq("qid", "nid"), "full")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("ra").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("rb").cast("double")), lit(0.0)))
+    val w = Window.partitionBy("qid").orderBy(col("rrf").desc, col("nid"))
+    fused.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk").cast("long").as("rnk"), col("nid"),
+        round(col("rrf"), 6).as("rrf"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Exact filtered top-k: like [[bruteForceTopK]] but each query only
     * competes within its own label class. The label equality is an equi key,
     * so Catalyst plans a broadcast HASH join (the unfiltered baseline needs
@@ -1356,21 +1375,25 @@ object VectorOps {
     // query) replaces the exact scan, the fusion arithmetic is identical,
     // and the whole composition still hash-matches an exact oracle (the
     // trained-IVF CTE chain fused with the BM25 chain in SQL).
-    "sim_rrf_ann_topk" -> ((s, d) => {
-      val annR = annIvfTopK(s, embOf(s, d), d, k = 16, nProbe = 4, topK = 20)
-        .select(col("qid"), col("nid"), col("rnk").as("ra"))
-      val lexR = LlmText.bm25Ranked(s, d, topN = 20)
-        .select(col("qid"), col("nid"), col("rnk").as("rb"))
-      val fused = annR.join(lexR, Seq("qid", "nid"), "full")
-        .withColumn("rrf",
-          coalesce(lit(1.0) / (lit(60.0) + col("ra").cast("double")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60.0) + col("rb").cast("double")), lit(0.0)))
-      val w = Window.partitionBy("qid").orderBy(col("rrf").desc, col("nid"))
-      fused.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select(col("qid"), col("rk").cast("long").as("rnk"), col("nid"),
-          round(col("rrf"), 6).as("rrf"))
-        .orderBy("qid", "rnk")
+    "sim_rrf_ann_topk" -> ((s, d) => rrfAnnTopK(s, d)),
+
+    // ---- the index swap's END-metric: per-query top-3 overlap ----
+    // What the swap actually costs where it matters — the final fused
+    // ranking: per query, how many of the exact-dense fusion's top-3 the
+    // IVF-dense fusion also returns. Both pipelines are exactly oracled
+    // individually; this entry composes them in ONE query on both engines
+    // (the oracle chains the bm25, exact-cosine and trained-IVF CTE
+    // blocks and fuses twice), so the overlap column is an exact,
+    // hash-checked measurement — not a floor certificate.
+    "sim_rrf_swap_overlap" -> ((s, d) => {
+      val ex = rrfTopK(s, d).select(col("qid"), col("nid"))
+      val an = rrfAnnTopK(s, d).select(col("qid"), col("nid"))
+      val common = ex.join(an, Seq("qid", "nid"))
+        .groupBy("qid").agg(count(lit(1)).as("cnt"))
+      ex.select("qid").distinct()
+        .join(common, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("cnt"), lit(0L)).as("n_common"))
+        .orderBy("qid")
     }),
 
     // ---- retrieval through the SQL front door ----
@@ -2444,6 +2467,7 @@ object VectorOps {
       s"""WITH $RrfOracleCtes
         |$RrfOracleSelect ORDER BY qid, rnk""".stripMargin,
     "sim_rrf_ann_topk" -> AnnOracleSql.rrfAnnTopK(k = 16, nProbe = 4),
+    "sim_rrf_swap_overlap" -> AnnOracleSql.rrfSwapOverlap(k = 16, nProbe = 4),
     // retrieval through the SQL front door: the fused ranking and the
     // exact top-3 bound as views + ONE shared report text on both engines
     "sql_front_door_retrieval" ->

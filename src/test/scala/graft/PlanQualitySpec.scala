@@ -36,7 +36,7 @@ class PlanQualitySpec extends SparkSpec {
     // RRF fusion inherits both BM25's stats broadcast and the exact-cosine
     // side's non-equi query-sample broadcast
     "sim_bm25_topk", "sim_rrf_topk", "sim_hard_negatives", "sim_mmr_topk",
-    "sql_front_door_retrieval", "sim_rrf_ann_topk",
+    "sql_front_door_retrieval", "sim_rrf_ann_topk", "sim_rrf_swap_overlap",
     // the store-fidelity gate re-runs the brute-force baseline (the same
     // tiny-broadcast inequality join) against its durable parquet copy
     "ann_index_store_gate",
