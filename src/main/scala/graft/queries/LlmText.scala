@@ -2039,20 +2039,25 @@ object LlmText {
     val dfq = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tok"))
     // the BM25 term weight is QUERY-INDEPENDENT — idf(w) · tfterm(doc, w)
-    // — so it's computed once per (doc, term) posting, the inverted-index
-    // payload a real BM25 index stores
-    val wgt = tf.join(broadcast(dfq), "w")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .withColumn("idf", log(lit(1.0) +
-        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5))))
-      .withColumn("wbm",
-        col("idf") * (col("tf").cast("double") * lit(2.2)) /
-          (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
-            (col("dl").cast("double") /
-              (col("n_tok").cast("double") / col("n_docs").cast("double"))))))
-      .select(col("doc_id"), col("w"), col("wbm"))
+    // — so it's computed once per (doc, term) posting and PERSISTED as a
+    // durable artifact keyed by the data fingerprint, exactly like the
+    // IVF inverted file: this (doc_id, term, weight) table IS the
+    // inverted index a real BM25 engine stores, and every consumer
+    // (sim_bm25_topk, both RRF fusions, the hard-negative miner, the
+    // front door) REUSEs it instead of re-tokenizing the corpus
+    val wgt = VectorOps.shared(s, s"bm25_weights:$d:${VectorOps.docsFp(d)}")(
+      tf.join(broadcast(dfq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf", log(lit(1.0) +
+          (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))))
+        .withColumn("wbm",
+          col("idf") * (col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") /
+                (col("n_tok").cast("double") / col("n_docs").cast("double"))))))
+        .select(col("doc_id"), col("w"), col("wbm")))
     // each query has <= 8 DISTINCT terms, indexed in term order
     val qw = Window.partitionBy("qid").orderBy("w")
     val q = docs.filter(col("doc_id") % 50 === 0)
