@@ -2004,6 +2004,31 @@ object LlmText {
     // ranks.
     "sim_bm25_topk" -> ((s, d) => bm25Ranked(s, d, topN = 3).orderBy("qid", "rnk")),
 
+    // ---- incremental BM25: re-weight stored postings, never re-tokenize --
+    // The append verb for the LEXICAL index, completing the family
+    // (IVF/SQ/minhash/embed/substring/containment/semdedup all have one).
+    // Raw postings (doc_id, term, tf) are per-document — the base slice's
+    // table is a durable REUSEd artifact, a delta ingest tokenizes only
+    // itself — and every corpus statistic BM25 needs (df, doc length, N,
+    // total tokens) is an ADDITIVE aggregate of the postings, so exact
+    // global stats after the ingest cost one pass over the posting table.
+    // Weights are then recomputed from stored tf ("re-weight, don't
+    // re-tokenize" — the Lucene segment-merge insight), which makes the
+    // result HASH-EQUAL to the full rebuild, unlike a stale-stats serve.
+    // Shares sim_bm25_topk's oracle verbatim.
+    "sim_bm25_append_topk" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val isDelta = col("doc_id") % 5 === 4
+      def postings(part: DataFrame): DataFrame = part
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val tfBase = VectorOps.shared(s,
+        s"bm25_postings_base:$d:${VectorOps.docsFp(d)}")(
+        postings(docs.filter(!isDelta)))
+      val tf = tfBase.unionByName(postings(docs.filter(isDelta)))
+      bm25RankedOf(s, d, tf, topN = 3, wgtKey = None).orderBy("qid", "rnk")
+    }),
+
     // ---- multimodal plumbing: opaque binary column + typed metadata ----
     // Decode itself is stubbed (no codec libs in env); the Spark-side schema,
     // binary handling, and deterministic metadata extraction are real.
@@ -2033,6 +2058,19 @@ object LlmText {
     val docs = Tables.documents(s, d)
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
     val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    bm25RankedOf(s, d, tf, topN,
+      wgtKey = Some(s"bm25_weights:$d:${VectorOps.docsFp(d)}"))
+  }
+
+  /** BM25 ranking over an arbitrary raw-postings frame (doc_id, w, tf) —
+    * shared by the one-shot path and the append path (which unions stored
+    * base postings with a delta-only tokenize). Every corpus statistic
+    * BM25 needs (df, dl, N, total tokens) is an ADDITIVE aggregate of the
+    * postings, so deriving them here costs one pass over the posting
+    * table, never a corpus re-tokenize. */
+  private[queries] def bm25RankedOf(s: SparkSession, d: String, tf: DataFrame,
+      topN: Int, wgtKey: Option[String]): DataFrame = {
+    val docs = Tables.documents(s, d)
     // dl/df/stats all derive from tf, so the tokenize explode is shuffled
     // ONCE and every downstream aggregate rides the reused exchange
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
@@ -2045,7 +2083,7 @@ object LlmText {
     // inverted index a real BM25 engine stores, and every consumer
     // (sim_bm25_topk, both RRF fusions, the hard-negative miner, the
     // front door) REUSEs it instead of re-tokenizing the corpus
-    val wgt = VectorOps.shared(s, s"bm25_weights:$d:${VectorOps.docsFp(d)}")(
+    def weigh: DataFrame =
       tf.join(broadcast(dfq), "w")
         .join(dl, "doc_id")
         .crossJoin(broadcast(stats))
@@ -2057,7 +2095,11 @@ object LlmText {
             (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
               (col("dl").cast("double") /
                 (col("n_tok").cast("double") / col("n_docs").cast("double"))))))
-        .select(col("doc_id"), col("w"), col("wbm")))
+        .select(col("doc_id"), col("w"), col("wbm"))
+    val wgt = wgtKey match {
+      case Some(k) => VectorOps.shared(s, k)(weigh)
+      case None    => weigh
+    }
     // each query has <= 8 DISTINCT terms, indexed in term order
     val qw = Window.partitionBy("qid").orderBy("w")
     val q = docs.filter(col("doc_id") % 50 === 0)
@@ -2807,6 +2849,10 @@ object LlmText {
         |SELECT doc_id, word, tf, df, round(tfidf, 6) AS tfidf, rk
         |FROM r WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
     "sim_bm25_topk" ->
+      s"""WITH ${bm25OracleCtes(topN = 3)}
+        |SELECT qid, rnk, nid, score FROM bmr ORDER BY qid, rnk""".stripMargin,
+    // append contract: hash-equal to the full rebuild — same oracle
+    "sim_bm25_append_topk" ->
       s"""WITH ${bm25OracleCtes(topN = 3)}
         |SELECT qid, rnk, nid, score FROM bmr ORDER BY qid, rnk""".stripMargin,
     "mm_binary_meta" ->

@@ -35,7 +35,7 @@ class PlanQualitySpec extends SparkSpec {
     // BM25 broadcasts its one-row (n_docs, total-token) corpus stats; the
     // RRF fusion inherits both BM25's stats broadcast and the exact-cosine
     // side's non-equi query-sample broadcast
-    "sim_bm25_topk", "sim_rrf_topk", "sim_hard_negatives", "sim_mmr_topk",
+    "sim_bm25_topk", "sim_bm25_append_topk", "sim_rrf_topk", "sim_hard_negatives", "sim_mmr_topk",
     "sql_front_door_retrieval", "sim_rrf_ann_topk", "sim_rrf_swap_overlap",
     // the store-fidelity gate re-runs the brute-force baseline (the same
     // tiny-broadcast inequality join) against its durable parquet copy
