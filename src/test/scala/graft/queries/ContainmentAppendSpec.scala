@@ -13,6 +13,43 @@ import graft.SparkSpec
   * n/(n+3) < 0.9 the other (the directed case). */
 class ContainmentAppendSpec extends SparkSpec {
 
+  test("random low-entropy corpora: prefix-filtered scan == all-pairs brute force") {
+    import spark.implicits._
+    // Template-mutation corpora create rich partial overlaps (including
+    // borderline containments around the 0.9 line) — the adversarial
+    // input for the prefix-length arithmetic (n - ceil(0.9n) + 1).
+    (0 until 3).foreach { trial =>
+      val rng = new scala.util.Random(100 + trial)
+      val templates = Array.fill(5)(
+        Array.fill(30)(s"t${rng.nextInt(40)}"))
+      val docs = (0L until 40L).map { i =>
+        val t = templates(rng.nextInt(5)).clone()
+        // a few point mutations, then a random-length prefix slice
+        (0 until rng.nextInt(3)).foreach { _ =>
+          t(rng.nextInt(t.length)) = s"m${rng.nextInt(1000)}"
+        }
+        val len = 10 + rng.nextInt(21)
+        (i, t.take(len).mkString(" "))
+      }.toDF("doc_id", "text")
+      val got = VectorOps.containmentOf(spark, docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // brute force from the same shingle semantics
+      val sets = docs.collect().map { r =>
+        r.getLong(0) -> VectorOps.shingles3(r.getString(1)).toSet
+      }.toMap
+      val want = (for {
+        (a, wa) <- sets; (b, wb) <- sets if a != b
+        inter = (wa & wb).size if inter * 10 >= wa.size * 9
+      } yield (a, b) -> inter.toDouble / wa.size).toMap
+      assert(got.keySet == want.keySet,
+        s"trial $trial pair sets differ: extra=${got.keySet.diff(want.keySet)} " +
+          s"missing=${want.keySet.diff(got.keySet)}")
+      want.foreach { case (k, c) =>
+        assert(math.abs(got(k) - c) < 1e-6, s"trial $trial $k: ${got(k)} vs $c")
+      }
+    }
+  }
+
   test("append == full rebuild; every candidate class covered") {
     import spark.implicits._
     def words(tag: String, n: Int): String =
