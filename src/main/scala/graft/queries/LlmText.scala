@@ -1715,6 +1715,26 @@ object LlmText {
     "stream_minhash_dedup" -> ((s, d) =>
       graft.streaming.EventStreams.drainMinhashDedup(s, d)),
 
+    // ---- streaming drain: minhash dedup with event-time TTL state ----
+    // The PRODUCTION variant of stream_minhash_dedup: (band, sig) buckets
+    // age out once the watermark passes their last activity + 2 days, so
+    // state is bounded by the ACTIVE horizon, not the corpus (the bound
+    // itself is proven in StreamStateTtlSpec). Correctness row: under the
+    // two-era staging schedule the drained pair set equals the all-pairs
+    // jaccard oracle RESTRICTED TO SAME-ERA PAIRS — the TTL trade as a
+    // hash check. See EventStreams.drainMinhashDedupTtl.
+    "stream_minhash_dedup_ttl" -> ((s, d) =>
+      graft.streaming.EventStreams.drainMinhashDedupTtl(s, d)),
+
+    // ---- streaming drain: first-occurrence dedup with event-time TTL ----
+    // The PRODUCTION variant of the digest-keyed exact dedup: a digest
+    // unseen for 2 days of event time is forgotten and its next arrival
+    // is KEPT again (re-crawl policy). Under the same two-era schedule,
+    // "kept" = first occurrence within (digest, era) — one row_number in
+    // the oracle. See EventStreams.drainDedupTtl.
+    "stream_dedup_ttl" -> ((s, d) =>
+      graft.streaming.EventStreams.drainDedupTtl(s, d)),
+
     // ---- streaming drain: stream-stream interval join, driver-checked ----
     // Watermarked click→purchase attribution join across two file streams;
     // every qualifying pair must match the batch self-join oracle.
@@ -2526,6 +2546,40 @@ object LlmText {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the streaming drain must reproduce the batch all-pairs ground truth
     "stream_minhash_dedup" -> VectorOps.AllPairsJaccardOracle,
+    // TTL drain: the all-pairs ground truth restricted to SAME-ERA pairs
+    // (era = staging side of the two-era schedule, a pure doc_id rule) —
+    // cross-era buckets age out at the second sentinel batch by
+    // construction, so the era predicate IS the TTL contract in SQL
+    "stream_minhash_dedup_ttl" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+        |         ELSE list_distinct(list_transform(
+        |            range(1, len(string_split(text, ' ')) - 1),
+        |            i -> string_split(text, ' ')[i] || ' ' ||
+        |                 string_split(text, ' ')[i + 1] || ' ' ||
+        |                 string_split(text, ' ')[i + 2]))
+        |    END AS w
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.w, b.w))::DOUBLE / len(list_distinct(a.w || b.w)), 6) AS jac
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  AND (a.doc_id % 4 <= 1) = (b.doc_id % 4 <= 1)
+        |WHERE len(list_intersect(a.w, b.w))::DOUBLE / len(list_distinct(a.w || b.w)) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+    // TTL drain: kept = first (day, doc_id)-ordered occurrence of the
+    // digest WITHIN ITS ERA (the horizon re-keep as one row_number)
+    "stream_dedup_ttl" ->
+      """WITH d AS (
+        |  SELECT doc_id, md5(text) AS dg,
+        |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 0 WHEN 1 THEN 1
+        |         WHEN 2 THEN 10 ELSE 11 END AS day,
+        |    (doc_id % 4 <= 1) AS era_a
+        |  FROM documents)
+        |SELECT doc_id,
+        |  (row_number() OVER (PARTITION BY dg, era_a ORDER BY day, doc_id) = 1)
+        |    AS kept
+        |FROM d ORDER BY doc_id""".stripMargin,
     // identical to the batch ts_ewma oracle: incremental == batch
     "stream_ewma" ->
       """WITH o AS (

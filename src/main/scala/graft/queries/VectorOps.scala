@@ -493,15 +493,32 @@ object VectorOps {
 
   /** Tombstone/compaction core, factored for the spec: returns the LIVE
     * view of `inverted` under `deleted`, compacting the durable store when
-    * the tombstone ratio exceeds `compactAt`. */
+    * the tombstone ratio exceeds `compactAt`. The delete predicate and the
+    * threshold are FOLDED INTO the artifact keys (as the predicate's SQL
+    * text): two callers sharing a dataset key but deleting under different
+    * predicates — or compacting at different ratios — must never reuse each
+    * other's tombstone/compacted files. The compact-or-not DECISION is
+    * memoized per full key alongside the artifacts, so repeat calls (a
+    * median-of-3 bench, a topk + its gate) don't re-run the two ratio
+    * count() jobs once the verdict is known. */
+  private val ivfRatioMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Boolean]
+  SessionCaches.register("vectorops.ivfRatioMemo")(() => ivfRatioMemo.clear())
   private[queries] def ivfLive(s: SparkSession, inverted: DataFrame,
       deleted: Column, key: String, compactAt: Double): DataFrame = {
-    val tombs = shared(s, s"ivf_tombstones:$key")(
+    // Column#toString is the expression's stable SQL-ish rendering —
+    // deterministic for the literal predicates the callers pass; `durable`
+    // sanitizes + digests it into the on-disk path
+    val fullKey = s"$key:del=${deleted.toString()}:at=$compactAt"
+    val tombs = shared(s, s"ivf_tombstones:$fullKey")(
       inverted.filter(deleted).select(col("vec_id")))
-    val nTomb = tombs.count()
-    val nAll = inverted.count()
-    if (nAll > 0 && nTomb.toDouble / nAll > compactAt)
-      shared(s, s"ivf_inverted_compact:$key")(
+    val compact = ivfRatioMemo.getOrElseUpdate((s, fullKey), {
+      val nTomb = tombs.count()
+      val nAll = inverted.count()
+      nAll > 0 && nTomb.toDouble / nAll > compactAt
+    })
+    if (compact)
+      shared(s, s"ivf_inverted_compact:$fullKey")(
         inverted.join(tombs, Seq("vec_id"), "left_anti"))
     else
       inverted.join(tombs, Seq("vec_id"), "left_anti")

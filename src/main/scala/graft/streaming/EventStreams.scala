@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
@@ -831,14 +831,18 @@ object EventStreams {
         case (_, rows, state: GroupState[Seq[Long]]) =>
           val seen = state.getOption.getOrElse(Seq.empty[Long])
           val fresh = rows.map(_._1).toSeq.distinct.sorted
-          // new-vs-stored plus the pairs completed within this batch
-          val cross = for (n <- fresh; o <- seen)
+          // new-vs-stored plus the pairs completed within this batch.
+          // n != o + distinct state: this gate's staging is disjoint, but
+          // the operator must stay safe under re-delivery (same defensive
+          // contract as minhashCandidatesTtl — a replayed doc_id must not
+          // self-pair or duplicate its bucket-membership row)
+          val cross = for (n <- fresh; o <- seen if n != o)
             yield (math.min(n, o), math.max(n, o))
           val within = for {
             i <- fresh.indices
             j <- (i + 1) until fresh.length
           } yield (fresh(i), fresh(j))
-          state.update(seen ++ fresh)
+          state.update((seen ++ fresh).distinct)
           (cross ++ within).iterator
       }
     val name = "graft_stream_minhash"
@@ -890,13 +894,20 @@ object EventStreams {
             val rs = rows.toSeq
             val seen = state.getOption.getOrElse(Seq.empty[Long])
             val fresh = rs.map(_._1).distinct.sorted
-            val cross = for (n <- fresh; o <- seen)
+            // n != o: a re-delivered doc_id (replayed batch, re-crawled
+            // identical doc) re-enters its bucket within the TTL — without
+            // the guard, fresh x seen emits the degenerate (x, x) pair,
+            // which downstream jaccard verification would "confirm" at 1.0
+            val cross = for (n <- fresh; o <- seen if n != o)
               yield (math.min(n, o), math.max(n, o))
             val within = for {
               i <- fresh.indices
               j <- (i + 1) until fresh.length
             } yield (fresh(i), fresh(j))
-            state.update(seen ++ fresh)
+            // distinct: the same re-delivery must not store the id twice
+            // (duplicated state re-emits the id's pairs on every later
+            // arrival AND grows the bucket past its true membership)
+            state.update((seen ++ fresh).distinct)
             // TTL clock = this bucket's newest event time (all rows here
             // passed the watermark, so the timestamp is always ahead of it)
             state.setTimeoutTimestamp(rs.map(_._4.getTime).max + ttlMs)
@@ -940,6 +951,128 @@ object EventStreams {
             }
           }
       }
+  }
+
+  /** Shared staging schedule for the two TTL-drain REGISTRY entries: the
+    * production-shaped TTL operators ([[minhashCandidatesTtl]] /
+    * [[digestFirstSeenTtl]]) were state-bound-PROVEN by StreamStateTtlSpec
+    * in r11 but had no driver-checked correctness row of their own. The
+    * schedule makes the TTL semantics exactly SQL-expressible: documents
+    * split into two ERAS (era A = doc_id % 4 in {0,1} staged at days 0 and
+    * 1; era B = doc_id % 4 in {2,3} staged at days 10 and 11), with two
+    * one-row SENTINEL batches at days 5 and 6 between them. With ttl = 2
+    * days and a 1-hour watermark delay:
+    *   - WITHIN an era, state stays alive across the era's two batches
+    *     (at the day-(d+1) batch the watermark is day d − 1 h, below every
+    *     day-d timeout of day d + 2), so in-era behavior equals the exact
+    *     NoTimeout drains;
+    *   - ACROSS eras, every era-A key times out at the SECOND sentinel
+    *     batch (watermark there = day 5 − 1 h, past all era-A timeouts of
+    *     day ≤ 3; era-A keys have no data in it, which is when Spark fires
+    *     timeouts — a key with data in a batch is never timed out, hence
+    *     TWO sentinels: the first one's own event time is what hoists the
+    *     watermark for the second), so era B starts from empty state.
+    * Net: the drained result is exactly the batch semantics restricted to
+    * same-era keys/pairs — a plain SQL predicate, which is what turns the
+    * TTL contract into a driver hash row. Sentinels carry negative doc_ids
+    * and vocabulary-free text, so they never pair, collide, or survive the
+    * id >= 0 output filter. */
+  private val TtlDayMs = 86400L * 1000L
+  private val TtlT0 = 30L * TtlDayMs // clear of epoch 0 (initial watermark)
+  private def ttlDayOf(docId: Column): Column =
+    when(docId === -1L, lit(5L)).when(docId === -2L, lit(6L))
+      .otherwise(expr(
+        "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 10 ELSE 11 END"))
+  private def ttlTs(docId: Column): Column =
+    timestamp_millis(lit(TtlT0) + ttlDayOf(docId) * lit(TtlDayMs))
+  /** Stage the 4 era batches + 2 sentinels of `frame` (must carry doc_id)
+    * in event-time order; returns the staged dir. */
+  private def stageTtlSchedule(s: SparkSession, frame: DataFrame,
+      sentinel: Long => DataFrame, prefix: String): java.nio.file.Path = {
+    val tmp = newStaging(prefix)
+    val files = Seq(
+      "b0.parquet" -> frame.filter(col("doc_id") % 4 === 0),
+      "b1.parquet" -> frame.filter(col("doc_id") % 4 === 1),
+      "s5.parquet" -> sentinel(-1L),
+      "s6.parquet" -> sentinel(-2L),
+      "b10.parquet" -> frame.filter(col("doc_id") % 4 === 2),
+      "b11.parquet" -> frame.filter(col("doc_id") % 4 === 3))
+    files.zipWithIndex.foreach { case ((name, part), i) =>
+      stageFile(tmp, name, part)
+      java.nio.file.Files.setLastModifiedTime(tmp.resolve(name),
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+    }
+    tmp
+  }
+
+  /** Drain [[digestFirstSeenTtl]] — the PRODUCTION-shaped first-occurrence
+    * dedup with event-time TTL — over the two-era schedule. Semantics under
+    * the schedule: "kept" = first (day, doc_id)-ordered occurrence of the
+    * digest WITHIN ITS ERA (era-A digests age out at the second sentinel,
+    * so era B re-keeps recurring content — the documented horizon re-keep).
+    * Oracle: one row_number over (digest, era). EAGER BY DESIGN: the drain
+    * runs at construction. */
+  def drainDedupTtl(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+      .withColumn("ts", ttlTs(col("doc_id")))
+    def sentinel(id: Long) =
+      Seq((id, s"__sentinel_$id")).toDF("doc_id", "digest")
+        .withColumn("ts", ttlTs(col("doc_id")))
+    val tmp = stageTtlSchedule(s, docs, sentinel, "graft_stream_dedup_ttl")
+    val schema = s.read.parquet(tmp.toString).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.toString)
+    val out = digestFirstSeenTtl(src.select("doc_id", "digest", "ts"),
+      watermark = "1 hour", ttlMs = 2L * TtlDayMs)
+    val name = "graft_stream_dedup_ttl"
+    val q = out.toDF("doc_id", "kept")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    dropStaging(tmp)
+    s.table(name).filter(col("doc_id") >= 0).orderBy("doc_id")
+  }
+
+  /** Drain [[minhashCandidatesTtl]] — the TTL-bounded near-dup candidate
+    * discovery — over the same two-era schedule, then batch-verify exact
+    * jaccard like every minhash consumer. Era-A buckets age out before era
+    * B arrives, so the drained pair set is exactly the all-pairs >= 0.9
+    * oracle RESTRICTED TO SAME-ERA PAIRS — the TTL trade ("only pairs
+    * arriving within the horizon of each other are discovered") as a
+    * hash-checked driver row. EAGER BY DESIGN: the drain runs at
+    * construction. */
+  def drainMinhashDedupTtl(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables.documents(s, d).select(col("doc_id"), col("text"))
+    def sentinel(id: Long) =
+      Seq((id, s"sentinelword$id")).toDF("doc_id", "text")
+    val tmp = stageTtlSchedule(s, docs, sentinel, "graft_stream_mh_ttl")
+    val schema = s.read.parquet(tmp.toString).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.toString)
+    val bands = graft.queries.VectorOps
+      .minhashBandRowsOf(s, src, nBands = 16, rowsPerBand = 4)
+      .withColumn("ts", ttlTs(col("doc_id")))
+      .select("doc_id", "band_id", "sig", "ts")
+    val cand = minhashCandidatesTtl(bands,
+      watermark = "1 hour", ttlMs = 2L * TtlDayMs)
+    val name = "graft_stream_minhash_ttl"
+    val q = cand.toDF("id_a", "id_b")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    dropStaging(tmp)
+    // once per colliding band -> distinct BEFORE exact verification; the
+    // verify join against the real documents table drops sentinel ids
+    graft.queries.VectorOps
+      .jaccardVerify(s, d, s.table(name).distinct())
+      .orderBy("id_a", "id_b")
   }
 
   /** Drain the ONLINE curation chain — the ingest-time half of

@@ -119,6 +119,44 @@ class BenchLineSpec extends AnyFunSuite {
     assert(parseable(line))
   }
 
+  test("externalCores isolates foreign CPU and never false-flags") {
+    // 10 s window, 32 cores fully busy, self burned 30 of them -> 2 foreign
+    assert(Bench.externalCores(0, 0, 32000, 30000, 10.0) == 2.0)
+    // all busy CPU was self: zero foreign, even with jiffy jitter negative
+    assert(Bench.externalCores(0, 0, 30000, 30050, 10.0) == 0.0)
+    // unreadable /proc at either end disables the flag, never trips it
+    assert(Bench.externalCores(-1, -1, 32000, 100, 10.0) == 0.0)
+    assert(Bench.externalCores(0, 0, -1, -1, 10.0) == 0.0)
+    // sub-50ms windows are single-jiffy noise: no reading
+    assert(Bench.externalCores(0, 0, 300, 0, 0.01) == 0.0)
+    // the r11 shape: a co-scheduled job burning ~6 cores over a 3 s query
+    assert(math.abs(Bench.externalCores(0, 0, 2700, 900, 3.0) - 6.0) < 1e-9)
+  }
+
+  test("contendedEntries names the worst offenders, capped at 12") {
+    val quiet = (1 to 20).map(i => s"q$i" -> 0.3)
+    val loud = (1 to 15).map(i => s"hot$i" -> (2.0 + i))
+    val flagged = Bench.contendedEntries(scala.util.Random.shuffle(quiet ++ loud))
+    assert(flagged.size == 12, s"cap violated: ${flagged.size}")
+    assert(flagged.head._1 == "hot15", "not sorted by foreign-core count")
+    assert(flagged.forall(_._2 > Bench.ExternalCoresLine))
+    assert(!flagged.exists(_._1.startsWith("q")), "quiet entry flagged")
+    // exactly at the line is NOT contended (ambient noise tolerance)
+    assert(Bench.contendedEntries(Seq("edge" -> Bench.ExternalCoresLine)).isEmpty)
+  }
+
+  test("the contended_q list rides through folding like the rest of meta") {
+    val meta = s""","runs":3,"load":[0.5,3.1],"contended_q":["dedup_a","sim_b"],"contended_n":2"""
+    val results = (1 to 200).map(i => s"text_op_number_$i" -> 0.1) ++
+      (1 to 30).map(i => s"tpch_q$i" -> 0.4)
+    val line = Bench.foldedLine(results, Map.empty, 32.0, "/tmp/sf", meta = meta)
+    assert(line.length <= Bench.LineBudget, s"line is ${line.length} chars")
+    assert(line.contains("\"contended_q\":[\"dedup_a\",\"sim_b\"]"),
+      s"contended_q lost in folding: $line")
+    assert(line.contains("\"contended_n\":2"))
+    assert(parseable(line))
+  }
+
   test("the totals-only fallback still keeps failed queries' negative times") {
     val results = (1 to 50).map(i => ("zz_unfoldable_very_long_query_name_" +
       ("x" * 60) + i) -> 1.0) :+ ("zz_broken_" + ("y" * 80) -> -0.5)
