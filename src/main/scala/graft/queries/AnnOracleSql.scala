@@ -191,7 +191,32 @@ private[queries] object AnnOracleSql {
     * dense and trained-IVF dense, each fused with the same BM25 top-20 —
     * composed in one query, then the per-query top-3 overlap. An exact,
     * hash-checked end-metric of the index swap (not a floor gate). */
-  def rrfSwapOverlap(k: Int, nProbe: Int): String = {
+  def rrfSwapOverlap(k: Int, nProbe: Int): String =
+    withClause(rrfSwapCtes(k, nProbe),
+      s"""SELECT qid, n_common FROM ($RrfSwapPerQuery) ORDER BY qid""")
+
+  /** Oracle for `sim_rrf_swap_gate`: the overlap measurement promoted to a
+    * pinned FLOOR — mean per-query top-3 overlap >= 2 (two thirds), checked
+    * in pure integer arithmetic (sum >= 2·count, no FP boundary), so an
+    * index-quality regression fails the driver hash instead of drifting
+    * silently through the report entry. */
+  def rrfSwapGate(k: Int, nProbe: Int): String =
+    withClause(rrfSwapCtes(k, nProbe),
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(sum(n_common) AS BIGINT) AS n_common_total,
+        |  (sum(n_common) >= 2 * count(*)) AS overlap_ok
+        |FROM ($RrfSwapPerQuery)""".stripMargin)
+
+  /** Per-query top-3 overlap of the two fusions (x3 = exact-dense, a3 =
+    * IVF-dense), shared by the report and gate selects above. */
+  private val RrfSwapPerQuery =
+    """SELECT qq.qid, CAST(coalesce(c.cnt, 0) AS BIGINT) AS n_common
+      |FROM (SELECT DISTINCT qid FROM x3) qq LEFT JOIN
+      |  (SELECT x3.qid, count(*) AS cnt
+      |   FROM x3 JOIN a3 ON a3.qid = x3.qid AND a3.nid = x3.nid
+      |   GROUP BY x3.qid) c ON c.qid = qq.qid""".stripMargin
+
+  private def rrfSwapCtes(k: Int, nProbe: Int): Seq[String] = {
     def fuse(dense: String, out: String): Seq[String] = Seq(
       s"""$out AS MATERIALIZED (
         |  SELECT qid, nid FROM (
@@ -238,13 +263,7 @@ private[queries] object AnnOracleSql {
         |          ORDER BY c DESC, nid) AS rnk FROM xp)
         |  WHERE rnk <= 20)""".stripMargin) ++
       fuse("annr", "a3") ++ fuse("xr", "x3")
-    withClause(ctes,
-      """SELECT qq.qid, CAST(coalesce(c.cnt, 0) AS BIGINT) AS n_common
-        |FROM (SELECT DISTINCT qid FROM x3) qq LEFT JOIN
-        |  (SELECT x3.qid, count(*) AS cnt
-        |   FROM x3 JOIN a3 ON a3.qid = x3.qid AND a3.nid = x3.nid
-        |   GROUP BY x3.qid) c ON c.qid = qq.qid
-        |ORDER BY qq.qid""".stripMargin)
+    ctes
   }
 
   /** Oracle for [[VectorOps.annSqTopK]] — scalar quantization: per-dim

@@ -1075,6 +1075,75 @@ object EventStreams {
       .orderBy("id_a", "id_b")
   }
 
+  /** Drain ONLINE ANN serving against the DURABLE IVF index — the last
+    * verb of the vector-store lifecycle (create = ann_index_store_gate,
+    * append, delete/compact, retrain-decision, and now SERVE): a stream of
+    * query vectors is answered per micro-batch from the stored inverted
+    * file, which is READ, never rebuilt (same `ivf_inverted` artifact key
+    * as ann_ivf_topk; IndexStoreSpec pins that serving leaves the stored
+    * file untouched). Per micro-batch the plan is the batch query path's:
+    * probe each query's nProbe nearest cells (codebook broadcast in the
+    * probe udf), stream-static equi-join on cell against the index — the
+    * cell-pruned candidate join, ~nProbe/k of the corpus per query — then
+    * exact cosine and per-query top-k. The top-k fold runs in a
+    * flatMapGroupsWithState keyed on qid (stateless NoTimeout use: a
+    * query's candidates all arrive in its own micro-batch; streaming
+    * cannot sort/window in append mode, and the per-group fold is the
+    * same bounded top-k a serving node computes). Queries stage as two
+    * micro-batches, so the second batch must be answered from the SAME
+    * static index frame the first used. Oracle: ann_ivf_topk's own
+    * trained-IVF CTE chain — serve == batch, hash-checked.
+    * EAGER BY DESIGN: the drain runs at construction. */
+  def drainAnnTopK(s: SparkSession, d: String, k: Int, nProbe: Int,
+      topK: Int): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val (inverted, centers) = graft.queries.VectorOps.ivfIndexHandle(s, d, k)
+    // the standing query sample (qid, qe, qn) — same set as the batch path
+    val queries = inverted.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    val tmp = newStaging("graft_stream_ann")
+    stageFile(tmp, "a_queries.parquet", queries.filter(col("qid") % 100 === 0))
+    stageFile(tmp, "b_queries.parquet", queries.filter(col("qid") % 100 =!= 0))
+    Seq("a_queries.parquet", "b_queries.parquet").zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.setLastModifiedTime(tmp.resolve(f),
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+    }
+    val schema = s.read.parquet(tmp.toString).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.toString)
+    val probe = graft.queries.VectorOps.ivfProbeUdf(centers, nProbe)
+    val cand = src
+      .withColumn("cell", explode(probe(col("qe"))))
+      .join(inverted.select(col("vec_id").as("nid"), col("cell"),
+        col("e"), col("nrm")), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (call_function("vec_dot", col("qe"), col("e")) /
+          (col("qn") * col("nrm"))).as("c"))
+      // rank on the raw double, OUTPUT the 6dp rounding — computed here by
+      // Spark's own ROUND so it is bit-identical to the batch path's
+      .withColumn("cr", round(col("c"), 6))
+      .as[(Long, Long, Double, Double)]
+    val out = cand.groupByKey(_._1)
+      .flatMapGroupsWithState[Int, (Long, Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (qid, rows, _: GroupState[Int]) =>
+          rows.toSeq.sortBy(r => (-r._3, r._2)).take(topK).zipWithIndex
+            .map { case ((_, nid, _, cr), i) => (qid, (i + 1).toLong, nid, cr) }
+            .iterator
+      }
+    val name = "graft_stream_ann"
+    val q = out.toDF("qid", "rnk", "nid", "cos")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    dropStaging(tmp)
+    s.table(name).orderBy("qid", "rnk")
+  }
+
   /** Drain the ONLINE curation chain — the ingest-time half of
     * `curation_e2e`: language ID, the C4 quality gate, and the
     * deterministic hash hold-out are stateless per-row verdicts computed

@@ -115,6 +115,30 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("streaming ANN serving reads the stored IVF index without rewriting it") {
+    withStoreDir {
+      val Sf = "/root/testdata/sf0.001"
+      val s = spark.newSession() // fresh artifact-cache identity
+      // batch consumer builds the inverted-file artifact
+      val batch = graft.SparkEntry.queries("ann_ivf_topk")(s, Sf)
+        .collect().map(_.toSeq).toSeq
+      val root = sys.props("graft.index.dir")
+      val arts = new java.io.File(root).listFiles()
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+        .filter(_.getName.startsWith("ivf_inverted_"))
+      assert(arts.length == 1, s"expected one inverted-file artifact, got ${arts.toSeq}")
+      val mtime = arts.head.lastModified
+      // SERVE from a different session: must answer from the stored file
+      // (no rewrite) and equal the batch query result row-for-row
+      val s2 = spark.newSession()
+      val served = graft.SparkEntry.queries("stream_ann_topk")(s2, Sf)
+        .collect().map(_.toSeq).toSeq
+      assert(served == batch, "streaming serve diverged from the batch query")
+      assert(arts.head.lastModified == mtime,
+        "serving rewrote the stored inverted file instead of reading it")
+    }
+  }
+
   test("substring append stores its span index once and a fresh session reuses it") {
     withStoreDir {
       val Sf = "/root/testdata/sf0.001"
@@ -140,6 +164,46 @@ class IndexStoreSpec extends SparkSpec {
       assert(again == first, "stored-index run diverged from the build run")
       arts.foreach(f => assert(f.lastModified == mtimes(f.getName),
         s"${f.getName} was rewritten by the reuse path"))
+    }
+  }
+
+  test("vacuumStore drops stale artifacts, keeps live ones, spares unmanifested") {
+    withStoreDir {
+      val s = spark.newSession()
+      import s.implicits._
+      val Sf = "/root/testdata/sf0.001"
+      val liveFp = VectorOps.fpOf(s"$Sf/embeddings.parquet")
+      // live: the dataset path + its CURRENT fingerprint
+      VectorOps.durable(s, s"vac_live:$Sf:$liveFp")(Seq(1L).toDF("id"))
+      // stale: same dataset, a fingerprint no live file matches anymore
+      VectorOps.durable(s, s"vac_stale:$Sf:00000000")(Seq(2L).toDF("id"))
+      // gone: a dataset path not in the live list at all
+      VectorOps.durable(s, s"vac_gone:/no/such/ds:$liveFp")(Seq(3L).toDF("id"))
+      // legacy: manifest-less artifact must NEVER be deleted
+      VectorOps.durable(s, s"vac_legacy:$Sf:$liveFp")(Seq(4L).toDF("id"))
+      val root = new java.io.File(sys.props("graft.index.dir"))
+      def dirs() = root.listFiles().flatMap(d => Option(d.listFiles())
+        .getOrElse(Array.empty)).filter(_.isDirectory).map(_.getName).toSet
+      val legacy = dirs().find(_.startsWith("vac_legacy")).get
+      java.nio.file.Files.delete(java.nio.file.Paths.get(
+        root.listFiles().head.getPath, legacy, "_graft_key.json"))
+
+      val report = VectorOps.vacuumStore(s, Seq(Sf))
+        .map { case (n, a) => n.takeWhile(_ != ':').split("__").head -> a }
+      def actionOf(prefix: String) =
+        report.find(_._1.startsWith(prefix)).map(_._2)
+      assert(actionOf("vac_live").contains("kept"))
+      assert(actionOf("vac_stale").contains("dropped"))
+      assert(actionOf("vac_gone").contains("dropped"))
+      assert(actionOf("vac_legacy").contains("kept_no_meta"))
+      val after = dirs()
+      assert(after.exists(_.startsWith("vac_live")), "live artifact deleted")
+      assert(after.exists(_.startsWith("vac_legacy")), "legacy artifact deleted")
+      assert(!after.exists(_.startsWith("vac_stale")), "stale artifact survived")
+      assert(!after.exists(_.startsWith("vac_gone")), "gone-dataset artifact survived")
+      // survivors still read back
+      assert(VectorOps.durable(s.newSession(), s"vac_live:$Sf:$liveFp")(
+        sys.error("rebuilt")).count() == 1)
     }
   }
 
