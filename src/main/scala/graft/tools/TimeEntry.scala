@@ -1,0 +1,55 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** One-entry, one-JVM, one-measurement timing probe — the harness behind
+  * the append-vs-rebuild ratio table (ROUNDLOG round 12).
+  *
+  * Bench.scala's registry-wide numbers are the right round-over-round
+  * signal, but they cannot answer "what does the append path SAVE over the
+  * rebuild?" honestly: the durable artifact store makes a rebuild entry's
+  * construction eager (the store write happens at plan-build, outside the
+  * timed region), and the in-memory `shared` persist makes runs 2..n of a
+  * median read cache. This main isolates ONE production-shaped measurement
+  * per JVM:
+  *
+  *   - REBUILD side: run with SPARK_GRAFT_NO_INDEX_STORE=1 — no durable
+  *     reuse, no eager store write; the single timed materialization pays
+  *     the full compute, exactly what a from-scratch rebuild costs.
+  *   - APPEND side: run with SPARK_GRAFT_INDEX_DIR pointing at a WARMED
+  *     store (base artifacts prebuilt by an untimed prep run); the timed
+  *     materialization pays delta-only work + stored-artifact reads —
+  *     exactly what an incremental ingest costs.
+  *
+  * Prints one line: TIME_ENTRY <name> <seconds>. Callers run each side a
+  * few times (fresh JVM each) and take the median.
+  */
+object TimeEntry {
+  def main(args: Array[String]): Unit = {
+    val d = args(0)
+    val name = args(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // session warm-up (codegen, scheduler) so the measurement doesn't
+    // absorb one-time JVM startup — same discipline as Bench
+    spark.range(1000000).selectExpr("sum(id)").write
+      .format("noop").mode("overwrite").save()
+    val df = graft.SparkEntry.queries(name)(spark, d) // construction untimed
+    val t0 = System.nanoTime()
+    df.write.format("noop").mode("overwrite").save()
+    val sec = (System.nanoTime() - t0) / 1e9
+    spark.stop()
+    println(f"TIME_ENTRY $name $sec%.3f")
+  }
+}
