@@ -919,7 +919,15 @@ object LlmText {
     * documented hazard as the fixed-w first-occurrence window. */
   private def canonGroupIvs(occ: DataFrame, allDocs: DataFrame, l: Int,
       cap: Int): DataFrame = {
-    val t = tokenized(allDocs).select(col("doc_id"), col("tk"))
+    // tokenize ONLY docs that hold an occurrence in scope: the append
+    // path passes the full corpus as `allDocs` but a touched-group-only
+    // `occ`, and slicing tails must not re-tokenize every untouched doc
+    // (an O(corpus) pass inside an O(touched) recompute — measured 1.4x
+    // rebuild cost at a 1% delta before this restriction). The semi-join
+    // is on doc_id, so the inner tail join's row set is unchanged.
+    val t = tokenized(allDocs
+        .join(occ.select("doc_id").distinct(), Seq("doc_id"), "left_semi"))
+      .select(col("doc_id"), col("tk"))
     val withTail = occ.join(t, "doc_id")
       .select(col("span"), col("doc_id"), col("pos"),
         expr(s"slice(tk, pos + 1 + $l, ${cap - l})").as("tail"))
@@ -994,8 +1002,13 @@ object LlmText {
         baseIv.select("doc_id", "s", "e")))
     val deltaOcc = spanRows(tokenized(docs.filter(isDelta)), l)
     val touched = deltaOcc.select("span").distinct()
+    // localCheckpoint: occTouched feeds THREE consumers (the tail-doc
+    // restriction, the group recompute, and the affected-doc set) — each
+    // would otherwise re-run the base-occurrence scan + span semi-join
+    // (the dedup_resolve lineage-cut pattern; lazy, so construction
+    // stays cheap)
     val occTouched = baseOcc.join(touched, Seq("span"), "left_semi")
-      .unionByName(deltaOcc)
+      .unionByName(deltaOcc).localCheckpoint(false)
     val newIvs = canonGroupIvs(occTouched, docs, l, cap)
     val keptIvs = baseIv.join(touched, Seq("span"), "left_anti")
     val allIvs = keptIvs.select("doc_id", "s", "e")

@@ -1852,8 +1852,14 @@ object VectorOps {
   /** Documents as (doc_id, w: array<string>) distinct word-3-gram shingle
     * sets — the exact-verification feature both MinHash consumers share. */
   private[queries] def shingleSets(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .withColumn("toks", split(col("text"), " "))
+    shingleSetsOf(Tables.documents(s, d))
+
+  /** [[shingleSets]] over an arbitrary (doc_id, text) slice — the append
+    * path computes features for its DELTA alone through this; a doc's
+    * shingle set depends only on its own text, so slice-computed rows are
+    * bit-identical to a full-corpus pass. */
+  private def shingleSetsOf(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), shingleCol(col("text"), "toks").as("w"))
 
   /** Banded self-join candidate pairs (id_a < id_b) over band rows. */
@@ -1868,10 +1874,15 @@ object VectorOps {
     * identical arithmetic whichever candidate generator produced them, so
     * full-rebuild and append paths emit bit-equal (id_a, id_b, jac). */
   private[graft] def jaccardVerify(s: SparkSession, d: String,
-      cand: DataFrame): DataFrame = {
-    val docs = shingleSets(s, d)
-    val wa = docs.select(col("doc_id").as("id_a"), col("w").as("wa"))
-    val wb = docs.select(col("doc_id").as("id_b"), col("w").as("wb"))
+      cand: DataFrame): DataFrame =
+    jaccardVerifyOn(shingleSets(s, d), cand)
+
+  /** [[jaccardVerify]] against an explicit feature table: the append path
+    * passes stored-base ∪ fresh-delta sets so the verify stage READS the
+    * base features instead of re-shingling the corpus per ingest. */
+  private def jaccardVerifyOn(sets: DataFrame, cand: DataFrame): DataFrame = {
+    val wa = sets.select(col("doc_id").as("id_a"), col("w").as("wa"))
+    val wb = sets.select(col("doc_id").as("id_b"), col("w").as("wb"))
     cand.join(wa, "id_a").join(wb, "id_b")
       .withColumn("jac",
         size(array_intersect(col("wa"), col("wb"))).cast("double") /
@@ -1905,6 +1916,14 @@ object VectorOps {
       minhashBandRowsOf(s, docs.filter(!isDelta), nBands = 16, rowsPerBand = 4))
     val basePairs = shared(s, s"minhash_pairs_base:$d:${docsFp(d)}")(
       jaccardVerify(s, d, bandSelfCandidates(baseBands)))
+    // the verification FEATURE table is durable too (the containment
+    // family's design): an ingest reads the base's shingle sets and
+    // computes features for its delta alone — without this, the verify
+    // stage re-shingled the WHOLE corpus per ingest, an O(corpus) pass
+    // hiding inside an O(delta) operation
+    val baseSets = shared(s, s"minhash_sets_base:$d:${docsFp(d)}")(
+      shingleSetsOf(docs.filter(!isDelta)))
+    val allSets = baseSets.unionByName(shingleSetsOf(docs.filter(isDelta)))
     val deltaBands =
       minhashBandRowsOf(s, docs.filter(isDelta), nBands = 16, rowsPerBand = 4)
     val deltaCand = baseBands.unionByName(deltaBands).as("x")
@@ -1914,7 +1933,7 @@ object VectorOps {
       .select(least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"))
       .distinct()
-    basePairs.unionByName(jaccardVerify(s, d, deltaCand))
+    basePairs.unionByName(jaccardVerifyOn(allSets, deltaCand))
   }
 
   /** (doc_id, w): sorted hashed 3-gram shingle sets — the containment

@@ -35,11 +35,21 @@ import org.apache.spark.sql.SparkSession
   * pointed at the output dir. Seeded per-row (not per-run), so the corpus
   * is bit-stable across invocations and machines.
   *
-  * Usage: java -cp ... graft.tools.ZipfFixture [outDir]   (default
-  * fixtures/zipf — gitignored; the GENERATOR is the committed artifact).
+  * The DELTA FRACTION is a property of the dataset: every append entry
+  * splits on `id % 5 == 4`, so the share of ids in residue 4 IS the
+  * ingest-batch size. With dense ids that is a 20% uniformly-spread
+  * delta — a stress shape that touches every group. `deltaPct = 1`
+  * instead assigns ids so only ~1% of rows land in residue 4 (the
+  * daily-crawl shape: today's ingest is a small fraction of the
+  * corpus), leaving every entry, oracle and SymDiff proof unchanged —
+  * the data decides what is "new".
+  *
+  * Usage: java -cp ... graft.tools.ZipfFixture [outDir] [deltaPct] [nDocs] [nVecs]
+  * (defaults: fixtures/zipf, 20 — gitignored; the GENERATOR is the
+  * committed artifact).
   */
 object ZipfFixture {
-  val NDocs = 8000
+  val NDocs = 8000 // default; CLI-overridable for scale runs
   val Vocab = 50000
   val NVecs = 3000
   val Dim = 64
@@ -74,9 +84,10 @@ object ZipfFixture {
 
   /** The full corpus, one pass in id order (dup rules reference earlier
     * ids only). Exposed for the spec. */
-  private[tools] def documents(cdf: Array[Double]): IndexedSeq[(Long, String)] = {
-    val texts = new scala.collection.mutable.ArrayBuffer[Array[String]](NDocs)
-    (0 until NDocs).foreach { i =>
+  private[tools] def documents(cdf: Array[Double],
+      nDocs: Int = NDocs): IndexedSeq[(Long, String)] = {
+    val texts = new scala.collection.mutable.ArrayBuffer[Array[String]](nDocs)
+    (0 until nDocs).foreach { i =>
       val id = i.toLong
       val own = docTokens(cdf, id)
       val toks: Array[String] =
@@ -109,7 +120,7 @@ object ZipfFixture {
         } else own
       texts += toks
     }
-    (0 until NDocs).map(i => i.toLong -> texts(i).mkString(" "))
+    (0 until nDocs).map(i => i.toLong -> texts(i).mkString(" "))
   }
 
   private[tools] def embedding(id: Long,
@@ -133,8 +144,27 @@ object ZipfFixture {
     }
   }
 
+  /** Index -> id under the requested residue-4 share. deltaPct == 20:
+    * dense ids (idx). deltaPct == 1: every 100th index becomes a
+    * residue-4 id (5j + 4), the rest pack densely into residues 0-3
+    * (5·(k div 4) + k mod 4) — unique, deterministic, order-preserving
+    * within each class. */
+  private[tools] def idOf(idx: Long, deltaPct: Int): Long =
+    if (deltaPct == 20) idx
+    else {
+      require(deltaPct == 1, s"deltaPct must be 20 or 1, got $deltaPct")
+      if (idx % 100 == 99) { val j = idx / 100; 5 * j + 4 }
+      else {
+        val k = idx - idx / 100 // rank among non-delta indices
+        5 * (k / 4) + (k % 4)
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("fixtures/zipf")
+    val deltaPct = args.drop(1).headOption.map(_.toInt).getOrElse(20)
+    val nDocs = args.drop(2).headOption.map(_.toInt).getOrElse(NDocs)
+    val nVecs = args.drop(3).headOption.map(_.toInt).getOrElse(NVecs)
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
@@ -144,23 +174,26 @@ object ZipfFixture {
 
     val cdf = zipfCdf(Vocab, 1.07)
     val langs = Array("en", "en", "en", "en", "zh", "zh", "es", "es", "fr", "de")
-    val docs = documents(cdf).map { case (id, text) =>
-      (id, text, langs((id % langs.length).toInt), s"src${id % 20}",
-        text.length.toLong)
+    // corpus content is keyed by INDEX (texts, dup structure, rngs), ids
+    // by the delta layout — the 1% variant is the same corpus renumbered
+    val docs = documents(cdf, nDocs).map { case (idx, text) =>
+      (idOf(idx, deltaPct), text, langs((idx % langs.length).toInt),
+        s"src${idx % 20}", text.length.toLong)
     }
     docs.toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     val crng = new java.util.Random(424242L)
     val centers = Array.fill(Clusters, Dim)(crng.nextGaussian())
-    val vecs = (0 until NVecs).map { i =>
-      val id = i.toLong
-      (id, embedding(id, centers), (id % Clusters).toInt)
+    val vecs = (0 until nVecs).map { i =>
+      val idx = i.toLong
+      (idOf(idx, deltaPct), embedding(idx, centers), (idx % Clusters).toInt)
     }
     vecs.toDF("vec_id", "embedding", "label")
       .coalesce(1).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    println(s"ZIPF_FIXTURE docs=$NDocs vocab=$Vocab vecs=$NVecs out=$out")
+    println(s"ZIPF_FIXTURE docs=$nDocs vocab=$Vocab vecs=$nVecs" +
+      s" deltaPct=$deltaPct out=$out")
     spark.stop()
   }
 }
