@@ -37,6 +37,10 @@ class PlanQualitySpec extends SparkSpec {
     // side's non-equi query-sample broadcast
     "sim_bm25_topk", "sim_bm25_append_topk", "sim_rrf_topk", "sim_hard_negatives", "sim_mmr_topk",
     "sql_front_door_retrieval", "sim_rrf_ann_topk", "sim_rrf_swap_overlap",
+    // the swap gate aggregates the SAME two fused pipelines as the
+    // overlap report — it inherits the exact-dense side's query-sample
+    // broadcast unchanged
+    "sim_rrf_swap_gate",
     // the store-fidelity gate re-runs the brute-force baseline (the same
     // tiny-broadcast inequality join) against its durable parquet copy
     "ann_index_store_gate",
