@@ -148,6 +148,60 @@ private[queries] object AnnOracleSql {
     withClause(ctes, topKSelect(topK))
   }
 
+  /** Oracle for `sim_eval_rank_metrics`: the trained-IVF top-10 (same CTE
+    * chain as ivfTopK) scored against the exact-cosine top-3 graded
+    * truth — MRR and nDCG@10 per query, with the 6dp-quantized discount
+    * table shared VERBATIM with the Spark expression
+    * ([[VectorOps.NdcgWeightCase]]) so no libm log enters the hash. */
+  def evalRankMetrics(k: Int, nProbe: Int): String = {
+    val ctes = baseCtes() ++ kmeansCtes("v", "sm", k, m = 1, subDim = Dim) ++ Seq(
+      cellRank("cr", "e", s"cv$Iters"),
+      s"""en AS MATERIALIZED (
+        |  SELECT e.vec_id, e.emb, ${nrm("e.emb")} AS nrm, cr.cid AS cell
+        |  FROM e JOIN cr ON cr.vec_id = e.vec_id AND cr.rn = 1)""".stripMargin,
+      s"""q AS MATERIALIZED (
+        |  SELECT eq.vec_id AS qid, eq.emb AS qe, eq.nrm AS qn, cr.cid AS cell
+        |  FROM en eq JOIN cr ON cr.vec_id = eq.vec_id AND cr.rn <= $nProbe
+        |  WHERE eq.vec_id % 50 = 0)""".stripMargin,
+      s"""p AS MATERIALIZED (
+        |  SELECT q.qid, en.vec_id AS nid,
+        |    ${dot("q.qe", "en.emb")} / (q.qn * en.nrm) AS c
+        |  FROM q JOIN en ON en.cell = q.cell AND en.vec_id != q.qid)"""
+        .stripMargin,
+      """ann AS MATERIALIZED (
+        |  SELECT qid, rnk, nid FROM (
+        |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |        ORDER BY c DESC, nid) AS rnk FROM p)
+        |  WHERE rnk <= 10)""".stripMargin,
+      s"""xq AS MATERIALIZED (
+        |  SELECT vec_id AS qid, emb AS qe, ${nrm("emb")} AS qn FROM e
+        |  WHERE vec_id % 50 = 0)""".stripMargin,
+      s"""xp AS MATERIALIZED (
+        |  SELECT xq.qid, e.vec_id AS nid,
+        |    ${dot("xq.qe", "e.emb")} / (xq.qn * ${nrm("e.emb")}) AS c
+        |  FROM xq JOIN e ON e.vec_id != xq.qid)""".stripMargin,
+      """truth AS MATERIALIZED (
+        |  SELECT qid, nid, CAST(4 - rnk AS INT) AS grade FROM (
+        |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |        ORDER BY c DESC, nid) AS rnk FROM xp)
+        |  WHERE rnk <= 3)""".stripMargin,
+      s"""pq AS MATERIALIZED (
+        |  SELECT a.qid,
+        |    min(CASE WHEN t.grade IS NOT NULL THEN a.rnk END) AS first_rel,
+        |    sum(CASE WHEN t.grade IS NOT NULL
+        |          THEN CAST(t.grade * (${VectorOps.NdcgWeightCase})
+        |               AS DECIMAL(13,6))
+        |          ELSE CAST(0.000000 AS DECIMAL(13,6)) END) AS dcg_d
+        |  FROM ann a LEFT JOIN truth t ON t.qid = a.qid AND t.nid = a.nid
+        |  GROUP BY a.qid)""".stripMargin)
+    withClause(ctes,
+      s"""SELECT qid,
+        |  coalesce(round(1.0 / first_rel, 6), 0.0) AS mrr,
+        |  CAST(dcg_d AS DOUBLE) AS dcg,
+        |  round(CAST(dcg_d AS DOUBLE) / ${VectorOps.NdcgIdeal}, 6) AS ndcg
+        |FROM pq ORDER BY qid""".stripMargin)
+  }
+
   /** Oracle for `sim_rrf_ann_topk` — RRF with the IVF index as the dense
     * side: the trained IVF top-20 (same CTE chain as ivfTopK) fused with
     * the BM25 top-20 under union semantics. The proof of the fusion's

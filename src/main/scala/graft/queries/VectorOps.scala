@@ -305,6 +305,28 @@ object VectorOps {
       .orderBy("qid", "rnk")
   }
 
+  /** The nDCG rank-discount table 1/log2(rnk+1) for rnk 1..10, QUANTIZED
+    * to 6dp HALF_UP and rendered as one CASE text of DECIMAL literals —
+    * shared VERBATIM by the Spark expression and the DuckDB oracle, so no
+    * libm log ever enters the hash (the dq_drift pow(x,2) lesson). Real
+    * eval harnesses precompute exactly this table. */
+  private[queries] val NdcgWeightCase: String = {
+    val ws = (1 to 10).map { r =>
+      val w = BigDecimal(1.0 / (math.log(r + 1.0) / math.log(2.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      s"WHEN $r THEN CAST(${w.bigDecimal.toPlainString} AS DECIMAL(7,6))"
+    }
+    s"CASE rnk ${ws.mkString(" ")} END"
+  }
+  /** Ideal DCG@10 for the 3-graded truth (grades 3/2/1 at ranks 1/2/3),
+    * from the SAME quantized table: 3·w1 + 2·w2 + 1·w3 — a shared exact
+    * decimal literal. */
+  private[queries] val NdcgIdeal: String = {
+    def w(r: Int) = BigDecimal(1.0 / (math.log(r + 1.0) / math.log(2.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    (w(1) * 3 + w(2) * 2 + w(3)).bigDecimal.toPlainString
+  }
+
   /** Per-query top-3 overlap between the exact-dense and IVF-dense RRF
     * fusions — the swap's END metric, shared by the report entry
     * (`sim_rrf_swap_overlap`) and its pinned floor (`sim_rrf_swap_gate`). */
@@ -636,7 +658,7 @@ object VectorOps {
   /** Core of SemDeDup over an arbitrary (vec_id, e) frame; `storeKey =
     * None` skips the sample cache and the durable cell artifact (spec use —
     * the registered entry always persists its assignment). */
-  private[queries] def semDedupOf(s: SparkSession, emb: DataFrame, k: Int,
+  private[graft] def semDedupOf(s: SparkSession, emb: DataFrame, k: Int,
       tau: Double, storeKey: Option[String]): DataFrame = {
     val sample = storeKey match {
       case Some(key) => indexSample(emb, key)
@@ -716,7 +738,7 @@ object VectorOps {
     * hash-equal to the one-shot scan under the same base-trained codebook,
     * which is exactly what [[AnnOracleSql.semDedup]] with a base-restricted
     * training sample checks. */
-  private[queries] def semDedupAppendOf(s: SparkSession, emb: DataFrame,
+  private[graft] def semDedupAppendOf(s: SparkSession, emb: DataFrame,
       k: Int, tau: Double, storeKey: Option[String]): DataFrame = {
     def keep(name: String)(build: => DataFrame): DataFrame = storeKey match {
       case Some(kk) => shared(s, s"$name:$kk:$k:$tau")(build)
@@ -1533,6 +1555,41 @@ object VectorOps {
         .createOrReplaceTempView("semdedup_verdicts")
       Tables.documents(s, d).createOrReplaceTempView("documents")
       s.sql(SqlDedupReport)
+    }),
+
+    // ---- retrieval EVALUATION: MRR + nDCG@10 of the index vs exact ----
+    // The metrics a retrieval stack is actually judged by, as a
+    // first-class operator: ground truth = the exact-cosine top-3 per
+    // query (graded 3/2/1), system = the trained IVF index's top-10;
+    // per query, MRR (reciprocal rank of the first relevant hit) and
+    // nDCG@10. Exactness: the rank-discount table is a 6dp-quantized
+    // shared DECIMAL literal (no libm log in the hash), the DCG sum is
+    // an order-free decimal aggregate, and MRR/nDCG divide exact values
+    // once before the 6dp round. Scale shape: the truth and system
+    // lists are thin per-query top-k tables joined by (qid, nid); the
+    // expensive inputs are the entries' own plans (brute-force truth is
+    // the eval-time cost every offline eval pays; the system side swaps
+    // with the index being evaluated).
+    "sim_eval_rank_metrics" -> ((s, d) => {
+      val truth = bruteForceTopK(embOf(s, d), topK = 3)
+        .select(col("qid"), col("nid"),
+          (lit(4) - col("rnk")).cast("int").as("grade"))
+      val ann = annIvfTopK(s, d, k = 16, nProbe = 4, topK = 10)
+        .select(col("qid"), col("rnk"), col("nid"))
+      val zeroD = lit(BigDecimal("0.000000")).cast("decimal(13,6)")
+      val perQ = ann.join(truth, Seq("qid", "nid"), "left")
+        .groupBy("qid")
+        .agg(
+          min(when(col("grade").isNotNull, col("rnk"))).as("first_rel"),
+          sum(when(col("grade").isNotNull,
+            (col("grade") * expr(NdcgWeightCase)).cast("decimal(13,6)"))
+            .otherwise(zeroD)).as("dcg_d"))
+      perQ.select(col("qid"),
+          coalesce(round(lit(1.0) / col("first_rel"), 6), lit(0.0)).as("mrr"),
+          col("dcg_d").cast("double").as("dcg"),
+          round(col("dcg_d").cast("double") / lit(NdcgIdeal.toDouble), 6)
+            .as("ndcg"))
+        .orderBy("qid")
     }),
 
     // ---- MMR diversification: relevance minus redundancy, greedy top-3 --
@@ -2644,6 +2701,8 @@ object VectorOps {
     "sim_rrf_ann_topk" -> AnnOracleSql.rrfAnnTopK(k = 16, nProbe = 4),
     "sim_rrf_swap_overlap" -> AnnOracleSql.rrfSwapOverlap(k = 16, nProbe = 4),
     "sim_rrf_swap_gate" -> AnnOracleSql.rrfSwapGate(k = 16, nProbe = 4),
+    "sim_eval_rank_metrics" ->
+      AnnOracleSql.evalRankMetrics(k = 16, nProbe = 4),
     // retrieval through the SQL front door: the fused ranking and the
     // exact top-3 bound as views + ONE shared report text on both engines
     "sql_front_door_retrieval" ->

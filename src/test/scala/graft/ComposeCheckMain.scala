@@ -210,6 +210,70 @@ object ComposeCheck {
       assertSame("blocked_bruteforce", q("dedup_blocked_jaccard"), expected)
     },
 
+    // dedup_containment == DIRECTED all-pairs brute force (no prefix
+    // filter, no size filter in the reference — containment >= 0.9
+    // implies nothing about |B|, so the reference enumerates every
+    // ordered pair): proves the asymmetric SSJoin prefix filter lossless
+    // at this SF with no DuckDB in the loop.
+    "containment_bruteforce" -> { (s, d) =>
+      implicit val (is, id) = (s, d)
+      import s.implicits._
+      val shingles = when(size(col("toks")) < 3, array(col("text")))
+        .otherwise(array_distinct(expr(
+          """transform(sequence(1, size(toks) - 2),
+            |  i -> concat_ws(' ', element_at(toks, i),
+            |                      element_at(toks, i + 1),
+            |                      element_at(toks, i + 2)))""".stripMargin)))
+      val t = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          array_sort(array_distinct(transform(shingles,
+            x => xxhash64(x)))).as("w"))
+        .as[(Long, Array[Long])]
+      val all = t.collect().sortBy(_._1)
+      val bc = s.sparkContext.broadcast(all)
+      val expected = t.mapPartitions { it =>
+        val corpus = bc.value
+        it.flatMap { case (ia, wa) =>
+          corpus.iterator.filter(_._1 != ia).flatMap { case (ib, wb) =>
+            val inter = sortedIntersect(wa, wb)
+            if (inter * 10 >= wa.length * 9)
+              Some((ia, ib, r6(inter.toDouble / wa.length)))
+            else None
+          }
+        }
+      }.toDF("id_a", "id_b", "cont")
+      assertSame("containment_bruteforce", q("dedup_containment"), expected)
+    },
+
+    // sql_front_door_dedup == the same report computed with DataFrame
+    // aggregates over the three verdict frames (SQL text vs DSL).
+    "front_door_dedup_agg" -> { (s, d) =>
+      implicit val (is, id) = (s, d)
+      val links = q("dedup_containment")
+        .select(lit("containment").as("method"), col("id_b").as("flagged"))
+        .unionByName(q("dedup_minhash_lsh")
+          .select(lit("minhash").as("method"), col("id_b").as("flagged")))
+        .unionByName(q("dedup_semdedup").filter(!col("keep"))
+          .select(lit("semdedup").as("method"), col("vec_id").as("flagged")))
+      val nCorpus = Tables.documents(s, d).count()
+      val expected = links.groupBy("method")
+        .agg(count(lit(1)).cast("long").as("n_links"),
+          countDistinct("flagged").cast("long").as("n_docs_flagged"))
+        .withColumn("n_corpus", lit(nCorpus))
+      assertSame("front_door_dedup_agg", q("sql_front_door_dedup"), expected)
+    },
+
+    // stream_minhash_dedup_ttl == the batch pair listing restricted to
+    // SAME-ERA pairs (the TTL contract as one filter over the
+    // sf0.1-proven dedup_minhash_lsh output).
+    "minhash_ttl_from_lsh" -> { (s, d) =>
+      implicit val (is, id) = (s, d)
+      val expected = q("dedup_minhash_lsh")
+        .filter((col("id_a") % 4 <= 1) === (col("id_b") % 4 <= 1))
+      assertSame("minhash_ttl_from_lsh", q("stream_minhash_dedup_ttl"), expected)
+    },
+
     // graph_triangles == a pure-driver triangle count over the (small)
     // collected pair graph — an independent algorithm (adjacency-set
     // intersection) on an independently-green input listing.

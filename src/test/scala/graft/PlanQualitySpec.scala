@@ -41,6 +41,10 @@ class PlanQualitySpec extends SparkSpec {
     // overlap report — it inherits the exact-dense side's query-sample
     // broadcast unchanged
     "sim_rrf_swap_gate",
+    // the eval operator's ground truth IS the brute-force exact scan
+    // (the offline-eval cost every retrieval benchmark pays); the
+    // system side is the cell-pruned IVF equi-join
+    "sim_eval_rank_metrics",
     // the store-fidelity gate re-runs the brute-force baseline (the same
     // tiny-broadcast inequality join) against its durable parquet copy
     "ann_index_store_gate",
