@@ -1739,6 +1739,16 @@ object LlmText {
     "stream_minhash_dedup_ttl" -> ((s, d) =>
       graft.streaming.EventStreams.drainMinhashDedupTtl(s, d)),
 
+    // ---- ONLINE BM25 serving against the durable term-weight index ----
+    // The lexical twin of stream_ann_topk (16th drain): query-term rows
+    // answered per micro-batch from the STORED (doc_id, w, wbm) index —
+    // read, never rebuilt (same artifact key as sim_bm25_topk) — via a
+    // posting-list probe + a per-query slot fold replicating the batch
+    // score bit-for-bit. serve == batch, the same oracle. Both retrieval
+    // sides of the hybrid stack now have a proven serving path.
+    "stream_bm25_topk" -> ((s, d) =>
+      graft.streaming.EventStreams.drainBm25TopK(s, d, topN = 3)),
+
     // ---- streaming drain: first-occurrence dedup with event-time TTL ----
     // The PRODUCTION variant of the digest-keyed exact dedup: a digest
     // unseen for 2 days of event time is forgotten and its next arrival
@@ -2104,41 +2114,8 @@ object LlmText {
   private[queries] def bm25RankedOf(s: SparkSession, d: String, tf: DataFrame,
       topN: Int, wgtKey: Option[String]): DataFrame = {
     val docs = Tables.documents(s, d)
-    // dl/df/stats all derive from tf, so the tokenize explode is shuffled
-    // ONCE and every downstream aggregate rides the reused exchange
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val dfq = tf.groupBy("w").agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tok"))
-    // the BM25 term weight is QUERY-INDEPENDENT — idf(w) · tfterm(doc, w)
-    // — so it's computed once per (doc, term) posting and PERSISTED as a
-    // durable artifact keyed by the data fingerprint, exactly like the
-    // IVF inverted file: this (doc_id, term, weight) table IS the
-    // inverted index a real BM25 engine stores, and every consumer
-    // (sim_bm25_topk, both RRF fusions, the hard-negative miner, the
-    // front door) REUSEs it instead of re-tokenizing the corpus
-    def weigh: DataFrame =
-      tf.join(broadcast(dfq), "w")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("idf", log(lit(1.0) +
-          (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-            (col("df").cast("double") + lit(0.5))))
-        .withColumn("wbm",
-          col("idf") * (col("tf").cast("double") * lit(2.2)) /
-            (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
-              (col("dl").cast("double") /
-                (col("n_tok").cast("double") / col("n_docs").cast("double"))))))
-        .select(col("doc_id"), col("w"), col("wbm"))
-    val wgt = wgtKey match {
-      case Some(k) => VectorOps.shared(s, k)(weigh)
-      case None    => weigh
-    }
-    // each query has <= 8 DISTINCT terms, indexed in term order
-    val qw = Window.partitionBy("qid").orderBy("w")
-    val q = docs.filter(col("doc_id") % 50 === 0)
-      .select(col("doc_id").as("qid"),
-        explode(array_distinct(slice(split(col("text"), " "), 1, 8))).as("w"))
-      .withColumn("qi", row_number().over(qw) - 1)
+    val wgt = bm25WeightsOf(s, tf, wgtKey)
+    val q = bm25QueryTerms(docs)
     // Term-ORDERED score fold without an object aggregate: slot i sums the
     // (at most one) contribution of the query's i-th term, so each sum()
     // is order-free, stays in whole-stage codegen, and the slots fold
@@ -2162,6 +2139,62 @@ object LlmText {
       .filter(col("rnk") <= topN)
       .select(col("qid"), col("rnk").cast("long").as("rnk"),
         col("doc_id").as("nid"), col("score"))
+  }
+
+  /** The durable BM25 term-weight index over a raw-postings frame: the
+    * BM25 term weight is QUERY-INDEPENDENT — idf(w) · tfterm(doc, w) — so
+    * it's computed once per (doc, term) posting and PERSISTED as a durable
+    * artifact keyed by the data fingerprint, exactly like the IVF inverted
+    * file: this (doc_id, w, wbm) table IS the inverted index a real BM25
+    * engine stores, and every consumer (sim_bm25_topk, both RRF fusions,
+    * the hard-negative miner, the front door, the ONLINE serving drain)
+    * REUSEs it instead of re-tokenizing the corpus. dl/df/stats all derive
+    * from tf, so the tokenize explode is shuffled ONCE and every
+    * downstream aggregate rides the reused exchange. */
+  private def bm25WeightsOf(s: SparkSession, tf: DataFrame,
+      wgtKey: Option[String]): DataFrame = {
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val dfq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tok"))
+    def weigh: DataFrame =
+      tf.join(broadcast(dfq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf", log(lit(1.0) +
+          (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))))
+        .withColumn("wbm",
+          col("idf") * (col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") /
+                (col("n_tok").cast("double") / col("n_docs").cast("double"))))))
+        .select(col("doc_id"), col("w"), col("wbm"))
+    wgtKey match {
+      case Some(k) => VectorOps.shared(s, k)(weigh)
+      case None    => weigh
+    }
+  }
+
+  /** The durable weight index for the STANDARD postings of `d` — the
+    * serving handle the online drain reads (same artifact key as the
+    * batch entry, so serving is a read of the store, never a rebuild). */
+  private[graft] def bm25Weights(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    bm25WeightsOf(s, tf,
+      wgtKey = Some(s"bm25_weights:$d:${VectorOps.docsFp(d)}"))
+  }
+
+  /** The standing query-term table (qid, w, qi): each query doc's <= 8
+    * DISTINCT leading terms, indexed in term order — the slot index the
+    * order-free score fold (and the oracle's ordered list_sum) keys on. */
+  private[graft] def bm25QueryTerms(docs: DataFrame): DataFrame = {
+    val qw = Window.partitionBy("qid").orderBy("w")
+    docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(slice(split(col("text"), " "), 1, 8))).as("w"))
+      .withColumn("qi", row_number().over(qw) - 1)
   }
 
   /** The BM25 CTE block of the oracle, parameterized by the rank cutoff —
@@ -2920,6 +2953,10 @@ object LlmText {
         |SELECT qid, rnk, nid, score FROM bmr ORDER BY qid, rnk""".stripMargin,
     // append contract: hash-equal to the full rebuild — same oracle
     "sim_bm25_append_topk" ->
+      s"""WITH ${bm25OracleCtes(topN = 3)}
+        |SELECT qid, rnk, nid, score FROM bmr ORDER BY qid, rnk""".stripMargin,
+    // streaming serve == batch query over the same stored index
+    "stream_bm25_topk" ->
       s"""WITH ${bm25OracleCtes(topN = 3)}
         |SELECT qid, rnk, nid, score FROM bmr ORDER BY qid, rnk""".stripMargin,
     "mm_binary_meta" ->

@@ -1144,6 +1144,74 @@ object EventStreams {
     s.table(name).orderBy("qid", "rnk")
   }
 
+  /** Drain ONLINE BM25 serving against the DURABLE term-weight index —
+    * the lexical twin of [[drainAnnTopK]], completing the serving story
+    * for BOTH retrieval sides (a hybrid stack serves dense and lexical
+    * from stored indexes; sim_rrf_* proved the fusion, these two prove
+    * the serving reads). A stream of query-term rows (qid, w, qi — the
+    * same standing <= 8-term table the batch entry derives) is answered
+    * per micro-batch: stream-static equi-join on the term against the
+    * stored (doc_id, w, wbm) index (the posting-list probe — per query
+    * it touches only its terms' postings), then a per-qid
+    * flatMapGroupsWithState fold replicates the batch entry's score
+    * EXACTLY — one slot per query-term index, slots folded left-to-right
+    * in term order, missing slots +0.0, HALF_UP 6dp rounding — and emits
+    * the top-k. All of a query's candidates arrive in its own micro-batch
+    * (stateless NoTimeout use, like drainAnnTopK). Oracle:
+    * sim_bm25_topk's own — serve == batch, hash-checked.
+    * EAGER BY DESIGN: the drain runs at construction. */
+  def drainBm25TopK(s: SparkSession, d: String, topN: Int): DataFrame = {
+    import s.implicits._
+    val wgt = graft.queries.LlmText.bm25Weights(s, d)
+    val queries = graft.queries.LlmText
+      .bm25QueryTerms(graft.Tables.documents(s, d))
+    val tmp = newStaging("graft_stream_bm25")
+    stageFile(tmp, "a_queries.parquet", queries.filter(col("qid") % 100 === 0))
+    stageFile(tmp, "b_queries.parquet", queries.filter(col("qid") % 100 =!= 0))
+    Seq("a_queries.parquet", "b_queries.parquet").zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.setLastModifiedTime(tmp.resolve(f),
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+    }
+    val schema = s.read.parquet(tmp.toString).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.toString)
+    val cand = src
+      .join(wgt.select(col("doc_id").as("nid"), col("w"), col("wbm")), Seq("w"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), col("qi"), col("wbm"))
+      .as[(Long, Long, Int, Double)]
+    val out = cand.groupByKey(_._1)
+      .flatMapGroupsWithState[Int, (Long, Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (qid, rows, _: GroupState[Int]) =>
+          // per-candidate 8-slot fill (at most one posting per (nid, qi)),
+          // then the batch entry's exact left-to-right fold + rounding
+          val slots = scala.collection.mutable.Map.empty[Long, Array[Double]]
+          rows.foreach { case (_, nid, qi, wbm) =>
+            slots.getOrElseUpdate(nid, Array.fill(8)(0.0))(qi) = wbm
+          }
+          slots.iterator.map { case (nid, sl) =>
+            val raw = sl.foldLeft(0.0)(_ + _)
+            val score = BigDecimal(raw)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            (nid, score)
+          }.toSeq
+            .sortBy { case (nid, sc) => (-sc, nid) }
+            .take(topN).zipWithIndex
+            .map { case ((nid, sc), i) => (qid, (i + 1).toLong, nid, sc) }
+            .iterator
+      }
+    val name = "graft_stream_bm25"
+    val q = out.toDF("qid", "rnk", "nid", "score")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    dropStaging(tmp)
+    s.table(name).orderBy("qid", "rnk")
+  }
+
   /** Drain the ONLINE curation chain — the ingest-time half of
     * `curation_e2e`: language ID, the C4 quality gate, and the
     * deterministic hash hold-out are stateless per-row verdicts computed

@@ -139,6 +139,27 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("streaming BM25 serving reads the stored weight index without rewriting it") {
+    withStoreDir {
+      val Sf = "/root/testdata/sf0.001"
+      val s = spark.newSession() // fresh artifact-cache identity
+      val batch = graft.SparkEntry.queries("sim_bm25_topk")(s, Sf)
+        .collect().map(_.toSeq).toSeq
+      val root = sys.props("graft.index.dir")
+      val arts = new java.io.File(root).listFiles()
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+        .filter(_.getName.startsWith("bm25_weights_"))
+      assert(arts.length == 1, s"expected one weight-index artifact, got ${arts.toSeq}")
+      val mtime = arts.head.lastModified
+      val s2 = spark.newSession()
+      val served = graft.SparkEntry.queries("stream_bm25_topk")(s2, Sf)
+        .collect().map(_.toSeq).toSeq
+      assert(served == batch, "streaming BM25 serve diverged from the batch query")
+      assert(arts.head.lastModified == mtime,
+        "serving rewrote the stored weight index instead of reading it")
+    }
+  }
+
   test("substring append stores its span index once and a fresh session reuses it") {
     withStoreDir {
       val Sf = "/root/testdata/sf0.001"
