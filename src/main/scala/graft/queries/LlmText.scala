@@ -1749,6 +1749,16 @@ object LlmText {
     "stream_bm25_topk" -> ((s, d) =>
       graft.streaming.EventStreams.drainBm25TopK(s, d, topN = 3)),
 
+    // ---- ONLINE hybrid retrieval: the full fused query path (18th) ----
+    // The serving capstone: one query stream carrying both
+    // representations, answered from BOTH durable indexes (IVF inverted
+    // file + BM25 weight table) and fused per query with the exact batch
+    // RRF arithmetic — must hash-match sim_rrf_ann_topk's own oracle
+    // (the trained-IVF + BM25 fused CTE chain). See
+    // EventStreams.drainRrfTopK for the uneven-query-set handling.
+    "stream_rrf_topk" -> ((s, d) =>
+      graft.streaming.EventStreams.drainRrfTopK(s, d, k = 16, nProbe = 4)),
+
     // ---- streaming drain: first-occurrence dedup with event-time TTL ----
     // The PRODUCTION variant of the digest-keyed exact dedup: a digest
     // unseen for 2 days of event time is forgotten and its next arrival
@@ -2959,6 +2969,10 @@ object LlmText {
     "stream_bm25_topk" ->
       s"""WITH ${bm25OracleCtes(topN = 3)}
         |SELECT qid, rnk, nid, score FROM bmr ORDER BY qid, rnk""".stripMargin,
+    // the ONLINE hybrid path == the batch fusion over the same two
+    // stored indexes: sim_rrf_ann_topk's exact oracle, verbatim
+    "stream_rrf_topk" ->
+      graft.queries.AnnOracleSql.rrfAnnTopK(k = 16, nProbe = 4),
     "mm_binary_meta" ->
       """SELECT doc_id,
         |  octet_length(encode(text)) AS n_bytes,

@@ -1212,6 +1212,106 @@ object EventStreams {
     s.table(name).orderBy("qid", "rnk")
   }
 
+  /** Drain the FULL HYBRID RETRIEVAL QUERY PATH online — the capstone of
+    * the serving story: one query stream carrying BOTH representations
+    * (the embedding and the <= 8 standing terms, null where a query
+    * exists on one side only — the dense sample is vec_id % 50, the
+    * lexical one doc_id % 50, and the fusion's FULL-OUTER semantics must
+    * survive the uneven sets), answered per micro-batch from BOTH durable
+    * indexes: the IVF inverted file (cell-probe equi-join) and the BM25
+    * weight table (posting probe), candidates unioned into one per-query
+    * group fold that replicates the batch fusion EXACTLY — dense ranked
+    * on the raw cosine, lexical on the HALF_UP-6dp-rounded slot score,
+    * both capped at top-20, RRF = 1/(60+rank) summed dense-then-lexical
+    * (absent side +0.0), re-ranked by (rrf DESC, nid), top 3, 6dp. Same
+    * oracle as sim_rrf_ann_topk (the trained-IVF + BM25 fused CTE chain):
+    * the ONLINE hybrid path hash-matches the batch fusion, reading both
+    * stores without rebuilding either. EAGER BY DESIGN: the drain runs at
+    * construction. */
+  def drainRrfTopK(s: SparkSession, d: String, k: Int,
+      nProbe: Int): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val (inverted, centers) = graft.queries.VectorOps.ivfIndexHandle(s, d, k)
+    val wgt = graft.queries.LlmText.bm25Weights(s, d)
+    val denseQ = inverted.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    val termQ = graft.queries.LlmText
+      .bm25QueryTerms(graft.Tables.documents(s, d))
+      .groupBy("qid")
+      .agg(collect_list(struct(col("w"), col("qi"))).as("terms"))
+    val queries = denseQ.join(termQ, Seq("qid"), "full")
+    val tmp = newStaging("graft_stream_rrf")
+    stageFile(tmp, "a_queries.parquet", queries.filter(col("qid") % 100 === 0))
+    stageFile(tmp, "b_queries.parquet", queries.filter(col("qid") % 100 =!= 0))
+    Seq("a_queries.parquet", "b_queries.parquet").zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.setLastModifiedTime(tmp.resolve(f),
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+    }
+    val schema = s.read.parquet(tmp.toString).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.toString)
+    val probe = graft.queries.VectorOps.ivfProbeUdf(centers, nProbe)
+    val dcand = src.filter(col("qe").isNotNull)
+      .withColumn("cell", explode(probe(col("qe"))))
+      .join(inverted.select(col("vec_id").as("nid"), col("cell"),
+        col("e"), col("nrm")), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), lit(0).as("side"), lit(0).as("qi"),
+        (call_function("vec_dot", col("qe"), col("e")) /
+          (col("qn") * col("nrm"))).as("v"))
+    val lcand = src.filter(col("terms").isNotNull)
+      .select(col("qid"), explode(col("terms")).as("t"))
+      .select(col("qid"), col("t.w").as("w"), col("t.qi").as("qi"))
+      .join(wgt.select(col("doc_id").as("nid"), col("w"), col("wbm")), Seq("w"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), lit(1).as("side"), col("qi"),
+        col("wbm").as("v"))
+    val cand = dcand.unionByName(lcand).as[(Long, Long, Int, Int, Double)]
+    val out = cand.groupByKey(_._1)
+      .flatMapGroupsWithState[Int, (Long, Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (qid, rows, _: GroupState[Int]) =>
+          val dense = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+          val slots = scala.collection.mutable.Map.empty[Long, Array[Double]]
+          rows.foreach {
+            case (_, nid, 0, _, c)    => dense += ((nid, c))
+            case (_, nid, _, qi, wbm) =>
+              slots.getOrElseUpdate(nid, Array.fill(8)(0.0))(qi) = wbm
+          }
+          // dense rank on the RAW cosine (the batch IVF window's order);
+          // lexical rank on the ROUNDED slot score (the batch BM25's)
+          val ra = dense.sortBy { case (nid, c) => (-c, nid) }
+            .take(20).zipWithIndex
+            .map { case ((nid, _), i) => nid -> (i + 1) }.toMap
+          val rb = slots.iterator.map { case (nid, sl) =>
+            nid -> BigDecimal(sl.foldLeft(0.0)(_ + _))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          }.toSeq.sortBy { case (nid, sc) => (-sc, nid) }
+            .take(20).zipWithIndex
+            .map { case ((nid, _), i) => nid -> (i + 1) }.toMap
+          (ra.keySet ++ rb.keySet).toSeq.map { nid =>
+            val fa = ra.get(nid).map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+            val fb = rb.get(nid).map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+            (nid, fa + fb)
+          }.sortBy { case (nid, rrf) => (-rrf, nid) }
+            .take(3).zipWithIndex
+            .map { case ((nid, rrf), i) =>
+              (qid, (i + 1).toLong, nid, BigDecimal(rrf)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            }.iterator
+      }
+    val name = "graft_stream_rrf"
+    val q = out.toDF("qid", "rnk", "nid", "rrf")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    dropStaging(tmp)
+    s.table(name).orderBy("qid", "rnk")
+  }
+
   /** Drain the ONLINE curation chain — the ingest-time half of
     * `curation_e2e`: language ID, the C4 quality gate, and the
     * deterministic hash hold-out are stateless per-row verdicts computed
