@@ -88,7 +88,7 @@ object VectorOps {
     * index. Cheap — a directory listing, cached per path per process. */
   private val fpCache = scala.collection.concurrent.TrieMap.empty[String, String]
   SessionCaches.register("vectorops.fpCache")(() => fpCache.clear())
-  private[queries] def dataFp(d: String): String =
+  private[graft] def dataFp(d: String): String =
     fpCache.getOrElseUpdate(d, fpOf(s"$d/embeddings.parquet"))
   /** Same fingerprint over documents.parquet — keys the text-derived
     * trained artifacts (BPE merges, LR fits) the way dataFp keys the
@@ -135,10 +135,18 @@ object VectorOps {
             // key manifest for vacuumStore: records WHICH (dataset, fp)
             // this artifact was keyed to, since the sanitized dir name is
             // not reliably parseable back. Underscore prefix = invisible
-            // to the parquet reader, like _SUCCESS.
+            // to the parquet reader, like _SUCCESS. `parts` are the key's
+            // ':'-separated components recorded AT BUILD TIME — every call
+            // site embeds the dataset dir and its fingerprint as whole
+            // components, so vacuum's liveness test is exact component
+            // equality, never substring containment (a liveDir
+            // '/data/sf0.1' must not match a key for '/data/sf0.12', and
+            // an 8-hex fingerprint must not match inside another
+            // component).
             try java.nio.file.Files.writeString(
               java.nio.file.Paths.get(s"$path/_graft_key.json"),
-              s"""{"key": ${graft.Json.str(key)}}""")
+              s"""{"key": ${graft.Json.str(key)}, "parts": ${
+                key.split(':').toSeq.map(graft.Json.str).mkString("[", ", ", "]")}}""")
             catch { case scala.util.control.NonFatal(_) => () }
           }
         }
@@ -167,27 +175,46 @@ object VectorOps {
         val vdir = new java.io.File(s"$root/v$IndexFormatVersion")
         val arts = Option(vdir.listFiles()).getOrElse(Array.empty)
           .filter(_.isDirectory).sortBy(_.getName)
-        // fresh fingerprints of every file a key can embed (embeddings,
-        // documents — plus the rest of the dir for future key shapes)
+        // fresh fingerprints of every child a key can embed (embeddings,
+        // documents — plus the rest of the dir for future key shapes).
+        // Children are files OR directories: Spark-written datasets are
+        // parquet DIRECTORIES (the production shape; fpOf handles both),
+        // and filtering to plain files left liveTags empty for exactly
+        // that layout — every artifact keyed to a live Spark-written
+        // dataset failed the fingerprint match and was deleted.
         val liveTags: Map[String, Set[String]] = liveDirs.map { d =>
-          val files = Option(new java.io.File(d).listFiles())
-            .getOrElse(Array.empty).filter(_.isFile)
-          d -> files.map(f => fpOf(f.getPath)).toSet
+          val children = Option(new java.io.File(d).listFiles())
+            .getOrElse(Array.empty)
+          d -> children.map(f => fpOf(f.getPath)).toSet
         }.toMap
         storeLock.synchronized {
           arts.toSeq.map { art =>
             val metaPath = java.nio.file.Paths.get(s"${art.getPath}/_graft_key.json")
             if (!java.nio.file.Files.exists(metaPath)) art.getName -> "kept_no_meta"
             else {
-              val key = org.json4s.jackson.JsonMethods
+              // exact-match liveness: the build-time `parts` components
+              // (manifests from before the field carried it fall back to
+              // re-splitting the stored key — same grammar) must contain
+              // the live dataset DIR and one of its CURRENT fingerprints
+              // as whole components. Substring containment is wrong in
+              // both directions: path-prefix collisions ('/data/sf0.1'
+              // inside a '/data/sf0.12' key) and a fingerprint's 8 hex
+              // chars appearing inside an unrelated component.
+              val fields = org.json4s.jackson.JsonMethods
                 .parse(java.nio.file.Files.readString(metaPath)) match {
-                case org.json4s.JObject(fields) =>
-                  fields.collectFirst { case ("key", org.json4s.JString(v)) => v }
-                    .getOrElse("")
-                case _ => ""
+                case org.json4s.JObject(fs) => fs.toMap
+                case _ => Map.empty[String, org.json4s.JValue]
+              }
+              val parts: Set[String] = fields.get("parts") match {
+                case Some(org.json4s.JArray(vs)) =>
+                  vs.collect { case org.json4s.JString(v) => v }.toSet
+                case _ => fields.get("key") match {
+                  case Some(org.json4s.JString(k)) => k.split(':').toSet
+                  case _ => Set.empty
+                }
               }
               val live = liveDirs.exists(d =>
-                key.contains(d) && liveTags(d).exists(fp => key.contains(fp)))
+                parts.contains(d) && liveTags(d).exists(parts.contains))
               if (live) art.getName -> "kept"
               else {
                 new scala.reflect.io.Directory(art).deleteRecursively()
@@ -517,6 +544,38 @@ object VectorOps {
       k: Int, nProbe: Int, topK: Int): DataFrame = {
     val (inverted, centers) = ivfIndexHandle(s, d, k)
     ivfQueryTopK(inverted, centers, nProbe, topK)
+  }
+
+  /** Recall-vs-nProbe TRADEOFF CURVE — the tuning measurement a 100 TB IVF
+    * operator actually works with. `ann_ivf_recall_gate` pins one operating
+    * point; this emits one row per nProbe value (recall@topK of the exact
+    * top-1 neighbor, as exact integer hit counts plus their IEEE-exact
+    * ratio), so a cell-balance or assignment regression shows up as a
+    * CURVE SHIFT in the driver compare rather than a single-point flicker.
+    * All four probings share ONE inverted-file artifact and ONE stored
+    * brute-force baseline; the exact-oracle replay recomputes the same
+    * curve from the trained codebook in SQL, so every (n_probe, n_hits)
+    * cell is hash-checked — this is a measurement entry, not a floor
+    * certificate. Monotone by construction (cell sets are nested in
+    * nProbe), which the oracle implicitly verifies cell-by-cell. */
+  private[queries] def ivfNProbeSweep(s: SparkSession, d: String,
+      k: Int, nProbes: Seq[Int], topK: Int): DataFrame = {
+    val (inverted, centers) = ivfIndexHandle(s, d, k)
+    val top1 = shared(s, s"bf_top1:$d:${dataFp(d)}")(bruteForceTopK(embOf(s, d), 1))
+      .filter(col("rnk") === 1).select(col("qid"), col("nid").as("top1"))
+    nProbes.map { np =>
+      val perQuery = top1
+        .join(ivfQueryTopK(inverted, centers, np, topK)
+          .select(col("qid"), col("nid")), Seq("qid"), "left")
+        .groupBy("qid")
+        .agg(max(when(col("nid") === col("top1"), 1).otherwise(0)).as("hit"))
+      perQuery.agg(
+        lit(np).cast("long").as("n_probe"),
+        count(lit(1)).cast("long").as("n_queries"),
+        sum("hit").cast("long").as("n_hits"),
+        // exact-int division: correctly rounded identically on both engines
+        (sum("hit").cast("double") / count(lit(1))).as("recall"))
+    }.reduce(_.unionByName(_)).orderBy("n_probe")
   }
 
   /** The IVF query path shared by the one-shot and append-maintained
@@ -1512,16 +1571,21 @@ object VectorOps {
     // ---- the swap measurement promoted to a PINNED FLOOR ----
     // sim_rrf_swap_overlap reports; this entry GATES: mean per-query top-3
     // overlap between the exact-dense and IVF-dense fusions must hold
-    // >= 2 of 3 (the floor the r11 measurements clear at every SF:
-    // means 2.3 / 2.0 / 2.81). Checked in pure integer arithmetic
-    // (sum >= 2·count — no FP boundary), so an IVF quality regression now
-    // FAILS the driver hash instead of drifting through the report. Same
-    // pattern as the ann_*_recall_gates.
+    // >= 5/3 (the r11 measurements are 2.3 / 2.0 / 2.81 across the SFs —
+    // the weakest mean sits EXACTLY on 2.0, so a floor of 2 had zero
+    // margin: one query losing one overlap unit under benign IVF
+    // tie-shuffle would flip overlap_ok and fail the driver hash. 5/3
+    // keeps a one-overlap-per-three-queries cushion below the weakest
+    // measurement while still failing on a real quality regression).
+    // Checked in pure integer arithmetic (3·sum >= 5·count — no FP
+    // boundary), so an IVF quality regression FAILS the driver hash
+    // instead of drifting through the report. Same pattern as the
+    // ann_*_recall_gates.
     "sim_rrf_swap_gate" -> ((s, d) =>
       rrfSwapOverlapOf(s, d).agg(
         count(lit(1)).cast("long").as("n_queries"),
         sum("n_common").cast("long").as("n_common_total"),
-        (sum("n_common") >= lit(2) * count(lit(1))).as("overlap_ok"))),
+        (lit(3) * sum("n_common") >= lit(5) * count(lit(1))).as("overlap_ok"))),
 
     // ---- retrieval through the SQL front door ----
     // sql_front_door_curation's contract extended to the retrieval stack:
@@ -2190,6 +2254,15 @@ object VectorOps {
         annIvfTopK(s, d, k = 16, nProbe = 4, topK = 3), floor = 0.5)
     }),
 
+    // ---- the recall-vs-nProbe TRADEOFF CURVE, exactly oracled ----
+    // The gate pins one operating point; a 100 TB operator TUNES nProbe.
+    // One row per swept value (shared index + stored baseline), every
+    // (n_probe, n_hits) cell hash-checked against the trained-codebook
+    // replay — a cell-balance regression shows as a curve shift, not a
+    // single-point flicker.
+    "ann_ivf_nprobe_sweep" -> ((s, d) =>
+      ivfNProbeSweep(s, d, k = 16, nProbes = Seq(1, 2, 4, 8), topK = 3)),
+
     // ---- incremental IVF: append a delta batch WITHOUT retraining ----
     // The index-maintenance lifecycle: codebook trained on the base slice
     // only, the appended delta encoded with the same stale codebook as its
@@ -2465,6 +2538,20 @@ object VectorOps {
     // contract (k grows with the corpus; cells stay bounded).
     "dedup_semdedup" -> ((s, d) => semDedup(s, d, k = 16, tau = 0.45)),
 
+    // ---- SemDeDup at the SCALE-RIGHT cluster count ----
+    // dedup_semdedup pins k=16 for oracle continuity, but 16 cells is the
+    // scale-WRONG configuration: any ingest touches every cell, so the
+    // append path's touched-cell locality buys nothing (measured 0.89
+    // append/rebuild ratio at k=16 vs 0.40 at k=512 on the 40k-doc Zipf
+    // fixture — TimeSemDedup, ROUNDLOG r12). The paper's regime grows k
+    // with the corpus so cell sizes stay bounded (50k clusters on 600M
+    // embeddings); this entry registers that regime at the k≈2.5·√n rule's
+    // value for the sf0.01 contract corpus (n=500 → k=64; the same rule
+    // gives the probe's k=512 at 40k docs). Same Lloyd-replay oracle,
+    // parameterized at 64 — a cell-balance or assignment regression at
+    // production-shaped k now fails the driver hash, not just a probe.
+    "dedup_semdedup_scaled" -> ((s, d) => semDedup(s, d, k = 64, tau = 0.45)),
+
     // ---- incremental SemDeDup: delta-only assignment, touched-cell rescan --
     // The append verb for the semantic verdict: base cell assignment and
     // per-cell verdicts are durable REUSEd artifacts; a delta ingest
@@ -2645,6 +2732,8 @@ object VectorOps {
     "dedup_simhash" -> HashOracleSql.simhashPairs(maxHamming = 3),
     "ann_ivf_topk" ->
       AnnOracleSql.ivfTopK(k = 16, nProbe = 4, topK = 3, filtered = false),
+    "ann_ivf_nprobe_sweep" ->
+      AnnOracleSql.ivfRecallCurve(k = 16, nProbes = Seq(1, 2, 4, 8), topK = 3),
     "ann_ivf_append_topk" ->
       AnnOracleSql.ivfTopK(k = 16, nProbe = 4, topK = 3, filtered = false,
         sampleWhere = "vec_id % 5 != 4"),
@@ -2914,6 +3003,8 @@ object VectorOps {
         |WHERE rn = 1 ORDER BY qid""".stripMargin,
     "dedup_embed_cosine" -> AllPairsCosineOracle,
     "dedup_semdedup" -> AnnOracleSql.semDedup(k = 16, tau = "0.45"),
+    // the scale-right cluster count (k ≈ 2.5·√n): same Lloyd replay at k=64
+    "dedup_semdedup_scaled" -> AnnOracleSql.semDedup(k = 64, tau = "0.45"),
     // append path: same verdict semantics, Lloyd sample base-restricted
     "dedup_semdedup_append" -> AnnOracleSql.semDedup(k = 16, tau = "0.45",
       sampleWhere = "vec_id % 5 != 4"),

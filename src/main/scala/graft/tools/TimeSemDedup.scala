@@ -44,8 +44,13 @@ object TimeSemDedup {
         graft.queries.VectorOps.semDedupOf(spark, emb, k, tau = 0.45,
           storeKey = None)
       case "append" =>
+        // the store key embeds the dataset fingerprint, matching the
+        // registered entries' keying convention: a fixture regenerated
+        // between the untimed prep run and the timed run must MISS the
+        // warm store (and read as a rebuild), never silently reuse
+        // artifacts built from the old corpus as a wrong measurement
         graft.queries.VectorOps.semDedupAppendOf(spark, emb, k, tau = 0.45,
-          storeKey = Some(s"probe:$d:$k"))
+          storeKey = Some(s"probe:$d:${graft.queries.VectorOps.dataFp(d)}:$k"))
     }
     val t0 = System.nanoTime()
     df.write.format("noop").mode("overwrite").save()

@@ -238,4 +238,112 @@ class IndexStoreSpec extends SparkSpec {
       assert(a.count() == 1 && b.count() == 2)
     }
   }
+
+  test("vacuumStore keeps artifacts of a DIRECTORY-shaped live dataset") {
+    withStoreDir {
+      val s = spark.newSession()
+      import s.implicits._
+      // production shape: the dataset dir holds Spark-WRITTEN parquet
+      // DIRECTORIES (testdata ships single-file parquet; fixtures and any
+      // real warehouse do not) — liveTags must fingerprint directory
+      // children too, or every artifact keyed to such a dataset is
+      // wrongly judged stale and deleted
+      val ds = java.nio.file.Files.createTempDirectory("graft_vac_ds").toString
+      try {
+        Seq((1L, "a")).toDF("vec_id", "t").write.parquet(s"$ds/embeddings.parquet")
+        Seq((1L, "x")).toDF("doc_id", "text").write.parquet(s"$ds/documents.parquet")
+        val fp = VectorOps.fpOf(s"$ds/embeddings.parquet")
+        VectorOps.durable(s, s"vac_dirds:$ds:$fp")(Seq(7L).toDF("id"))
+        val report = VectorOps.vacuumStore(s, Seq(ds))
+        assert(report.exists { case (n, a) => n.startsWith("vac_dirds") && a == "kept" },
+          s"directory-dataset artifact not kept: $report")
+        // the survivor still reads back with no rebuild
+        assert(VectorOps.durable(s.newSession(), s"vac_dirds:$ds:$fp")(
+          sys.error("rebuilt")).count() == 1)
+      } finally new scala.reflect.io.Directory(new java.io.File(ds)).deleteRecursively()
+    }
+  }
+
+  test("vacuumStore liveness is exact-component, not substring containment") {
+    withStoreDir {
+      val s = spark.newSession()
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_vac_pfx").toString
+      try {
+        // two sibling datasets where one path is a strict prefix of the other
+        val live = s"$root/sf0.1"
+        val other = s"$root/sf0.12"
+        for (d <- Seq(live, other)) {
+          new java.io.File(d).mkdirs()
+          Seq((1L, "a")).toDF("vec_id", "t").write.parquet(s"$d/embeddings.parquet")
+        }
+        val liveFp = VectorOps.fpOf(s"$live/embeddings.parquet")
+        val otherFp = VectorOps.fpOf(s"$other/embeddings.parquet")
+        VectorOps.durable(s, s"vac_pfx_live:$live:$liveFp")(Seq(1L).toDF("id"))
+        // keyed to the NON-live sibling: substring matching would see the
+        // live path '/…/sf0.1' inside '/…/sf0.12' and wrongly keep it
+        VectorOps.durable(s, s"vac_pfx_other:$other:$otherFp")(Seq(2L).toDF("id"))
+        // fingerprint must also match as a whole component — an artifact of
+        // the live dataset under a STALE fp whose hex happens to appear
+        // inside the key elsewhere must still drop
+        VectorOps.durable(s, s"vac_pfx_stalefp:$live:00000000:tag$liveFp")(
+          Seq(3L).toDF("id"))
+        val report = VectorOps.vacuumStore(s, Seq(live)).toMap
+        def act(p: String) = report.collectFirst {
+          case (n, a) if n.startsWith(p) => a }
+        assert(act("vac_pfx_live").contains("kept"))
+        assert(act("vac_pfx_other").contains("dropped"),
+          "path-prefix collision kept a non-live dataset's artifact")
+        // 'tag$liveFp' is one component — the bare fp must not match inside it
+        assert(act("vac_pfx_stalefp").contains("dropped"),
+          "fingerprint substring inside another component judged live")
+      } finally new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    }
+  }
+
+  test("vacuum racing a concurrent materialization never loses an artifact") {
+    withStoreDir {
+      val s = spark.newSession()
+      import s.implicits._
+      val Sf = "/root/testdata/sf0.001"
+      val liveFp = VectorOps.fpOf(s"$Sf/embeddings.parquet")
+      val root = new java.io.File(sys.props("graft.index.dir"))
+      // (1) deterministic replay of the mid-build states a concurrent
+      // vacuum can observe (durable writes data, THEN the manifest):
+      //   a. data committed (_SUCCESS), manifest not yet written
+      //   b. write in flight (no _SUCCESS, no manifest)
+      // both must be conservatively KEPT — a vacuum between the data
+      // commit and the manifest write must not destroy the new artifact.
+      VectorOps.durable(s, s"vac_race_a:$Sf:$liveFp")(Seq(1L).toDF("id"))
+      val vdir = root.listFiles().head
+      val aDir = vdir.listFiles().find(_.getName.startsWith("vac_race_a")).get
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(aDir.getPath, "_graft_key.json"))
+      val bDir = new java.io.File(vdir, "vac_race_b_inflight")
+      bDir.mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(bDir.getPath, "part-00000.tmp"), "partial")
+      val report = VectorOps.vacuumStore(s, Seq(Sf)).toMap
+      assert(report.collectFirst {
+        case (n, a) if n.startsWith("vac_race_a") => a }.contains("kept_no_meta"),
+        "data-committed-manifest-pending artifact was not spared")
+      assert(report.collectFirst {
+        case (n, a) if n.startsWith("vac_race_b") => a }.contains("kept_no_meta"),
+        "in-flight write was not spared")
+      // (2) same-JVM interleaving: vacuum and fresh materializations race
+      // on storeLock from two threads; every key must read back afterwards
+      val keys = (0 until 4).map(i => s"vac_race_k$i:$Sf:$liveFp")
+      val builder = new Thread(() => keys.foreach { k =>
+        VectorOps.durable(s, k)(Seq(1L, 2L).toDF("id"))
+      })
+      val vacuumer = new Thread(() =>
+        (0 until 4).foreach(_ => VectorOps.vacuumStore(s, Seq(Sf))))
+      builder.start(); vacuumer.start()
+      builder.join(60000); vacuumer.join(60000)
+      keys.foreach { k =>
+        assert(VectorOps.durable(s.newSession(), k)(sys.error("lost")).count() == 2,
+          s"artifact for $k lost to a concurrent vacuum")
+      }
+    }
+  }
 }
