@@ -157,6 +157,27 @@ class BenchLineSpec extends AnyFunSuite {
     assert(parseable(line))
   }
 
+  test("gcShare measures collector share, immune to short windows and resets") {
+    // 3 s of GC inside a 10 s window = 0.3 share
+    assert(math.abs(Bench.gcShare(1000, 4000, 10.0) - 0.3) < 1e-9)
+    // sub-quarter-second window: ms-granular GC time is noise there
+    assert(Bench.gcShare(0, 60, 0.2) == 0.0)
+    // collector bean reset (negative delta) never flags
+    assert(Bench.gcShare(5000, 100, 10.0) == 0.0)
+    assert(Bench.gcShare(100, 100, 10.0) == 0.0)
+  }
+
+  test("gcFlaggedEntries names GC-bound entries above the line, capped at 12") {
+    val quiet = (1 to 30).map(i => s"q$i" -> 0.05)
+    val loud = (1 to 15).map(i => s"gcheavy$i" -> (0.3 + i * 0.04))
+    val flagged = Bench.gcFlaggedEntries(scala.util.Random.shuffle(quiet ++ loud))
+    assert(flagged.length == 12)
+    assert(flagged.head._1 == "gcheavy15", "must sort worst-first")
+    assert(flagged.forall(_._2 > Bench.GcShareLine))
+    // exactly AT the line is not a flag
+    assert(Bench.gcFlaggedEntries(Seq("edge" -> Bench.GcShareLine)).isEmpty)
+  }
+
   test("the totals-only fallback still keeps failed queries' negative times") {
     val results = (1 to 50).map(i => ("zz_unfoldable_very_long_query_name_" +
       ("x" * 60) + i) -> 1.0) :+ ("zz_broken_" + ("y" * 80) -> -0.5)
