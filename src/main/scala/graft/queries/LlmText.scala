@@ -873,12 +873,22 @@ object LlmText {
     * variant, full output keeps the hash-equality contract testable). */
   private[queries] def substringDedupAppend(s: SparkSession, docs: DataFrame,
       w: Int, storeKey: Option[String]): DataFrame = {
+    val (baseDups, newDups) = substringAppendDups(s, docs, w, storeKey)
+    assembleSubstringOutput(tokenized(docs), baseDups.unionByName(newDups), w)
+  }
+
+  /** The incremental dup-row core shared by the hash-equal append entry and
+    * the delta-output production variant: (stored base dups, new dups from
+    * the delta merge). See [[substringDedupAppend]]'s doc for the exactness
+    * argument — stored ∪ new is a disjoint, exhaustive replay of the full
+    * rebuild's rn > 1 set. */
+  private def substringAppendDups(s: SparkSession, docs: DataFrame,
+      w: Int, storeKey: Option[String]): (DataFrame, DataFrame) = {
     def keep(name: String)(build: => DataFrame): DataFrame = storeKey match {
       case Some(k) => VectorOps.shared(s, s"$name:$k")(build)
       case None    => build
     }
     val isDelta = col("doc_id") % 5 === 4
-    val base = tokenized(docs)
     val baseSpans = spanRows(tokenized(docs.filter(!isDelta)), w)
     val firstSeen = Window.partitionBy("span").orderBy("doc_id", "pos")
     val spanIndex = keep("substr_span_index_base")(
@@ -898,7 +908,38 @@ object LlmText {
       .withColumn("rn", row_number().over(firstSeen))
       .filter(col("rn") > 1)
       .select(col("doc_id"), col("pos"))
-    assembleSubstringOutput(base, baseDups.unionByName(newDups), w)
+    (baseDups, newDups)
+  }
+
+  /** Production-shaped append OUTPUT: verdict rows for the delta docs plus
+    * only the base docs the ingest actually CHANGED, instead of re-emitting
+    * the whole corpus. [[substringDedupAppend]] keeps full output so its
+    * oracle is literally the rebuild (hash-equality as the correctness
+    * contract); at 100 TB that contract's output clause is the wrong shape —
+    * a daily ingest must write O(delta), not O(corpus). The only base docs
+    * an ingest can change are those gaining a NEW duplicate position (a
+    * stored base first outranked by an interleaved delta occurrence), i.e.
+    * exactly the base doc_ids appearing in the merge's rn > 1 rows — an
+    * untouched base doc's dup set, and hence its reassembly, is bitwise
+    * final in the store. Output = assemble(delta docs ∪ changed base docs)
+    * over (stored ∪ new) dup rows; per-ingest cost O(delta · w) span rows +
+    * the span-keyed index lookups + a reassembly scan of ONLY the affected
+    * docs' text. Oracle: the full rebuild restricted in SQL to the same
+    * affected set (delta ∪ doc_ids of full-dups \ base-only-dups) — exact,
+    * because new dups ≡ full \ base (the append entry's proven identity). */
+  private[queries] def substringDedupAppendDelta(s: SparkSession,
+      docs: DataFrame, w: Int, storeKey: Option[String]): DataFrame = {
+    val (baseDups, newDups0) = substringAppendDups(s, docs, w, storeKey)
+    // feeds the affected-doc set AND the dup union: cut the lineage so the
+    // delta merge's window runs once (the canonical append's pattern)
+    val newDups = newDups0.localCheckpoint(false)
+    val isDelta = col("doc_id") % 5 === 4
+    val affected = docs.filter(isDelta).select("doc_id")
+      .unionByName(newDups.select("doc_id")).distinct()
+    assembleSubstringOutput(
+      tokenized(docs).join(affected, Seq("doc_id"), "left_semi"),
+      baseDups.unionByName(newDups).join(affected, Seq("doc_id"), "left_semi"),
+      w)
   }
 
   /** Canonical excision intervals computed WITHIN window groups — the
@@ -1236,6 +1277,13 @@ object LlmText {
     // ---- incremental substring dedup: delta spans vs the stored index ----
     "dedup_substring_append" -> ((s, d) =>
       substringDedupAppend(s, Tables.documents(s, d), w = 10,
+        storeKey = Some(s"$d:${VectorOps.docsFp(d)}:w10"))),
+
+    // ---- the append's production OUTPUT shape: delta + changed docs only --
+    // (same base store as dedup_substring_append — the entries share the
+    // span index and base-dup artifacts; only the output clause differs)
+    "dedup_substring_append_delta" -> ((s, d) =>
+      substringDedupAppendDelta(s, Tables.documents(s, d), w = 10,
         storeKey = Some(s"$d:${VectorOps.docsFp(d)}:w10"))),
 
     // ---- canonical variable-length excision: the Lee et al. end product ----
@@ -2293,6 +2341,68 @@ object LlmText {
       |LEFT JOIN ka k USING (doc_id)
       |ORDER BY t.doc_id""".stripMargin
 
+  /** Delta-output replay for `dedup_substring_append_delta`: the full
+    * rebuild's per-doc rows RESTRICTED to the docs an ingest can change —
+    * the delta slice plus every base doc owning a dup row of the full
+    * rebuild that the base-only rebuild lacks (new dups ≡ full \ base is
+    * the append path's proven identity, so this set equals the Spark
+    * side's merge-derived one). All columns integer/md5 — no FP boundary. */
+  private val substringDeltaOracleSql =
+    """WITH t AS MATERIALIZED (
+      |  SELECT doc_id, string_split(text, ' ') AS tk,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |spans AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    unnest(range(greatest(n - 9, 0))) AS pos,
+      |    unnest(list_transform(range(greatest(n - 9, 0)),
+      |      i -> array_to_string(tk[i + 1 : i + 10], ' '))) AS span
+      |  FROM t),
+      |rk AS MATERIALIZED (
+      |  SELECT doc_id, pos,
+      |    row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+      |  FROM spans),
+      |dups AS MATERIALIZED (SELECT doc_id, pos FROM rk WHERE rn > 1),
+      |brk AS MATERIALIZED (
+      |  SELECT doc_id, pos,
+      |    row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+      |  FROM spans WHERE doc_id % 5 != 4),
+      |bdups AS MATERIALIZED (SELECT doc_id, pos FROM brk WHERE rn > 1),
+      |ndups AS MATERIALIZED (
+      |  SELECT doc_id, pos FROM dups EXCEPT SELECT doc_id, pos FROM bdups),
+      |aff AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id FROM (
+      |    SELECT doc_id FROM t WHERE doc_id % 5 = 4
+      |    UNION ALL SELECT doc_id FROM ndups)),
+      |cov AS MATERIALIZED (
+      |  SELECT doc_id, list(pos ORDER BY pos) AS ps,
+      |    count(*) AS n_dup
+      |  FROM dups GROUP BY doc_id),
+      |toks AS MATERIALIZED (
+      |  SELECT doc_id, unnest(range(n)) AS j, unnest(tk) AS tok FROM t),
+      |ka AS MATERIALIZED (
+      |  SELECT tt.doc_id,
+      |    md5(coalesce(string_agg(tt.tok, ' ' ORDER BY tt.j), ''))
+      |      AS kept_md5
+      |  FROM toks tt
+      |  WHERE NOT EXISTS (SELECT 1 FROM dups u
+      |    WHERE u.doc_id = tt.doc_id
+      |      AND u.pos <= tt.j AND tt.j <= u.pos + 9)
+      |  GROUP BY tt.doc_id)
+      |SELECT t.doc_id,
+      |  CAST(t.n AS BIGINT) AS n_tokens,
+      |  CAST(greatest(t.n - 9, 0) AS BIGINT) AS n_spans,
+      |  CAST(coalesce(c.n_dup, 0) AS BIGINT) AS n_dup_spans,
+      |  CAST(coalesce(list_sum(list_transform(range(len(c.ps)),
+      |      k -> least(10, coalesce(c.ps[k + 2] - c.ps[k + 1], 10)))), 0)
+      |    AS BIGINT) AS n_dup_tokens,
+      |  coalesce(k.kept_md5, md5('')) AS kept_md5
+      |FROM t
+      |JOIN aff USING (doc_id)
+      |LEFT JOIN cov c USING (doc_id)
+      |LEFT JOIN ka k USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
+
   /** Composed canonical-excision replay, shared by dedup_substring_canonical
     * and its append path (whose contract is hash-equality to the rebuild). */
   private val canonicalOracleSql =
@@ -2454,6 +2564,8 @@ object LlmText {
     // base ∪ delta — the rebuild replay IS its oracle (same convention as
     // dedup_minhash_append / dedup_embed_append)
     "dedup_substring_append" -> substringOracleSql,
+    // production output shape: the rebuild restricted to delta ∪ changed
+    "dedup_substring_append_delta" -> substringDeltaOracleSql,
     // composed replay: the fixed-10 first-occurrence dup starts (rk/dups,
     // as in dedup_substring) joined to the SA neighbor-LCP per-position
     // profile (suff/s2/pair/lc/pp, as in dedup_substring_sa) become
