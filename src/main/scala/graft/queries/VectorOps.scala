@@ -2562,6 +2562,16 @@ object VectorOps {
     "dedup_semdedup_append" -> ((s, d) => semDedupAppendOf(s, embOf(s, d),
       k = 16, tau = 0.45, storeKey = Some(s"$d:${dataFp(d)}"))),
 
+    // ---- the append verb AT the scale-right k ----
+    // dedup_semdedup_append's touched-cell locality only pays off when k
+    // scales with the corpus (at k=16 every ingest touches every cell);
+    // this entry exercises the append machinery at dedup_semdedup_scaled's
+    // k=64, where a delta batch leaves most cells untouched and their
+    // stored verdicts ship verbatim. Same exact oracle, Lloyd sample
+    // restricted to the base slice.
+    "dedup_semdedup_scaled_append" -> ((s, d) => semDedupAppendOf(s,
+      embOf(s, d), k = 64, tau = 0.45, storeKey = Some(s"$d:${dataFp(d)}"))),
+
     // ---- incremental embedding near-dup: delta-only signing vs base ----
     "dedup_embed_append" -> ((s, d) =>
       embedCosineAppend(s, d, threshold = 0.9).orderBy("id_a", "id_b")),
@@ -3005,6 +3015,8 @@ object VectorOps {
     "dedup_semdedup" -> AnnOracleSql.semDedup(k = 16, tau = "0.45"),
     // the scale-right cluster count (k ≈ 2.5·√n): same Lloyd replay at k=64
     "dedup_semdedup_scaled" -> AnnOracleSql.semDedup(k = 64, tau = "0.45"),
+    "dedup_semdedup_scaled_append" -> AnnOracleSql.semDedup(k = 64,
+      tau = "0.45", sampleWhere = "vec_id % 5 != 4"),
     // append path: same verdict semantics, Lloyd sample base-restricted
     "dedup_semdedup_append" -> AnnOracleSql.semDedup(k = 16, tau = "0.45",
       sampleWhere = "vec_id % 5 != 4"),

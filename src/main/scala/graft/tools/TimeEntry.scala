@@ -45,7 +45,13 @@ object TimeEntry {
     // absorb one-time JVM startup — same discipline as Bench
     spark.range(1000000).selectExpr("sum(id)").write
       .format("noop").mode("overwrite").save()
-    val df = graft.SparkEntry.queries(name)(spark, d) // construction untimed
+    // `_floor` is the harness floor probe: a bare scan+noop materialization
+    // of the corpus, so ratio tables can report how much of an append-side
+    // reading is fixed session/scan cost rather than incremental compute
+    val df =
+      if (name == "_floor")
+        spark.read.parquet(s"$d/documents.parquet").select("doc_id")
+      else graft.SparkEntry.queries(name)(spark, d) // construction untimed
     val t0 = System.nanoTime()
     df.write.format("noop").mode("overwrite").save()
     val sec = (System.nanoTime() - t0) / 1e9

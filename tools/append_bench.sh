@@ -10,10 +10,21 @@
 #                   timed run pays the full from-scratch compute.
 # Median of 3 per side; prints one PAIR line per family with the ratio.
 #
-# Usage: tools/append_bench.sh [fixtureDir] [warmStoreDir]
+# A `_floor` probe (bare corpus scan + noop write in a fresh JVM) is
+# measured first so every ratio can be read against the fixed session
+# cost. The SemDeDup probe runs at the SCALE-RIGHT k (SEMK, default 512 —
+# the k~2.5*sqrt(n) regime at the 40k-doc fixture) through TimeSemDedup.
+#
+# Usage: tools/append_bench.sh [fixtureDir] [warmStoreDir] [jsonOut]
+#   jsonOut (optional): write the machine-readable ratio table — the
+#   round-close artifact (APPEND_r{N}.json) the judge diffs like BENCH
+#   files. One object per pair: {pair, corpus, n_docs, append_s,
+#   rebuild_s, ratio, floor_s, runs}.
 set -e
 FIX=${1:-fixtures/zipf}
 STORE=${2:-/tmp/zipf_warm_store}
+OUT=${3:-}
+SEMK=${SEMK:-512}
 CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
 JAVA="java -cp $CP --add-exports java.base/sun.nio.ch=ALL-UNNAMED -Xmx24g"
 
@@ -22,6 +33,7 @@ dedup_minhash_append:dedup_minhash_lsh
 dedup_containment_append:dedup_containment
 dedup_semdedup_append:dedup_semdedup
 dedup_substring_append:dedup_substring
+dedup_substring_append_delta:dedup_substring
 dedup_substring_canonical_append:dedup_substring_canonical
 sim_bm25_append_topk:sim_bm25_topk
 dedup_embed_append:dedup_embed_cosine
@@ -33,8 +45,19 @@ for p in $PAIRS; do
   a=${p%%:*}
   SPARK_GRAFT_INDEX_DIR=$STORE $JAVA graft.tools.TimeEntry "$FIX" "$a" >/dev/null 2>&1
 done
+SPARK_GRAFT_INDEX_DIR=$STORE $JAVA graft.tools.TimeSemDedup "$FIX" append "$SEMK" >/dev/null 2>&1
 
 median() { printf '%s\n' "$@" | sort -n | awk '{v[NR]=$1} END{print v[int((NR+1)/2)]}'; }
+
+ROWS=/tmp/append_bench_rows.$$.tsv
+: > "$ROWS"
+
+ft=()
+for i in 1 2 3; do
+  ft+=("$($JAVA graft.tools.TimeEntry "$FIX" _floor 2>/dev/null | awk '/^TIME_ENTRY/{print $3}')")
+done
+FLOOR=$(median "${ft[@]}")
+echo "FLOOR ${FLOOR}s (bare scan+noop, fresh JVM; runs: ${ft[*]})"
 
 for p in $PAIRS; do
   a=${p%%:*}; r=${p##*:}
@@ -46,4 +69,40 @@ for p in $PAIRS; do
   am=$(median "${at[@]}"); rm_=$(median "${rt[@]}")
   ratio=$(python3 -c "print(round($am/$rm_,3))")
   echo "PAIR append=$a ${am}s rebuild=$r ${rm_}s ratio=$ratio (runs: append=${at[*]} rebuild=${rt[*]})"
+  printf '%s\t%s\t%s\t%s\t%s\t%s\n' "$a:$r" "$am" "$rm_" "$ratio" "${at[*]}" "${rt[*]}" >> "$ROWS"
 done
+
+# SemDeDup at the scale-right k (the registered entries pin k=16 for the
+# Lloyd-replay oracle; the paper's regime grows k with the corpus)
+at=(); rt=()
+for i in 1 2 3; do
+  at+=("$(SPARK_GRAFT_INDEX_DIR=$STORE $JAVA graft.tools.TimeSemDedup "$FIX" append "$SEMK" 2>/dev/null | awk '/^TIME_SEMDEDUP/{print $4}')")
+  rt+=("$(SPARK_GRAFT_NO_INDEX_STORE=1 $JAVA graft.tools.TimeSemDedup "$FIX" rebuild "$SEMK" 2>/dev/null | awk '/^TIME_SEMDEDUP/{print $4}')")
+done
+am=$(median "${at[@]}"); rm_=$(median "${rt[@]}")
+ratio=$(python3 -c "print(round($am/$rm_,3))")
+echo "PAIR append=semdedup_k$SEMK ${am}s rebuild=semdedup_k$SEMK ${rm_}s ratio=$ratio (runs: append=${at[*]} rebuild=${rt[*]})"
+printf '%s\t%s\t%s\t%s\t%s\t%s\n' "semdedup_k$SEMK:semdedup_k$SEMK" "$am" "$rm_" "$ratio" "${at[*]}" "${rt[*]}" >> "$ROWS"
+
+if [ -n "$OUT" ]; then
+  NDOCS=$(python3 -c "
+import duckdb
+print(duckdb.sql(\"select count(*) from '$FIX/documents.parquet'\" if __import__('os').path.isfile('$FIX/documents.parquet') else \"select count(*) from '$FIX/documents.parquet/*.parquet'\").fetchone()[0])")
+  python3 - "$ROWS" "$OUT" "$FIX" "$NDOCS" "$FLOOR" <<'EOF'
+import json, sys
+rows_path, out, fix, ndocs, floor = sys.argv[1:6]
+pairs = []
+for line in open(rows_path):
+    pair, a, r, ratio, aruns, rruns = line.rstrip("\n").split("\t")
+    pairs.append({
+        "pair": pair, "corpus": fix, "n_docs": int(ndocs),
+        "append_s": float(a), "rebuild_s": float(r), "ratio": float(ratio),
+        "floor_s": float(floor),
+        "runs": {"append": [float(x) for x in aruns.split()],
+                 "rebuild": [float(x) for x in rruns.split()]}})
+json.dump({"fixture": fix, "n_docs": int(ndocs), "floor_s": float(floor),
+           "pairs": pairs}, open(out, "w"), indent=1)
+print(f"wrote {out} ({len(pairs)} pairs)")
+EOF
+fi
+rm -f "$ROWS"
