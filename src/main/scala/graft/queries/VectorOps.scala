@@ -118,7 +118,15 @@ object VectorOps {
   private[queries] def durable(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
     indexStoreDir match {
       case None => build
-      case Some(root) =>
+      case Some(root) => durableAt(s, root, key)(build)
+    }
+
+  /** Root-parameterized store write/read — the body of [[durable]], also
+    * used directly by the vacuum gate entry against its own throwaway
+    * root (so the gate certifies the verb without touching the session's
+    * real store and independent of SPARK_GRAFT_NO_INDEX_STORE). */
+  private[queries] def durableAt(s: SparkSession, root: String, key: String)(
+      build: => DataFrame): DataFrame = {
         val safe = key.replaceAll("[^A-Za-z0-9._-]", "_")
         // short digest disambiguates keys that sanitize to the same name
         val digest = java.lang.Long.toHexString(
@@ -171,7 +179,13 @@ object VectorOps {
       liveDirs: Seq[String]): Seq[(String, String)] =
     indexStoreDir match {
       case None => Seq.empty
-      case Some(root) =>
+      case Some(root) => vacuumAt(root, liveDirs)
+    }
+
+  /** Root-parameterized vacuum — the body of [[vacuumStore]]; the gate
+    * entry runs it against its own throwaway root. */
+  private[queries] def vacuumAt(root: String,
+      liveDirs: Seq[String]): Seq[(String, String)] = {
         val vdir = new java.io.File(s"$root/v$IndexFormatVersion")
         val arts = Option(vdir.listFiles()).getOrElse(Array.empty)
           .filter(_.isDirectory).sortBy(_.getName)
@@ -230,6 +244,54 @@ object VectorOps {
       hookEviction(s)
       durable(s, key)(build).persist()
     })
+
+  /** Driver-green certificate for the store's GC verb — the fourth index
+    * lifecycle verb made driver-visible (create = ann_index_store_gate,
+    * append = ann_ivf_append_topk, delete = ann_ivf_delete_topk, vacuum =
+    * here; it was spec-only before). Against a THROWAWAY root (never the
+    * session's real store), build four artifacts spanning the contract's
+    * cases — live-keyed (current dataset dir + current fingerprint),
+    * stale-fingerprint, gone-dataset, and manifest-less — run the vacuum,
+    * and certify: exactly the live artifact kept, exactly the stale+gone
+    * pair dropped (and gone from disk), the manifest-less one spared
+    * conservatively, and the survivor still readable with NO rebuild.
+    * Store work happens at plan-build (the gate convention: Bench times
+    * execution only); the emitted row is data-independent, so the oracle
+    * states it as constants and any GC regression — deleting a live
+    * artifact, sparing a stale one, touching unmanifested dirs — flips a
+    * count or the boolean and fails the driver hash. */
+  private[queries] def indexVacuumGate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_vacgate").toString
+    try {
+      val fp = dataFp(d)
+      def art(key: String): Unit =
+        durableAt(s, root, key)(s.range(1).toDF("id")).count()
+      art(s"vacgate_live:$d:$fp")
+      art(s"vacgate_stale:$d:00000000")
+      art(s"vacgate_gone:/graft/no/such/ds:$fp")
+      art(s"vacgate_nometa:$d:$fp")
+      val vdir = new java.io.File(s"$root/v$IndexFormatVersion")
+      vdir.listFiles().filter(_.getName.startsWith("vacgate_nometa")).foreach {
+        a => java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(a.getPath, "_graft_key.json"))
+      }
+      val report = vacuumAt(root, Seq(d))
+      def n(action: String): Long = report.count(_._2 == action).toLong
+      val droppedGone = !vdir.listFiles().exists(a =>
+        a.getName.startsWith("vacgate_stale") || a.getName.startsWith("vacgate_gone"))
+      val survivorOk = // reads back from parquet; the thunk must NOT run
+        durableAt(s, root, s"vacgate_live:$d:$fp")(
+          sys.error("vacuum gate: live artifact was rebuilt")).count() == 1
+      val ok = report.size == 4 && droppedGone && survivorOk &&
+        report.toMap.get(vdir.listFiles()
+          .find(_.getName.startsWith("vacgate_nometa")).map(_.getName)
+          .getOrElse("")).contains("kept_no_meta")
+      Seq((n("kept"), n("dropped"), n("kept_no_meta"), ok))
+        .toDF("n_kept", "n_dropped", "n_no_meta", "vacuum_ok")
+    } finally new scala.reflect.io.Directory(new java.io.File(root))
+      .deleteRecursively()
+  }
 
   /** Distinct word 3-gram shingles; whole text when shorter than 3 tokens. */
   private[queries] def shingles3(text: String): Array[String] = {
@@ -2504,6 +2566,9 @@ object VectorOps {
     // format versions — produces a mismatched or unmatched row and flips
     // store_ok. The oracle predicts the certificate from the data alone
     // (n_queries = query-sample size, store_ok = true).
+    // ---- driver-green gate for the store's GC verb (vacuum) ----
+    "index_vacuum_gate" -> ((s, d) => indexVacuumGate(s, d)),
+
     "ann_index_store_gate" -> ((s, d) => {
       val emb = embOf(s, d)
       val stored = shared(s, s"bf_top1:$d:${dataFp(d)}")(bruteForceTopK(emb, 1))
@@ -2744,6 +2809,13 @@ object VectorOps {
       AnnOracleSql.ivfTopK(k = 16, nProbe = 4, topK = 3, filtered = false),
     "ann_ivf_nprobe_sweep" ->
       AnnOracleSql.ivfRecallCurve(k = 16, nProbes = Seq(1, 2, 4, 8), topK = 3),
+    // vacuum-verb certificate: the artifact population is constructed by
+    // the entry itself (1 live / 2 collectible / 1 unmanifested), so the
+    // expected report is data-independent constants; any GC regression
+    // flips a count or the boolean on the Spark side
+    "index_vacuum_gate" ->
+      """SELECT CAST(1 AS BIGINT) AS n_kept, CAST(2 AS BIGINT) AS n_dropped,
+        |  CAST(1 AS BIGINT) AS n_no_meta, true AS vacuum_ok""".stripMargin,
     "ann_ivf_append_topk" ->
       AnnOracleSql.ivfTopK(k = 16, nProbe = 4, topK = 3, filtered = false,
         sampleWhere = "vec_id % 5 != 4"),
