@@ -474,6 +474,64 @@ private[queries] object AnnOracleSql {
     * strictly positive (the same left-to-right summation both engines
     * share); candidates are bucket collisions in any table, scored with
     * exact cosine and ranked. */
+  /** The seeded ±1 random-projection CTE chain shared by the projection
+    * entry and the projected-space ranking: the LCG replay of
+    * `java.util.Random(seed).nextBoolean()` (same as lshTopK), grouped
+    * row-major into kOut plane lists, then y = (R·e)·(1/√kOut) with the
+    * shared left-to-right dot fold. kOut must be 16 so the scale 0.25 is
+    * exactly representable (and exactly transcribed) on both engines. */
+  private def projectionCtes(kOut: Int, seed: Long): Seq[String] = {
+    require(kOut == 16, "projection oracle transcribes the exact scale 1/sqrt(16)")
+    val steps = kOut * Dim
+    val s0 = (seed ^ 0x5DEECE66DL) & ((1L << 48) - 1)
+    Seq(
+      s"""RECURSIVE lcg(i, s) AS (
+        |  SELECT 0, CAST($s0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT i + 1, CAST((CAST(s AS HUGEINT) * 25214903917 + 11)
+        |                     % 281474976710656 AS BIGINT)
+        |  FROM lcg WHERE i < $steps)""".stripMargin,
+      s"""pm AS MATERIALIZED (
+        |  SELECT (i - 1) // $Dim AS jd,
+        |    list(CASE WHEN (s >> 47) & 1 = 1 THEN 1.0 ELSE -1.0 END
+        |         ORDER BY i) AS p
+        |  FROM lcg WHERE i >= 1 GROUP BY (i - 1) // $Dim)""".stripMargin,
+      """e AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings)""".stripMargin,
+      s"""yv AS MATERIALIZED (
+        |  SELECT e.vec_id, pm.jd,
+        |    ${dot("e.emb", "pm.p")} * 0.25 AS y
+        |  FROM e, pm)""".stripMargin)
+  }
+
+  /** Oracle for `emb_random_projection`: the JL transform itself, one thin
+    * (vec_id, dim_idx, y) row per projected coordinate — raw doubles,
+    * identical IEEE bits by shared fold order. */
+  def randomProjection(kOut: Int, seed: Long): String =
+    withClause(projectionCtes(kOut, seed),
+      """SELECT vec_id, CAST(jd AS BIGINT) AS dim_idx, y
+        |FROM yv ORDER BY vec_id, dim_idx""".stripMargin)
+
+  /** Oracle for `sim_projected_topk`: brute-force cosine top-k computed in
+    * the PROJECTED space — the whole reduce-then-rank pipeline replayed. */
+  def projectedTopK(kOut: Int, seed: Long, topK: Int): String = {
+    val ctes = projectionCtes(kOut, seed) ++ Seq(
+      """pe AS MATERIALIZED (
+        |  SELECT vec_id, list(y ORDER BY jd) AS emb FROM yv GROUP BY vec_id)"""
+        .stripMargin,
+      s"""en AS MATERIALIZED (
+        |  SELECT vec_id, emb, ${nrm("emb")} AS nrm FROM pe)""".stripMargin,
+      s"""q AS MATERIALIZED (
+        |  SELECT vec_id AS qid, emb AS qe, nrm AS qn FROM en
+        |  WHERE vec_id % 50 = 0)""".stripMargin,
+      s"""p AS MATERIALIZED (
+        |  SELECT q.qid, en.vec_id AS nid,
+        |    ${dot("q.qe", "en.emb")} / (q.qn * en.nrm) AS c
+        |  FROM q JOIN en ON en.vec_id != q.qid)""".stripMargin)
+    withClause(ctes, topKSelect(topK))
+  }
+
   def lshTopK(kBits: Int, nTables: Int, seed: Long, topK: Int): String = {
     val steps = nTables * kBits * Dim
     val s0 = (seed ^ 0x5DEECE66DL) & ((1L << 48) - 1)

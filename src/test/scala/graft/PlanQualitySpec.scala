@@ -14,6 +14,9 @@ class PlanQualitySpec extends SparkSpec {
   // 8-byte signatures), plus the verification gates that intentionally
   // recompute an exact baseline to certify the approximate scale path
   private val nestedLoopAllowed = Set(
+    // projected-space brute force: same deliberate broadcast-query-sample
+    // non-equi shape as sim_cosine_topk, over 4x narrower vectors
+    "sim_projected_topk",
     "sim_cosine_topk", "sim_knn_classify", "ann_lsh_topk", "ann_ivf_topk",
     "ann_ivf_append_topk", // same query path as ann_ivf_topk
     "ann_pq_topk", "ann_pq_recall_gate", "ann_sq_topk", "ann_sq_recall_gate",
