@@ -403,27 +403,78 @@ object Multimodal {
   private[multimodal] case class DecodedAudio(
       samples: Array[Byte], sampleRate: Double, channels: Int)
 
+  /** Per-thread javax.sound provider cache — the audio side of the codec
+    * amortization. AudioSystem.getAudioInputStream / AudioSystem.write
+    * iterate the provider registry per call; since our payloads are WAV,
+    * the SAME provider accepts every row, so each thread remembers the
+    * reader that last succeeded (tries it first, falls back to the full
+    * AudioSystem lookup — exact generic semantics preserved for anything
+    * the cached provider rejects) and the single WAVE-capable writer. */
+  private final class AudioCtx {
+    var reader: javax.sound.sampled.spi.AudioFileReader = null
+    val writer: javax.sound.sampled.spi.AudioFileWriter = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+        .iterator().asScala
+        .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+        .orNull
+    }
+    val baos = new java.io.ByteArrayOutputStream(4096)
+  }
+  private val audioTl = new ThreadLocal[AudioCtx] {
+    override def initialValue(): AudioCtx = new AudioCtx
+  }
+
   /** REAL audio decode via the JDK's javax.sound.sampled (WAV/AIFF/AU —
     * zero external dependencies). None for payloads no codec accepts. */
   private[multimodal] def decodeAudio(payload: Array[Byte]): Option[DecodedAudio] =
     try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      val cx = audioTl.get()
+      val in = {
+        val fast =
+          if (cx.reader == null) null
+          else
+            try cx.reader.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+            catch { case scala.util.control.NonFatal(_) => null }
+        if (fast != null) fast
+        else {
+          // full registry lookup (the generic path), then remember which
+          // provider owned this format for the rest of the thread's rows
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          import scala.jdk.CollectionConverters._
+          if (cx.reader == null) cx.reader = java.util.ServiceLoader
+            .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+            .iterator().asScala.find { r =>
+              try { r.getAudioInputStream(
+                new java.io.ByteArrayInputStream(payload)); true }
+              catch { case scala.util.control.NonFatal(_) => false }
+            }.orNull
+          ais
+        }
+      }
       val f = in.getFormat
       Some(DecodedAudio(in.readAllBytes(), f.getSampleRate.toDouble, f.getChannels))
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** 8-bit unsigned mono PCM WAV encode through the JDK codec. */
+  /** 8-bit unsigned mono PCM WAV encode through the JDK codec (the cached
+    * WAVE writer; falls back to the AudioSystem registry if the provider
+    * list was somehow empty). */
   private[multimodal] def encodeWav(samples: Array[Byte], rate: Float): Array[Byte] = {
     val fmt = new javax.sound.sampled.AudioFormat(
       javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
       rate, 8, 1, 1, rate, false)
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(samples), fmt, samples.length.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    val cx = audioTl.get()
+    cx.baos.reset()
+    if (cx.writer != null)
+      cx.writer.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, cx.baos)
+    else
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, cx.baos)
+    cx.baos.toByteArray
   }
 
   /** Audio codec certificate, same pattern as [[realDecodeRoundtrip]]:
