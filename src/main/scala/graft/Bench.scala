@@ -329,6 +329,21 @@ object Bench {
     val extPerQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
     // median self-GC share per query (the long-session-accumulation signal)
     val gcPerQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // EVERY run's wall time per query (sidecar only): the reported median
+    // hides whether an outlier is a stable inflation or one spiked run —
+    // r13's sim_rrf_topk read a 10.8 s median with both adjudication flags
+    // empty and the bench could not say which. Paired with per-window
+    // index-store BUILD/REUSE counts (construct phase + each run) so a
+    // store rebuild inside a timing window is machine-readable.
+    val runsPerQuery = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val extAllPerQuery = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val gcAllPerQuery = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    // per query: (construct builds, construct reuses, per-run builds, per-run reuses)
+    val storePerQuery = scala.collection.mutable
+      .LinkedHashMap[String, (Long, Long, Seq[Long], Seq[Long])]()
+    def storeSnap(): (Long, Long) =
+      (graft.queries.VectorOps.storeBuildCount.get(),
+        graft.queries.VectorOps.storeReuseCount.get())
     // Construct each DataFrame ONCE outside the timed region: a few entries
     // are eager by design at build time (the sink round-trips write their
     // temp dirs; IVF trains its codebook from a bounded sample — its "index
@@ -342,6 +357,9 @@ object Bench {
       val times = scala.collection.mutable.ArrayBuffer[Double]()
       val exts = scala.collection.mutable.ArrayBuffer[Double]()
       val gcs = scala.collection.mutable.ArrayBuffer[Double]()
+      val runBuilds = scala.collection.mutable.ArrayBuffer[Long]()
+      val runReuses = scala.collection.mutable.ArrayBuffer[Long]()
+      val (cb0, cr0) = storeSnap()
       val tBuild = System.nanoTime()
       val df =
         try Some(fn(spark, sfDir))
@@ -352,8 +370,10 @@ object Bench {
           times += math.max((System.nanoTime() - tBuild) / 1e9, 1e-9)
           None
         }
+      val (cb1, cr1) = storeSnap()
       var r = 0
       while (df.isDefined && r < runs && !errors.contains(name)) {
+        val (sb0, sr0) = storeSnap()
         val (busy0, self0) = cpuTicks()
         val gc0 = gcMillis()
         val t0 = System.nanoTime()
@@ -364,6 +384,9 @@ object Bench {
           val (busy1, self1) = cpuTicks()
           exts += externalCores(busy0, self0, busy1, self1, wall)
           gcs += gcShare(gc0, gcMillis(), wall)
+          val (sb1, sr1) = storeSnap()
+          runBuilds += sb1 - sb0
+          runReuses += sr1 - sr0
         } catch {
           case e: Throwable =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -373,6 +396,10 @@ object Bench {
       }
       extPerQuery(name) = median(exts.toSeq)
       gcPerQuery(name) = median(gcs.toSeq)
+      runsPerQuery(name) = times.toSeq
+      extAllPerQuery(name) = exts.toSeq
+      gcAllPerQuery(name) = gcs.toSeq
+      storePerQuery(name) = (cb1 - cb0, cr1 - cr0, runBuilds.toSeq, runReuses.toSeq)
       name -> (if (errors.contains(name)) -times.last else median(times.toSeq))
     }
     def jstr(s: String): String = Json.str(s)
@@ -417,10 +444,26 @@ object Bench {
       .map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
     val gcFull = gcPerQuery
       .map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
+    def arr(vs: Seq[Double]): String = vs.map(r3).mkString("[", ",", "]")
+    val runsFull = runsPerQuery
+      .map { case (k, v) => s"${jstr(k)}:${arr(v)}" }.mkString("{", ",", "}")
+    val extAllFull = extAllPerQuery
+      .map { case (k, v) => s"${jstr(k)}:${arr(v)}" }.mkString("{", ",", "}")
+    val gcAllFull = gcAllPerQuery
+      .map { case (k, v) => s"${jstr(k)}:${arr(v)}" }.mkString("{", ",", "}")
+    // store_events: [construct builds, construct reuses, per-run builds...,
+    // per-run reuses...] — nonzero construct counts are expected (the store
+    // convention is plan-build-time work); a nonzero PER-RUN count means an
+    // artifact was rebuilt inside a timed window (the thing the r13 verdict
+    // wanted the bench to be able to name).
+    val storeFull = storePerQuery
+      .map { case (k, (cb, cr, rb, rr)) =>
+        s"""${jstr(k)}:{"cb":$cb,"cr":$cr,"rb":${rb.mkString("[", ",", "]")},"rr":${rr.mkString("[", ",", "]")}}"""
+      }.mkString("{", ",", "}")
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_full.json"),
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errs,"ext_cores":$extFull,"gc_share":$gcFull,"sf":"$sfDir"}\n"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errs,"ext_cores":$extFull,"gc_share":$gcFull,"runs_all":$runsFull,"ext_all":$extAllFull,"gc_all":$gcAllFull,"store_events":$storeFull,"sf":"$sfDir"}\n"""
           .getBytes("UTF-8"))
     } catch { case scala.util.control.NonFatal(_) => () }
     // Stop Spark BEFORE printing: nothing (not even a stray WARN from
