@@ -956,13 +956,20 @@ object LlmText {
     * prefix form a contiguous block of the global suffix order, sorting
     * each group by its post-window TAILS and taking neighbor LCPs is the
     * classical SA neighbor-max property applied per group). Input `occ`
-    * is (doc_id, pos, span) occurrence rows; tails slice from the docs'
-    * token arrays scoped to those rows. Emits one (span, doc_id, s, e)
-    * interval per NON-FIRST occurrence (rn > 1 in global (doc_id, pos)
-    * order within the group), e = s + l + max(neighbor tail LCP) - 1 —
-    * auto-clamped to the cap because tails are cap-l tokens at most.
-    * Group-sized windows: partition skew = duplication hotness, the same
-    * documented hazard as the fixed-w first-occurrence window. */
+    * is (doc_id, pos, span_h) occurrence rows — span_h = xxhash64 of the
+    * span TEXT, the slim fixed-width key the stored index carries; the
+    * span text itself is RE-DERIVED here by slicing the doc's tokens at
+    * (pos, l), so grouping stays exact-by-text and the index never
+    * stores a 60-char string per occurrence. Hash collisions therefore
+    * cannot merge groups (two colliding spans re-derive to different
+    * text and group apart); a collision's only cost is pulling one
+    * extra group into the recompute. Tails slice from the same token
+    * arrays. Emits one (span_h, doc_id, s, e) interval per NON-FIRST
+    * occurrence (rn > 1 in global (doc_id, pos) order within the text
+    * group), e = s + l + max(neighbor tail LCP) - 1 — auto-clamped to
+    * the cap because tails are cap-l tokens at most. Group-sized
+    * windows: partition skew = duplication hotness, the same documented
+    * hazard as the fixed-w first-occurrence window. */
   private def canonGroupIvs(occ: DataFrame, allDocs: DataFrame, l: Int,
       cap: Int): DataFrame = {
     // tokenize ONLY docs that hold an occurrence in scope: the append
@@ -975,7 +982,9 @@ object LlmText {
         .join(occ.select("doc_id").distinct(), Seq("doc_id"), "left_semi"))
       .select(col("doc_id"), col("tk"))
     val withTail = occ.join(t, "doc_id")
-      .select(col("span"), col("doc_id"), col("pos"),
+      .select(col("span_h"),
+        expr(s"array_join(slice(tk, pos + 1, $l), ' ')").as("span"),
+        col("doc_id"), col("pos"),
         expr(s"slice(tk, pos + 1 + $l, ${cap - l})").as("tail"))
     val rnW = Window.partitionBy("span").orderBy("doc_id", "pos")
     val tailW = Window.partitionBy("span")
@@ -998,38 +1007,41 @@ object LlmText {
       .withColumn("tn", lead(col("tail"), 1).over(tailW))
       .filter(col("rn") > 1)
       .withColumn("replen", lit(l) + greatest(lcp("tp"), lcp("tn")))
-      .select(col("span"), col("doc_id"), col("pos").cast("int").as("s"),
+      .select(col("span_h"), col("doc_id"), col("pos").cast("int").as("s"),
         (col("pos") + col("replen") - 1).cast("int").as("e"))
   }
 
   /** Incremental canonical excision — [[substringDedupCanonical]]'s
-    * append path, completing the substring family's incremental story
-    * (fixed-w landed earlier this round). Three durable base artifacts:
-    * the base l-window OCCURRENCE table (the group index — at 100 TB the
-    * span key becomes a 128-bit hash, same note as the fixed-w path; it
-    * must stay content-keyed, not dictionary-coded, for cross-ingest
-    * validity), the base canonical INTERVALS tagged by their span, and
-    * the base OUTPUT rows. A delta ingest explodes only delta docs; the
-    * groups its spans touch are recomputed over base ∪ delta membership
-    * (a span-keyed semi-join pulls the base occurrences, tails re-slice
-    * from ONLY the affected docs' text), while every untouched group's
-    * intervals — and every unaffected doc's finished output row — are
-    * reused verbatim from the store. Exactness: an untouched group's
+    * append path, completing the substring family's incremental story.
+    * Three durable base artifacts: the base l-window OCCURRENCE index —
+    * slim fixed-width (span_h, doc_id, pos) rows PARTITIONED into
+    * span-hash bucket directories, so an ingest's probe prunes to the
+    * touched buckets instead of scanning the whole index (the r13
+    * `weak`); the base canonical INTERVALS keyed by the same span hash;
+    * and the base OUTPUT rows. A delta ingest explodes only delta docs;
+    * the groups its spans touch are recomputed over base ∪ delta
+    * membership (a span_h-keyed semi-join against the pruned buckets
+    * pulls the base occurrences, span text and tails re-slice from ONLY
+    * the affected docs' text), while every untouched group's intervals —
+    * and every unaffected doc's finished output row — are reused
+    * verbatim from the store. Exactness: an untouched group's
     * membership, ranks, and tails are identical in the base-only and
-    * full runs; a touched group is recomputed exactly; and a base
-    * start's repeat length can only change via a suffix sharing >= l
-    * tokens, which by the window-share argument lives in a touched
-    * group. Hash-equal to the full canonical rebuild — which is the
-    * registered oracle.
+    * full runs; a touched group is recomputed exactly (grouping is by
+    * RE-DERIVED span text, so hash collisions cannot merge groups — see
+    * [[canonGroupIvs]]); and a base start's repeat length can only
+    * change via a suffix sharing >= l tokens, which by the window-share
+    * argument lives in a touched group. Hash-equal to the full canonical
+    * rebuild — which is the registered oracle.
     *
-    * Honest bench caveat: the synthetic corpus's 31-word vocabulary makes
-    * nearly EVERY window group delta-touched, so at sf0.1 the append
-    * (2.9 s) measures as a rebuild plus bookkeeping rather than a win
-    * (rebuild 1.7 s). The incremental payoff is proportional to the
-    * UNTOUCHED-group fraction — near 1 on a realistic open-vocabulary
-    * crawl, near 0 here by construction. The correctness contract (and
-    * the store-reuse shape) is what this entry pins; DedupSubstringSpec's
-    * grown-interval case is the semantics that must survive. */
+    * Honest bench caveat: on the 1%-ingest zipf1big fixture the 43k
+    * distinct delta spans hit all 64 bucket directories, so the ratio
+    * win there comes from the slim fixed-width scan (no 60-char span
+    * strings, no persist materialization), not dir pruning; the pruning
+    * shows when the ingest's span set is small relative to the bucket
+    * count (spec-pinned), which is exactly the 100 TB regime — bucket
+    * count grows with the corpus while a daily ingest's key count does
+    * not. DedupSubstringSpec's grown-interval case is the semantics
+    * that must survive. */
   private[queries] def substringDedupCanonicalAppend(s: SparkSession,
       docs: DataFrame, l: Int, cap: Int,
       storeKey: Option[String], deltaOnly: Boolean = false): DataFrame = {
@@ -1037,26 +1049,68 @@ object LlmText {
       case Some(k) => VectorOps.shared(s, s"$name:$k")(build)
       case None    => build
     }
+    // The occurrence index goes through the PARTITIONED durable layer and
+    // is deliberately NOT session-persisted: a persist() would turn the
+    // probe into an InMemoryTableScan and the partition-dir pruning below
+    // could never reach the parquet scan (the r13 `weak`: one un-pruned
+    // scan of the whole stored index per ingest).
+    def keepOcc(name: String)(build: => DataFrame): DataFrame = storeKey match {
+      case Some(k) =>
+        VectorOps.durablePartitioned(s, s"$name:$k", Seq("span_bkt"))(build)
+      case None => build
+    }
     val isDelta = col("doc_id") % 5 === 4
     val baseDocs = docs.filter(!isDelta)
-    val baseOcc = keep("substr_canon_occ_base")(
-      spanRows(tokenized(baseDocs), l))
-    val baseIv = keep("substr_canon_iv_base")(
-      canonGroupIvs(baseOcc, baseDocs, l, cap))
+    // Slim fixed-width occurrence index: (span_h, doc_id, pos) + the
+    // span-hash bucket as a partition directory. The span TEXT is never
+    // stored — canonGroupIvs re-derives it from (doc_id, pos) when a
+    // group is recomputed, so all probe/anti-join keying below runs on
+    // the 8-byte hash. Exactness does not lean on hash injectivity:
+    // both the semi-join (which groups to recompute) and the anti-join
+    // (which stored intervals to retire) use span_h CONSISTENTLY, so a
+    // colliding group is retired-and-recomputed as a unit, and the
+    // recompute groups by re-derived text — a collision costs extra
+    // recompute, never a merged group or a dropped interval. (This is
+    // the "at 100 TB the span key becomes a fixed-width hash" note made
+    // real, with the collision argument that makes it exact.)
+    val nBkt = 64
+    def slim(occ: DataFrame): DataFrame = occ
+      .select(xxhash64(col("span")).as("span_h"), col("doc_id"), col("pos"))
+    val baseOcc = keepOcc("substr_canon_occh_base")(
+      slim(spanRows(tokenized(baseDocs), l))
+        .withColumn("span_bkt", pmod(col("span_h"), lit(nBkt)).cast("int")))
+    val baseIv = keep("substr_canon_ivh_base")(
+      canonGroupIvs(baseOcc.drop("span_bkt"), baseDocs, l, cap))
     val baseOut = keep("substr_canon_out_base")(
       assembleCanonicalOutput(tokenized(baseDocs),
         baseIv.select("doc_id", "s", "e")))
-    val deltaOcc = spanRows(tokenized(docs.filter(isDelta)), l)
-    val touched = deltaOcc.select("span").distinct()
+    // delta side: same slim shape; localCheckpoint because it feeds the
+    // touched-key set, the bucket probe, and the occurrence union
+    val deltaOcc = slim(spanRows(tokenized(docs.filter(isDelta)), l))
+      .localCheckpoint(false)
+    val touched = deltaOcc.select("span_h").distinct()
+    // Partition-dir pruning: the buckets the ingest touches, as literals
+    // for the scan's partition filter. Bounded driver read (<= nBkt ints,
+    // same class as the IVF codebook samples). A small ingest touches few
+    // buckets and the probe reads only those directories; a saturating
+    // ingest (the 1%-of-40k fixture touches all 64) degrades to the full
+    // scan it previously always paid.
+    val touchedBkts: Seq[Int] = touched
+      .select(pmod(col("span_h"), lit(nBkt)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val prunedOcc =
+      if (baseOcc.columns.contains("span_bkt"))
+        baseOcc.filter(col("span_bkt")
+          .isin(touchedBkts.map(Integer.valueOf): _*)).drop("span_bkt")
+      else baseOcc
     // localCheckpoint: occTouched feeds THREE consumers (the tail-doc
     // restriction, the group recompute, and the affected-doc set) — each
-    // would otherwise re-run the base-occurrence scan + span semi-join
-    // (the dedup_resolve lineage-cut pattern; lazy, so construction
-    // stays cheap)
-    val occTouched = baseOcc.join(touched, Seq("span"), "left_semi")
+    // would otherwise re-run the base-occurrence probe (the dedup_resolve
+    // lineage-cut pattern; lazy, so construction stays cheap)
+    val occTouched = prunedOcc.join(touched, Seq("span_h"), "left_semi")
       .unionByName(deltaOcc).localCheckpoint(false)
     val newIvs = canonGroupIvs(occTouched, docs, l, cap)
-    val keptIvs = baseIv.join(touched, Seq("span"), "left_anti")
+    val keptIvs = baseIv.join(touched, Seq("span_h"), "left_anti")
     val allIvs = keptIvs.select("doc_id", "s", "e")
       .unionByName(newIvs.select("doc_id", "s", "e"))
     // affected = any doc holding a touched-group occurrence (its interval
@@ -1084,15 +1138,11 @@ object LlmText {
     * exactness argument), instead of re-emitting the whole corpus. On
     * the 40k-doc Zipf fixture a 1% ingest touches 0.2% of the base
     * window groups, 0.2% of base occurrences, and 1.3% of docs — so
-    * this variant writes ~1% of the full-output rows. Measured wall
-    * time at 40k docs is PARITY with the full-output form (~5-6 s vs
-    * 5.6 s): the dominant cost there is the one un-pruned scan of the
-    * 3.8M-row stored occurrence index the span semi-join probes, not
-    * the output — the honest 100 TB next step is bucketing that
-    * artifact BY SPAN so the probe prunes to touched buckets, at which
-    * point the O(delta) output contract this entry pins is what makes
-    * the whole path O(delta). Oracle: the canonical rebuild restricted
-    * in SQL to the same affected set. */
+    * this variant writes ~1% of the full-output rows. The r13 cost
+    * caveat (one un-pruned scan of the fat 3.8M-row occurrence index
+    * per ingest) is closed by the slim span-hash-bucketed index — see
+    * [[substringDedupCanonicalAppend]]. Oracle: the canonical rebuild
+    * restricted in SQL to the same affected set. */
   private[queries] def substringDedupCanonicalAppendDelta(s: SparkSession,
       docs: DataFrame, l: Int, cap: Int,
       storeKey: Option[String]): DataFrame =

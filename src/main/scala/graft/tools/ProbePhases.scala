@@ -57,31 +57,52 @@ object ProbePhases {
         s"transform(sequence(0, n - $l), i -> array_join(slice(tk, i + 1, $l), ' '))"))
         .as(Seq("pos", "span")))
 
-    // phase 1: bare read of the stored occurrence index
-    time("occ_read")(spark.read.parquet(art("substr_canon_occ_base")))
-    // phase 2: delta spans alone
-    time("delta_occ")(spanRows(tokenizedDocs(docs.filter(isDelta))))
-    // phase 3: the probe — stored occ semi-joined with touched spans
-    val deltaOcc = spanRows(tokenizedDocs(docs.filter(isDelta)))
-    val touched = deltaOcc.select("span").distinct()
-    time("probe_semijoin")(
-      spark.read.parquet(art("substr_canon_occ_base"))
-        .join(touched, Seq("span"), "left_semi"))
-    // phase 4: probe + union + localCheckpoint (the occTouched node)
-    time("occ_touched_ckpt")(
-      spark.read.parquet(art("substr_canon_occ_base"))
-        .join(touched, Seq("span"), "left_semi")
-        .unionByName(deltaOcc).localCheckpoint(false))
-    // phase 5: stored intervals anti-join (keptIvs)
+    // phase 1: bare read of the slim stored occurrence index
+    time("occ_read")(spark.read.parquet(art("substr_canon_occh_base")))
+    // phase 2: delta spans alone (slim shape)
+    def slim(occ: DataFrame): DataFrame = occ
+      .select(xxhash64(col("span")).as("span_h"), col("doc_id"), col("pos"))
+    time("delta_occ")(slim(spanRows(tokenizedDocs(docs.filter(isDelta)))))
+    // phase 3: the probe — stored occ semi-joined with touched span hashes
+    val deltaOcc = slim(spanRows(tokenizedDocs(docs.filter(isDelta))))
+    val touched = deltaOcc.select("span_h").distinct()
+    def probe = spark.read.parquet(art("substr_canon_occh_base"))
+      .drop("span_bkt").join(touched, Seq("span_h"), "left_semi")
+    time("probe_semijoin")(probe)
+    // phase 4: probe + union (the occTouched node, un-checkpointed)
+    val occT = probe.unionByName(deltaOcc)
+    time("occ_touched")(occT)
+    // phase 5: the group recompute over touched occurrences
+    val occTC = occT.localCheckpoint(false)
+    def canonIvs(occ: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val t = tokenizedDocs(docs
+          .join(occ.select("doc_id").distinct(), Seq("doc_id"), "left_semi"))
+        .select(col("doc_id"), col("tk"))
+      val withTail = occ.join(t, "doc_id")
+        .select(col("span_h"),
+          expr(s"array_join(slice(tk, pos + 1, $l), ' ')").as("span"),
+          col("doc_id"), col("pos"),
+          expr(s"slice(tk, pos + 1 + $l, 10)").as("tail"))
+      val rnW = Window.partitionBy("span").orderBy("doc_id", "pos")
+      withTail.withColumn("rn", row_number().over(rnW)).filter(col("rn") > 1)
+        .select(col("span_h"), col("doc_id"), col("pos"))
+    }
+    time("new_ivs_approx")(canonIvs(occTC))
+    // phase 6: stored intervals anti-join (keptIvs)
     time("kept_ivs")(
-      spark.read.parquet(art("substr_canon_iv_base"))
-        .join(touched, Seq("span"), "left_anti"))
-    // phase 6: stored base output read
+      spark.read.parquet(art("substr_canon_ivh_base"))
+        .join(touched, Seq("span_h"), "left_anti"))
+    // phase 7: stored base output read
     time("base_out_read")(spark.read.parquet(art("substr_canon_out_base")))
-    // phase 7: the full registered append entry (store-warm)
+    // phase 8: affected-doc tokenize (the output assembly's input scan)
+    val affected = occTC.select("doc_id")
+      .unionByName(docs.filter(isDelta).select("doc_id")).distinct()
+    time("affected_tokenize")(
+      tokenizedDocs(docs.join(affected, Seq("doc_id"), "left_semi")))
+    // phase 9/10: the full registered entries (store-warm)
     time("full_append")(
       graft.SparkEntry.queries("dedup_substring_canonical_append")(spark, d))
-    // phase 8: the delta-output variant
     time("full_append_delta")(
       graft.SparkEntry.queries("dedup_substring_canonical_append_delta")(spark, d))
     spark.stop()
