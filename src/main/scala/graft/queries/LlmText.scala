@@ -2244,8 +2244,16 @@ object LlmText {
   private[queries] def bm25Ranked(s: SparkSession, d: String,
       topN: Int): DataFrame = {
     val docs = Tables.documents(s, d)
-    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    // The raw POSTINGS (doc_id, w, tf) are themselves a durable artifact,
+    // not just the derived weight table: at 100 TB the tokenize pass is
+    // the expensive build, and a weights refresh (corpus stats change on
+    // every ingest) must be a re-aggregation of stored postings, never a
+    // corpus re-tokenize. Every one-shot consumer (this ranking, both RRF
+    // fusions, the front door) REUSEs the postings the way the append
+    // entry already reuses its base slice.
+    val tf = VectorOps.shared(s, s"bm25_postings:$d:${VectorOps.docsFp(d)}")(
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf")))
     bm25RankedOf(s, d, tf, topN,
       wgtKey = Some(s"bm25_weights:$d:${VectorOps.docsFp(d)}"))
   }
@@ -2324,9 +2332,12 @@ object LlmText {
     * serving handle the online drain reads (same artifact key as the
     * batch entry, so serving is a read of the store, never a rebuild). */
   private[graft] def bm25Weights(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    // same durable postings artifact as bm25Ranked: serving reads the
+    // store, never re-tokenizes
+    val tf = VectorOps.shared(s, s"bm25_postings:$d:${VectorOps.docsFp(d)}")(
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf")))
     bm25WeightsOf(s, tf,
       wgtKey = Some(s"bm25_weights:$d:${VectorOps.docsFp(d)}"))
   }
