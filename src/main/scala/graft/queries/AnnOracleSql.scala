@@ -480,7 +480,10 @@ private[queries] object AnnOracleSql {
     * row-major into kOut plane lists, then y = (R·e)·(1/√kOut) with the
     * shared left-to-right dot fold. kOut must be 16 so the scale 0.25 is
     * exactly representable (and exactly transcribed) on both engines. */
-  private def projectionCtes(kOut: Int, seed: Long): Seq[String] = {
+  /** Just the seeded ±1 matrix replay (lcg + pm CTEs) — shared by the
+    * embedding-projection chain below and the clustered recall gate,
+    * which projects a DERIVED corpus instead of the stored embeddings. */
+  private def matrixCtes(kOut: Int, seed: Long): Seq[String] = {
     require(kOut == 16, "projection oracle transcribes the exact scale 1/sqrt(16)")
     val steps = kOut * Dim
     val s0 = (seed ^ 0x5DEECE66DL) & ((1L << 48) - 1)
@@ -495,7 +498,11 @@ private[queries] object AnnOracleSql {
         |  SELECT (i - 1) // $Dim AS jd,
         |    list(CASE WHEN (s >> 47) & 1 = 1 THEN 1.0 ELSE -1.0 END
         |         ORDER BY i) AS p
-        |  FROM lcg WHERE i >= 1 GROUP BY (i - 1) // $Dim)""".stripMargin,
+        |  FROM lcg WHERE i >= 1 GROUP BY (i - 1) // $Dim)""".stripMargin)
+  }
+
+  private def projectionCtes(kOut: Int, seed: Long): Seq[String] =
+    matrixCtes(kOut, seed) ++ Seq(
       """e AS MATERIALIZED (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         |  FROM embeddings)""".stripMargin,
@@ -503,7 +510,6 @@ private[queries] object AnnOracleSql {
         |  SELECT e.vec_id, pm.jd,
         |    ${dot("e.emb", "pm.p")} * 0.25 AS y
         |  FROM e, pm)""".stripMargin)
-  }
 
   /** Oracle for `emb_random_projection`: the JL transform itself, one thin
     * (vec_id, dim_idx, y) row per projected coordinate — raw doubles,
@@ -530,6 +536,85 @@ private[queries] object AnnOracleSql {
         |    ${dot("q.qe", "en.emb")} / (q.qn * en.nrm) AS c
         |  FROM q JOIN en ON en.vec_id != q.qid)""".stripMargin)
     withClause(ctes, topKSelect(topK))
+  }
+
+  /** Oracle for `proj_cluster_recall_gate`: the derived clustered corpus
+    * (integer-exact anchor + 0.5·basis (+ 0.0625·self for planted ids)
+    * mixing — element-wise, single add/mul per slot, bit-identical to
+    * Spark's nested zip_with), the same ±1 matrix replay, and partner
+    * top-1 recall counted in both the full and projected spaces. Every
+    * ranked cosine is the shared left-to-right fold, so the counts are
+    * deterministic across engines; the emitted row is counts + booleans. */
+  def projClusterRecallGate(kOut: Int, seed: Long): String = {
+    val ctes = matrixCtes(kOut, seed) ++ Seq(
+      """e AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings)""".stripMargin,
+      """anch AS MATERIALIZED (
+        |  SELECT a.c, e.emb AS ae FROM (
+        |    SELECT vec_id % 16 AS c, min(vec_id) AS aid
+        |    FROM e GROUP BY vec_id % 16) a
+        |  JOIN e ON e.vec_id = a.aid)""".stripMargin,
+      """wb AS MATERIALIZED (
+        |  SELECT x.vec_id, x.basis_id, b.emb AS be FROM (
+        |    SELECT vec_id,
+        |      CASE WHEN vec_id % 19 = 1 THEN vec_id - 1 ELSE vec_id END
+        |        AS basis_id
+        |    FROM e) x
+        |  JOIN e b ON b.vec_id = x.basis_id)""".stripMargin,
+      // derived vector: (anchor + 0.5*basis) then (+ 0.0625*self) — the
+      // same two-step left-associated element adds as Spark's zip_withs
+      """dv AS MATERIALIZED (
+        |  SELECT wb.vec_id,
+        |    CASE WHEN wb.vec_id % 19 = 1 THEN
+        |      list_transform(list_zip(
+        |        list_transform(list_zip(anch.ae, wb.be),
+        |                       p -> p[1] + 0.5 * p[2]), o.emb),
+        |        q -> q[1] + 0.0625 * q[2])
+        |    ELSE list_transform(list_zip(anch.ae, wb.be),
+        |                        p -> p[1] + 0.5 * p[2]) END AS v
+        |  FROM wb JOIN anch ON anch.c = wb.basis_id % 16
+        |  JOIN e o ON o.vec_id = wb.vec_id)""".stripMargin,
+      s"""yd AS MATERIALIZED (
+        |  SELECT dv.vec_id, pm.jd, ${dot("dv.v", "pm.p")} * 0.25 AS y
+        |  FROM dv, pm)""".stripMargin,
+      """pv AS MATERIALIZED (
+        |  SELECT vec_id, list(y ORDER BY jd) AS v FROM yd GROUP BY vec_id)"""
+        .stripMargin,
+      s"""enf AS MATERIALIZED (
+        |  SELECT vec_id, v, ${nrm("v")} AS nr FROM dv)""".stripMargin,
+      s"""enp AS MATERIALIZED (
+        |  SELECT vec_id, v, ${nrm("v")} AS nr FROM pv)""".stripMargin,
+      s"""ff AS MATERIALIZED (
+        |  SELECT qid, nid FROM (
+        |    SELECT q.vec_id AS qid, en.vec_id AS nid,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY ${dot("q.v", "en.v")} / (q.nr * en.nr) DESC,
+        |                 en.vec_id) AS rn
+        |    FROM enf q JOIN enf en ON en.vec_id != q.vec_id
+        |    WHERE q.vec_id % 19 = 1) WHERE rn = 1)""".stripMargin,
+      s"""fp AS MATERIALIZED (
+        |  SELECT qid, nid FROM (
+        |    SELECT q.vec_id AS qid, en.vec_id AS nid,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY ${dot("q.v", "en.v")} / (q.nr * en.nr) DESC,
+        |                 en.vec_id) AS rn
+        |    FROM enp q JOIN enp en ON en.vec_id != q.vec_id
+        |    WHERE q.vec_id % 19 = 1) WHERE rn = 1)""".stripMargin)
+    withClause(ctes,
+      """SELECT
+        |  CAST((SELECT count(*) FROM dv WHERE vec_id % 19 = 1) AS BIGINT)
+        |    AS n_pairs,
+        |  CAST((SELECT count(*) FROM ff WHERE nid = qid - 1) AS BIGINT)
+        |    AS full_top1_recall,
+        |  CAST((SELECT count(*) FROM fp WHERE nid = qid - 1) AS BIGINT)
+        |    AS proj_top1_recall,
+        |  (SELECT count(*) FROM ff WHERE nid = qid - 1) =
+        |    (SELECT count(*) FROM dv WHERE vec_id % 19 = 1)
+        |    AS full_all_recalled,
+        |  (SELECT count(*) FROM fp WHERE nid = qid - 1) * 20 >=
+        |    (SELECT count(*) FROM dv WHERE vec_id % 19 = 1) * 19
+        |    AS proj_recall_ge_95""".stripMargin)
   }
 
   def lshTopK(kBits: Int, nTables: Int, seed: Long, topK: Int): String = {

@@ -371,12 +371,19 @@ object VectorOps {
     * dot fold, scaled by the exactly-representable 1/√16 = 0.25. One
     * narrow map pass over the corpus — no shuffle, no driver data. */
   private[queries] def projectedEmb(s: SparkSession, d: String,
+      kOut: Int, seed: Long): DataFrame =
+    projectVecs(s, embOf(s, d).repartition(col("vec_id")), kOut, seed)
+
+  /** The JL map pass over an arbitrary (id, vec) frame — shared by the
+    * stored-embedding projection above and the clustered recall gate's
+    * derived corpus. Strict left-to-right accumulation per output dim,
+    * the fold order the SQL oracle replays. */
+  private[queries] def projectVecs(s: SparkSession, vecs: DataFrame,
       kOut: Int, seed: Long): DataFrame = {
     import s.implicits._
     val planes = hyperplanes(kOut, dim = 64, seed)
     val scale = 1.0 / math.sqrt(kOut.toDouble) // kOut=16 → exactly 0.25
-    embOf(s, d).repartition(col("vec_id")) // parallelize the map pass
-      .as[(Long, Array[Double])].map { case (id, e) =>
+    vecs.as[(Long, Array[Double])].map { case (id, e) =>
         val y = new Array[Double](kOut)
         var j = 0
         while (j < kOut) {
@@ -389,6 +396,85 @@ object VectorOps {
         }
         (id, y)
       }.toDF("vec_id", "y")
+  }
+
+  /** Clustered-vector JL recall gate — the projection family's near-dup-
+    * preservation certificate the driver corpus could not host: its
+    * embeddings are isotropic (full-dimension 3-NN label accuracy sits at
+    * the chance floor), so a recall gate on them would pin a coin flip
+    * (the honesty note at `proj_distortion_gate`). This entry DERIVES a
+    * clustered corpus from the stored embeddings with integer-exact
+    * mixing weights, so both engines reconstruct it bit-identically:
+    *
+    *   anchor(c) = e(min vec_id with vec_id % 16 = c)
+    *   v(id)     = anchor(basis % 16) + 0.5·e(basis)          basis = id,
+    *   except planted ids (id % 19 == 1, partner id-1 present):
+    *   v(id)     = v(id-1) + 0.0625·e(id)                     basis = id-1
+    *
+    * giving ~0.9997-cosine planted pairs inside ~0.8-cosine clusters over
+    * ~0-cosine cross-cluster mass. The gate ranks every planted query's
+    * top-1 neighbor in BOTH the full derived space (construction sanity)
+    * and the kOut=16 PROJECTED space, and counts partners recalled. A
+    * broken projection (wrong matrix rows, scale, or transform) collapses
+    * projected top-1 to chance and fails the gate; an intact one passes
+    * with slack, because a linear map sends the planted pair's tiny
+    * difference vector to a tiny difference vector while the ~0.2 cosine
+    * margin to the nearest cluster mate dwarfs JL distortion at kOut=16.
+    * Every scored cosine is the same left-to-right fold on both engines
+    * (derived vectors, projection, dot, norm), so the emitted counts are
+    * deterministic — booleans + integer counts only, no FP hash surface. */
+  private[queries] def projClusterRecallGate(s: SparkSession, d: String,
+      kOut: Int, seed: Long): DataFrame = {
+    val e = embOf(s, d)
+    val anchors = e.withColumn("c", pmod(col("vec_id"), lit(16)))
+      .groupBy("c").agg(min("vec_id").as("aid"))
+      .join(e.select(col("vec_id").as("aid"), col("e").as("ae")), Seq("aid"))
+      .select(col("c"), col("ae"))
+    val withBasis = e.select(col("vec_id"),
+        when(col("vec_id") % 19 === 1, col("vec_id") - 1)
+          .otherwise(col("vec_id")).as("basis_id"))
+      .join(e.select(col("vec_id").as("basis_id"), col("e").as("be")),
+        Seq("basis_id"))
+    val derived = withBasis
+      .withColumn("c", pmod(col("basis_id"), lit(16)))
+      .join(broadcast(anchors), Seq("c"))
+      .join(e.select(col("vec_id"), col("e").as("oe")), Seq("vec_id"))
+      .withColumn("v0", expr("zip_with(ae, be, (a, b) -> a + 0.5 * b)"))
+      .withColumn("v", when(col("vec_id") % 19 === 1,
+        expr("zip_with(v0, oe, (a, b) -> a + 0.0625 * b)"))
+        .otherwise(col("v0")))
+      .select(col("vec_id"), col("v"))
+      .localCheckpoint(false) // feeds both spaces + the pair count
+    val projected = projectVecs(s, derived, kOut, seed)
+      .select(col("vec_id"), col("y").as("v"))
+    // partner-recall top-1 in a given space: planted ids query, everyone
+    // competes, argmax cosine with id tie-break
+    def top1(vecs: DataFrame): DataFrame = {
+      val en = vecs.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val q = broadcast(en.filter(col("vec_id") % 19 === 1)
+        .select(col("vec_id").as("qid"), col("v").as("qe"),
+          col("nrm").as("qn")))
+      val scored = en.join(q, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          (dot(col("qe"), col("v")) / (col("qn") * col("nrm"))).as("cs"))
+      val w = Window.partitionBy("qid").orderBy(col("cs").desc, col("nid"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("qid"), col("nid"))
+    }
+    val nPairs = derived.filter(col("vec_id") % 19 === 1)
+      .agg(count(lit(1)).as("n_pairs"))
+    val fullN = top1(derived).filter(col("nid") === col("qid") - 1)
+      .agg(count(lit(1)).as("full_top1_recall"))
+    val projN = top1(projected).filter(col("nid") === col("qid") - 1)
+      .agg(count(lit(1)).as("proj_top1_recall"))
+    nPairs.crossJoin(fullN).crossJoin(projN)
+      .select(col("n_pairs").cast("long").as("n_pairs"),
+        col("full_top1_recall").cast("long").as("full_top1_recall"),
+        col("proj_top1_recall").cast("long").as("proj_top1_recall"),
+        (col("full_top1_recall") === col("n_pairs")).as("full_all_recalled"),
+        // 0.95 floor in integer arithmetic: recalled/19 >= 0.95 * n/19
+        (col("proj_top1_recall") * 20 >= col("n_pairs") * 19)
+          .as("proj_recall_ge_95"))
   }
 
   /** Brute-force cosine top-k in the PROJECTED space — the quality half of
@@ -2436,6 +2522,16 @@ object VectorOps {
           sum("r") / count(lit(1)) <= 1.1).as("mean_within_10pct"))
     }),
 
+    // ---- the projection's RECALL certificate on a clustered corpus ----
+    // The distortion gate certifies norms; THIS certifies what a pipeline
+    // actually buys the projection for — near-duplicate structure
+    // survives 64 -> 16. Driver embeddings are isotropic, so the entry
+    // derives a clustered corpus from them with integer-exact mixing
+    // (bit-identical on both engines) and gates planted-partner top-1
+    // recall in the projected space. See projClusterRecallGate.
+    "proj_cluster_recall_gate" -> ((s, d) =>
+      projClusterRecallGate(s, d, kOut = 16, seed = 7L)),
+
     // ---- the recall-vs-nProbe TRADEOFF CURVE, exactly oracled ----
     // The gate pins one operating point; a 100 TB operator TUNES nProbe.
     // One row per swept value (shared index + stored baseline), every
@@ -2931,6 +3027,8 @@ object VectorOps {
       AnnOracleSql.ivfRecallCurve(k = 16, nProbes = Seq(1, 2, 4, 8), topK = 3),
     "emb_random_projection" -> AnnOracleSql.randomProjection(kOut = 16, seed = 7L),
     "sim_projected_topk" -> AnnOracleSql.projectedTopK(kOut = 16, seed = 7L, topK = 3),
+    "proj_cluster_recall_gate" ->
+      AnnOracleSql.projClusterRecallGate(kOut = 16, seed = 7L),
     // JL certificate: expected outcome determined by the data (vector
     // count) + the bounded-distortion contract holding (both booleans)
     "proj_distortion_gate" ->
