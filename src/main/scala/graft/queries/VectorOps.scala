@@ -1842,7 +1842,10 @@ object VectorOps {
       minhashPairs(s, d).createOrReplaceTempView("minhash_pairs")
       containmentOf(s, Tables.documents(s, d))
         .createOrReplaceTempView("containment_pairs")
-      semDedup(s, d, k = 16, tau = 0.45)
+      // the SCALED SemDeDup (k=64, the paper's k ~ sqrt(n) regime) is what
+      // the front door composes — k=16 stays registered only as the
+      // oracle-continuity row (SCALE.md calls it the scale-wrong point)
+      semDedup(s, d, k = 64, tau = 0.45)
         .createOrReplaceTempView("semdedup_verdicts")
       Tables.documents(s, d).createOrReplaceTempView("documents")
       s.sql(SqlDedupReport)
@@ -3116,7 +3119,7 @@ object VectorOps {
       s"""WITH minhash_pairs AS MATERIALIZED ($AllPairsJaccardOracle),
         |containment_pairs AS MATERIALIZED ($ContainmentOracle),
         |semdedup_verdicts AS MATERIALIZED (
-        |${AnnOracleSql.semDedup(k = 16, tau = "0.45")})
+        |${AnnOracleSql.semDedup(k = 64, tau = "0.45")})
         |$SqlDedupReport""".stripMargin,
     "sim_mmr_topk" ->
       """WITH ce AS MATERIALIZED (
