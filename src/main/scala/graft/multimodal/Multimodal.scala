@@ -61,20 +61,52 @@ object Multimodal {
     val gifReader: javax.imageio.ImageReader =
       javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
     val baos = new java.io.ByteArrayOutputStream(8192)
+    // Retention caps: the reuse pools exist for the common small frames; a
+    // single large (possibly payload-controlled) image must not pin
+    // w*h*4 scratch bytes per executor thread for the JVM lifetime, and a
+    // parade of distinct dimensions must not grow the image pools without
+    // bound. Above the caps callers get fresh throwaway allocations the
+    // collector can reclaim — the reuse fast path is unchanged for the
+    // bench-relevant shapes (16x16 .. ~1 MP).
+    private val MaxCachedPixels = 1 << 20 // 1 MP: <= 4 MB int scratch/thread
+    private val MaxCachedImages = 64 // distinct dims kept per pool
     private val rgbImgs =
       scala.collection.mutable.HashMap.empty[(Int, Int), BufferedImage]
-    def rgbImage(w: Int, h: Int): BufferedImage = rgbImgs.getOrElseUpdate(
-      (w, h), new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB))
+    def rgbImage(w: Int, h: Int): BufferedImage =
+      if (w.toLong * h > MaxCachedPixels ||
+          (rgbImgs.size >= MaxCachedImages && !rgbImgs.contains((w, h))))
+        new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      else rgbImgs.getOrElseUpdate(
+        (w, h), new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB))
     private val grayImgs =
       scala.collection.mutable.HashMap.empty[(Int, Int), BufferedImage]
     def grayIndexedImage(w: Int, h: Int): BufferedImage =
-      grayImgs.getOrElseUpdate((w, h), new BufferedImage(
+      if (w.toLong * h > MaxCachedPixels ||
+          (grayImgs.size >= MaxCachedImages && !grayImgs.contains((w, h))))
+        new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, GrayCm)
+      else grayImgs.getOrElseUpdate((w, h), new BufferedImage(
         w, h, BufferedImage.TYPE_BYTE_INDEXED, GrayCm))
     private var ints = new Array[Int](0)
-    def intBuf(n: Int): Array[Int] = {
-      if (ints.length < n) ints = new Array[Int](n)
-      ints
+    def intBuf(n: Int): Array[Int] =
+      if (n > MaxCachedPixels) new Array[Int](n)
+      else {
+        if (ints.length < n) ints = new Array[Int](n)
+        ints
+      }
+    // Reentrancy guard: every encode/decode entry point shares this one
+    // context's baos/intBuf/images, so the contract is non-reentrant per
+    // thread. Legitimate call graphs never nest (each op completes before
+    // the next starts — resizePixels holds only the DECODE OUTPUT across
+    // its re-encode); a future nesting (e.g. an encode inside another
+    // encode's pixel callback) would silently corrupt output, so it fails
+    // loudly here instead.
+    private var busy = false
+    def enterScratch(op: String): Unit = {
+      if (busy) throw new IllegalStateException(
+        s"CodecCtx is non-reentrant: nested codec call at $op")
+      busy = true
     }
+    def exitScratch(): Unit = busy = false
   }
   private val GrayCm: java.awt.image.IndexColorModel = {
     val gray = Array.tabulate[Byte](256)(_.toByte)
@@ -115,27 +147,30 @@ object Multimodal {
   }
 
   private[multimodal] def decode(payload: Array[Byte]): Decoded = {
-    // PNG fast path: reuse this thread's reader instead of the per-row
-    // registry scan ImageIO.read performs. Any other payload (including
-    // the fake text corpora) keeps the EXACT generic-lookup semantics.
-    if (hasMagic(payload, PngMagic)) {
-      try {
-        val cx = codecTl.get()
-        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-          new java.io.ByteArrayInputStream(payload))
-        cx.pngReader.setInput(iis, true, true)
-        try lumaOf(cx.pngReader.read(0))
-        finally iis.close()
-      } catch {
-        case scala.util.control.NonFatal(_) => Decoded(payload, -1, -1, isImage = false)
+    val cx = codecTl.get()
+    cx.enterScratch("decode")
+    try {
+      // PNG fast path: reuse this thread's reader instead of the per-row
+      // registry scan ImageIO.read performs. Any other payload (including
+      // the fake text corpora) keeps the EXACT generic-lookup semantics.
+      if (hasMagic(payload, PngMagic)) {
+        try {
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          cx.pngReader.setInput(iis, true, true)
+          try lumaOf(cx.pngReader.read(0))
+          finally iis.close()
+        } catch {
+          case scala.util.control.NonFatal(_) => Decoded(payload, -1, -1, isImage = false)
+        }
+      } else {
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) Decoded(payload, -1, -1, isImage = false)
+        else lumaOf(img)
       }
-    } else {
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case scala.util.control.NonFatal(_) => null }
-      if (img == null) Decoded(payload, -1, -1, isImage = false)
-      else lumaOf(img)
-    }
+    } finally cx.exitScratch()
   }
 
   /** REAL frame demux: every frame of a multi-frame container the JDK can
@@ -143,21 +178,30 @@ object Multimodal {
     * single-frame PNG/JPEG yields one frame). Empty for non-media. GIF
     * payloads reuse the thread's reader; anything else pays the generic
     * registry lookup (same semantics, cold path). */
-  private[multimodal] def demuxFrames(payload: Array[Byte]): Seq[Decoded] =
+  private[multimodal] def demuxFrames(payload: Array[Byte]): Seq[Decoded] = {
+    val cx = codecTl.get()
+    cx.enterScratch("demuxFrames")
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
-      val rd =
-        if (hasMagic(payload, GifMagic)) codecTl.get().gifReader
-        else {
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (!readers.hasNext) return Seq.empty
-          readers.next()
-        }
-      rd.setInput(iis)
-      try (0 until rd.getNumImages(true)).map(f => lumaOf(rd.read(f)))
-      finally iis.close() // thread-local readers are never disposed
+      // outer try/finally owns iis so the no-reader early return cannot
+      // leak the stream; registry-obtained readers are DISPOSED (only the
+      // reused thread-local readers skip dispose)
+      try {
+        val (rd, fromRegistry) =
+          if (hasMagic(payload, GifMagic)) (cx.gifReader, false)
+          else {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) return Seq.empty
+            (readers.next(), true)
+          }
+        rd.setInput(iis)
+        try (0 until rd.getNumImages(true)).map(f => lumaOf(rd.read(f)))
+        finally if (fromRegistry) rd.dispose()
+      } finally iis.close()
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    finally cx.exitScratch()
+  }
 
   /** Multi-frame gray GIF encode (explicit 256-gray palette, so pixels are
     * exactly representable — verified lossless round-trip). Writer, output
@@ -167,6 +211,13 @@ object Multimodal {
   private[multimodal] def encodeGrayGif(
       w: Int, h: Int, frames: Int, v: (Int, Int) => Int): Array[Byte] = {
     val cx = codecTl.get()
+    cx.enterScratch("encodeGrayGif")
+    try encodeGrayGifInner(cx, w, h, frames, v)
+    finally cx.exitScratch()
+  }
+
+  private def encodeGrayGifInner(cx: CodecCtx,
+      w: Int, h: Int, frames: Int, v: (Int, Int) => Int): Array[Byte] = {
     val wr = cx.gifWriter
     cx.baos.reset()
     val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(cx.baos)
@@ -198,21 +249,24 @@ object Multimodal {
     * every pixel of the scratch image is overwritten per call. */
   private[multimodal] def encodeGrayPng(w: Int, h: Int, v: Int => Int): Array[Byte] = {
     val cx = codecTl.get()
-    val img = cx.rgbImage(w, h)
-    val buf = cx.intBuf(w * h)
-    var i = 0
-    while (i < w * h) {
-      val g = v(i) & 0xff
-      buf(i) = (g << 16) | (g << 8) | g
-      i += 1
-    }
-    img.setRGB(0, 0, w, h, buf, 0, w)
-    cx.baos.reset()
-    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(cx.baos)
-    cx.pngWriter.setOutput(ios)
-    cx.pngWriter.write(null, new javax.imageio.IIOImage(img, null, null), null)
-    ios.close()
-    cx.baos.toByteArray
+    cx.enterScratch("encodeGrayPng")
+    try {
+      val img = cx.rgbImage(w, h)
+      val buf = cx.intBuf(w * h)
+      var i = 0
+      while (i < w * h) {
+        val g = v(i) & 0xff
+        buf(i) = (g << 16) | (g << 8) | g
+        i += 1
+      }
+      img.setRGB(0, 0, w, h, buf, 0, w)
+      cx.baos.reset()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(cx.baos)
+      cx.pngWriter.setOutput(ios)
+      cx.pngWriter.write(null, new javax.imageio.IIOImage(img, null, null), null)
+      ios.close()
+      cx.baos.toByteArray
+    } finally cx.exitScratch()
   }
 
   /** Wrap a text corpus as a media table (payload = UTF-8 bytes, synthetic
