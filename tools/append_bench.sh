@@ -35,6 +35,7 @@ dedup_semdedup_append:dedup_semdedup
 dedup_substring_append:dedup_substring
 dedup_substring_append_delta:dedup_substring
 dedup_substring_canonical_append:dedup_substring_canonical
+dedup_substring_canonical_append_delta:dedup_substring_canonical
 sim_bm25_append_topk:sim_bm25_topk
 dedup_embed_append:dedup_embed_cosine
 "
@@ -51,10 +52,22 @@ median() { printf '%s\n' "$@" | sort -n | awk '{v[NR]=$1} END{print v[int((NR+1)
 
 ROWS=/tmp/append_bench_rows.$$.tsv
 : > "$ROWS"
+trap 'rm -f "$ROWS"' EXIT
+
+# set -e cannot abort inside a $(...) capture in an array assign, so a
+# failed timed run would otherwise append an empty string and silently
+# skew the median and the emitted JSON — validate every capture instead.
+require_time() { # <value> <label>
+  case "$1" in
+    ''|*[!0-9.]*) echo "FATAL: timed run for $2 produced '$1'" >&2; exit 1;;
+  esac
+}
 
 ft=()
 for i in 1 2 3; do
-  ft+=("$($JAVA graft.tools.TimeEntry "$FIX" _floor 2>/dev/null | awk '/^TIME_ENTRY/{print $3}')")
+  t="$($JAVA graft.tools.TimeEntry "$FIX" _floor 2>/dev/null | awk '/^TIME_ENTRY/{print $3}')"
+  require_time "$t" "_floor"
+  ft+=("$t")
 done
 FLOOR=$(median "${ft[@]}")
 echo "FLOOR ${FLOOR}s (bare scan+noop, fresh JVM; runs: ${ft[*]})"
@@ -63,8 +76,10 @@ for p in $PAIRS; do
   a=${p%%:*}; r=${p##*:}
   at=(); rt=()
   for i in 1 2 3; do
-    at+=("$(SPARK_GRAFT_INDEX_DIR=$STORE $JAVA graft.tools.TimeEntry "$FIX" "$a" 2>/dev/null | awk '/^TIME_ENTRY/{print $3}')")
-    rt+=("$(SPARK_GRAFT_NO_INDEX_STORE=1 $JAVA graft.tools.TimeEntry "$FIX" "$r" 2>/dev/null | awk '/^TIME_ENTRY/{print $3}')")
+    t="$(SPARK_GRAFT_INDEX_DIR=$STORE $JAVA graft.tools.TimeEntry "$FIX" "$a" 2>/dev/null | awk '/^TIME_ENTRY/{print $3}')"
+    require_time "$t" "append:$a"; at+=("$t")
+    t="$(SPARK_GRAFT_NO_INDEX_STORE=1 $JAVA graft.tools.TimeEntry "$FIX" "$r" 2>/dev/null | awk '/^TIME_ENTRY/{print $3}')"
+    require_time "$t" "rebuild:$r"; rt+=("$t")
   done
   am=$(median "${at[@]}"); rm_=$(median "${rt[@]}")
   ratio=$(python3 -c "print(round($am/$rm_,3))")
@@ -76,8 +91,10 @@ done
 # Lloyd-replay oracle; the paper's regime grows k with the corpus)
 at=(); rt=()
 for i in 1 2 3; do
-  at+=("$(SPARK_GRAFT_INDEX_DIR=$STORE $JAVA graft.tools.TimeSemDedup "$FIX" append "$SEMK" 2>/dev/null | awk '/^TIME_SEMDEDUP/{print $4}')")
-  rt+=("$(SPARK_GRAFT_NO_INDEX_STORE=1 $JAVA graft.tools.TimeSemDedup "$FIX" rebuild "$SEMK" 2>/dev/null | awk '/^TIME_SEMDEDUP/{print $4}')")
+  t="$(SPARK_GRAFT_INDEX_DIR=$STORE $JAVA graft.tools.TimeSemDedup "$FIX" append "$SEMK" 2>/dev/null | awk '/^TIME_SEMDEDUP/{print $4}')"
+  require_time "$t" "append:semdedup_k$SEMK"; at+=("$t")
+  t="$(SPARK_GRAFT_NO_INDEX_STORE=1 $JAVA graft.tools.TimeSemDedup "$FIX" rebuild "$SEMK" 2>/dev/null | awk '/^TIME_SEMDEDUP/{print $4}')"
+  require_time "$t" "rebuild:semdedup_k$SEMK"; rt+=("$t")
 done
 am=$(median "${at[@]}"); rm_=$(median "${rt[@]}")
 ratio=$(python3 -c "print(round($am/$rm_,3))")
