@@ -461,20 +461,24 @@ object VectorOps {
       scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("qid"), col("nid"))
     }
-    val nPairs = derived.filter(col("vec_id") % 19 === 1)
-      .agg(count(lit(1)).as("n_pairs"))
-    val fullN = top1(derived).filter(col("nid") === col("qid") - 1)
-      .agg(count(lit(1)).as("full_top1_recall"))
-    val projN = top1(projected).filter(col("nid") === col("qid") - 1)
-      .agg(count(lit(1)).as("proj_top1_recall"))
-    nPairs.crossJoin(fullN).crossJoin(projN)
-      .select(col("n_pairs").cast("long").as("n_pairs"),
-        col("full_top1_recall").cast("long").as("full_top1_recall"),
-        col("proj_top1_recall").cast("long").as("proj_top1_recall"),
-        (col("full_top1_recall") === col("n_pairs")).as("full_all_recalled"),
+    // one tagged union + one aggregation — no single-row cross join (the
+    // PlanQualitySpec cartesian net stays empty)
+    val tagged = derived.filter(col("vec_id") % 19 === 1)
+        .select(lit("pair").as("t"))
+      .unionByName(top1(derived).filter(col("nid") === col("qid") - 1)
+        .select(lit("full").as("t")))
+      .unionByName(top1(projected).filter(col("nid") === col("qid") - 1)
+        .select(lit("proj").as("t")))
+    tagged.agg(
+        sum(when(col("t") === "pair", 1L).otherwise(0L)).as("np"),
+        sum(when(col("t") === "full", 1L).otherwise(0L)).as("nf"),
+        sum(when(col("t") === "proj", 1L).otherwise(0L)).as("nj"))
+      .select(col("np").cast("long").as("n_pairs"),
+        col("nf").cast("long").as("full_top1_recall"),
+        col("nj").cast("long").as("proj_top1_recall"),
+        (col("nf") === col("np")).as("full_all_recalled"),
         // 0.95 floor in integer arithmetic: recalled/19 >= 0.95 * n/19
-        (col("proj_top1_recall") * 20 >= col("n_pairs") * 19)
-          .as("proj_recall_ge_95"))
+        (col("nj") * 20 >= col("np") * 19).as("proj_recall_ge_95"))
   }
 
   /** Brute-force cosine top-k in the PROJECTED space — the quality half of

@@ -17,6 +17,10 @@ class PlanQualitySpec extends SparkSpec {
     // projected-space brute force: same deliberate broadcast-query-sample
     // non-equi shape as sim_cosine_topk, over 4x narrower vectors
     "sim_projected_topk",
+    // the clustered JL recall gate runs the SAME broadcast-query-sample
+    // non-equi top-1 scan in both spaces (full derived + projected) —
+    // the brute-force certificate is the gate's point
+    "proj_cluster_recall_gate",
     "sim_cosine_topk", "sim_knn_classify", "ann_lsh_topk", "ann_ivf_topk",
     "ann_ivf_append_topk", // same query path as ann_ivf_topk
     "ann_pq_topk", "ann_pq_recall_gate", "ann_sq_topk", "ann_sq_recall_gate",

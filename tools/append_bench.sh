@@ -26,9 +26,17 @@ STORE=${2:-/tmp/zipf_warm_store}
 OUT=${3:-}
 SEMK=${SEMK:-512}
 CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
-JAVA="java -cp $CP --add-exports java.base/sun.nio.ch=ALL-UNNAMED -Xmx24g"
+# full JDK17 add-opens set (matches build.sbt): at the 400k-doc fixture,
+# checkpoint blocks spill SERIALIZED and Kryo's ByteBuffer serializer
+# needs java.nio opened — the 40k runs never serialized a block, so the
+# single add-exports was enough only by accident
+OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
+JAVA="java -cp $CP $OPENS --add-exports java.base/sun.nio.ch=ALL-UNNAMED -Xmx24g"
 
-PAIRS="
+# PAIRS_OVERRIDE: space/newline-separated subset for staged runs on the
+# larger fixtures (each rebuild side at 400k docs is minutes; a full
+# 11-pair sweep there is hours — run in slices, merge the JSONs).
+PAIRS=${PAIRS_OVERRIDE:-"
 dedup_minhash_append:dedup_minhash_lsh
 dedup_containment_append:dedup_containment
 dedup_semdedup_append:dedup_semdedup
@@ -38,15 +46,19 @@ dedup_substring_canonical_append:dedup_substring_canonical
 dedup_substring_canonical_append_delta:dedup_substring_canonical
 sim_bm25_append_topk:sim_bm25_topk
 dedup_embed_append:dedup_embed_cosine
-"
+"}
 
-rm -rf "$STORE"
+# KEEP_STORE=1 reuses an already-warmed store (staged runs on the large
+# fixtures, where one prep pass is tens of minutes)
+if [ "${KEEP_STORE:-0}" != "1" ]; then rm -rf "$STORE"; fi
 echo "# prep: warming $STORE with base artifacts (untimed)"
 for p in $PAIRS; do
   a=${p%%:*}
   SPARK_GRAFT_INDEX_DIR=$STORE $JAVA graft.tools.TimeEntry "$FIX" "$a" >/dev/null 2>&1
 done
-SPARK_GRAFT_INDEX_DIR=$STORE $JAVA graft.tools.TimeSemDedup "$FIX" append "$SEMK" >/dev/null 2>&1
+if [ "${SKIP_SEMDEDUP:-0}" != "1" ]; then
+  SPARK_GRAFT_INDEX_DIR=$STORE $JAVA graft.tools.TimeSemDedup "$FIX" append "$SEMK" >/dev/null 2>&1
+fi
 
 median() { printf '%s\n' "$@" | sort -n | awk '{v[NR]=$1} END{print v[int((NR+1)/2)]}'; }
 
@@ -88,7 +100,9 @@ for p in $PAIRS; do
 done
 
 # SemDeDup at the scale-right k (the registered entries pin k=16 for the
-# Lloyd-replay oracle; the paper's regime grows k with the corpus)
+# Lloyd-replay oracle; the paper's regime grows k with the corpus).
+# SKIP_SEMDEDUP=1 skips it in staged PAIRS_OVERRIDE runs.
+if [ "${SKIP_SEMDEDUP:-0}" != "1" ]; then
 at=(); rt=()
 for i in 1 2 3; do
   t="$(SPARK_GRAFT_INDEX_DIR=$STORE $JAVA graft.tools.TimeSemDedup "$FIX" append "$SEMK" 2>/dev/null | awk '/^TIME_SEMDEDUP/{print $4}')"
@@ -100,6 +114,7 @@ am=$(median "${at[@]}"); rm_=$(median "${rt[@]}")
 ratio=$(python3 -c "print(round($am/$rm_,3))")
 echo "PAIR append=semdedup_k$SEMK ${am}s rebuild=semdedup_k$SEMK ${rm_}s ratio=$ratio (runs: append=${at[*]} rebuild=${rt[*]})"
 printf '%s\t%s\t%s\t%s\t%s\t%s\n' "semdedup_k$SEMK:semdedup_k$SEMK" "$am" "$rm_" "$ratio" "${at[*]}" "${rt[*]}" >> "$ROWS"
+fi
 
 if [ -n "$OUT" ]; then
   NDOCS=$(python3 -c "
