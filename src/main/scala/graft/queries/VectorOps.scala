@@ -80,7 +80,7 @@ object VectorOps {
     * the corpus. Rebuild-on-missing; the format version in the path
     * invalidates old layouts when the index schema changes. Disabled via
     * SPARK_GRAFT_NO_INDEX_STORE=1 (tests that mutate build logic). */
-  private val IndexFormatVersion = 1
+  private[queries] val IndexFormatVersion = 1
 
   /** Fingerprint of the source embeddings parquet (names + sizes + mtimes):
     * folded into every index key so a regenerated dataset at the SAME path
@@ -160,24 +160,25 @@ object VectorOps {
         // short digest disambiguates keys that sanitize to the same name
         val digest = java.lang.Long.toHexString(
           scala.util.hashing.MurmurHash3.stringHash(key).toLong & 0xffffffffL)
-        val path = s"$root/v$IndexFormatVersion/${safe}_$digest"
-        storeLock.synchronized { // build-if-missing races only at index build
-          if (new java.io.File(s"$path/_SUCCESS").exists()) {
-            // the driver-visible evidence that a fresh session reuses the
-            // on-disk index instead of re-encoding the corpus
-            storeReuseCount.incrementAndGet()
-            System.err.println(s"[graft] ann index store: REUSE $path")
-          } else {
-            storeBuildCount.incrementAndGet()
-            System.err.println(s"[graft] ann index store: BUILD $path")
-            if (partCols.isEmpty) build.write.mode("overwrite").parquet(path)
+        val name = s"${safe}_$digest"
+        val vroot = new java.io.File(s"$root/v$IndexFormatVersion")
+        val path = s"${vroot.getPath}/$name"
+        // JVM-local monitor (serializes this process's builders) + the
+        // cross-PROCESS protocol in StorePublish: build into a keyed temp
+        // sibling, publish by atomic rename, builders of one key serialize
+        // on an OS file lock. A concurrent Spark app can only ever observe
+        // "absent" or "complete" — never a half-written artifact — and two
+        // apps racing on one key build it exactly once between them.
+        storeLock.synchronized {
+          val built = StorePublish.buildOnce(vroot, name) { tmp =>
+            if (partCols.isEmpty) build.write.mode("overwrite").parquet(tmp.getPath)
             else
               // one exchange on the bucket columns before the partitioned
               // write: without it every task writes a file per bucket it
               // holds (tasks x buckets small files); with it each bucket
               // lands wholly inside one task's output
               build.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
-                .write.partitionBy(partCols: _*).mode("overwrite").parquet(path)
+                .write.partitionBy(partCols: _*).mode("overwrite").parquet(tmp.getPath)
             // key manifest for vacuumStore: records WHICH (dataset, fp)
             // this artifact was keyed to, since the sanitized dir name is
             // not reliably parseable back. Underscore prefix = invisible
@@ -188,12 +189,25 @@ object VectorOps {
             // equality, never substring containment (a liveDir
             // '/data/sf0.1' must not match a key for '/data/sf0.12', and
             // an 8-hex fingerprint must not match inside another
-            // component).
+            // component). Written INSIDE the temp dir, pre-publish: the
+            // data, its committer marker, and the vacuum manifest become
+            // visible in one rename, so the data-committed-manifest-pending
+            // window a concurrent vacuum had to tolerate no longer exists
+            // for new artifacts (vacuum stays conservative for legacy ones).
             try java.nio.file.Files.writeString(
-              java.nio.file.Paths.get(s"$path/_graft_key.json"),
+              java.nio.file.Paths.get(tmp.getPath, "_graft_key.json"),
               s"""{"key": ${graft.Json.str(key)}, "parts": ${
                 key.split(':').toSeq.map(graft.Json.str).mkString("[", ", ", "]")}}""")
             catch { case scala.util.control.NonFatal(_) => () }
+          }
+          if (built) {
+            storeBuildCount.incrementAndGet()
+            System.err.println(s"[graft] ann index store: BUILD $path")
+          } else {
+            // the driver-visible evidence that a fresh session reuses the
+            // on-disk index instead of re-encoding the corpus
+            storeReuseCount.incrementAndGet()
+            System.err.println(s"[graft] ann index store: REUSE $path")
           }
         }
         s.read.parquet(path)
@@ -225,8 +239,17 @@ object VectorOps {
   private[queries] def vacuumAt(root: String,
       liveDirs: Seq[String]): Seq[(String, String)] = {
         val vdir = new java.io.File(s"$root/v$IndexFormatVersion")
-        val arts = Option(vdir.listFiles()).getOrElse(Array.empty)
-          .filter(_.isDirectory).sortBy(_.getName)
+        val all = Option(vdir.listFiles()).getOrElse(Array.empty)
+        // published artifacts only — dot-prefixed entries are the publish
+        // protocol's own files (in-flight temp dirs, key lock files) and
+        // are handled separately below, never by the liveness rules
+        val arts = all.filter(f => f.isDirectory && !f.getName.startsWith("."))
+          .sortBy(_.getName)
+        // a temp dir is garbage iff its builder is dead; the key lock is
+        // the live-builder signal (held for the whole build, released by
+        // the OS on process death). Probe errs toward "held" → spared.
+        val tmps = all.filter(f => f.isDirectory && f.getName.startsWith(".tmp_"))
+          .sortBy(_.getName)
         // fresh fingerprints of every child a key can embed (embeddings,
         // documents — plus the rest of the dir for future key shapes).
         // Children are files OR directories: Spark-written datasets are
@@ -240,7 +263,15 @@ object VectorOps {
           d -> children.map(f => fpOf(f.getPath)).toSet
         }.toMap
         storeLock.synchronized {
-          arts.toSeq.map { art =>
+          val tmpReport = tmps.toSeq.map { t =>
+            StorePublish.tmpOwner(t.getName) match {
+              case Some(owner) if !StorePublish.keyLockHeld(vdir, owner) =>
+                StorePublish.deleteRecursively(t)
+                t.getName -> "dropped_stale_tmp"
+              case _ => t.getName -> "kept_building"
+            }
+          }
+          tmpReport ++ arts.toSeq.map { art =>
             val metaPath = java.nio.file.Paths.get(s"${art.getPath}/_graft_key.json")
             if (!java.nio.file.Files.exists(metaPath)) art.getName -> "kept_no_meta"
             else {

@@ -309,7 +309,9 @@ class IndexStoreSpec extends SparkSpec {
       val liveFp = VectorOps.fpOf(s"$Sf/embeddings.parquet")
       val root = new java.io.File(sys.props("graft.index.dir"))
       // (1) deterministic replay of the mid-build states a concurrent
-      // vacuum can observe (durable writes data, THEN the manifest):
+      // vacuum can observe (since the atomic-rename publish, state (a) is
+      // LEGACY-only — new artifacts carry their manifest from birth — but
+      // vacuum must stay conservative for stores written by older builds):
       //   a. data committed (_SUCCESS), manifest not yet written
       //   b. write in flight (no _SUCCESS, no manifest)
       // both must be conservatively KEPT — a vacuum between the data
@@ -345,6 +347,116 @@ class IndexStoreSpec extends SparkSpec {
           s"artifact for $k lost to a concurrent vacuum")
       }
     }
+  }
+
+  test("publish is atomic: artifact lands with manifest, no temp residue") {
+    withStoreDir {
+      val s = spark
+      import s.implicits._
+      VectorOps.durable(s, "spec:atomic:1")(Seq(1L, 2L).toDF("id")).count()
+      val vdir = new java.io.File(sys.props("graft.index.dir")).listFiles().head
+      val entries = vdir.listFiles().map(_.getName).toSet
+      assert(!entries.exists(_.startsWith(".tmp_")),
+        s"temp residue after publish: $entries")
+      val art = vdir.listFiles().find(_.getName.startsWith("spec_atomic_1")).get
+      // the manifest is written pre-publish, inside the temp dir — it must
+      // be visible the instant the artifact is (one rename, no window)
+      assert(new java.io.File(art, "_SUCCESS").exists(), "no committer marker")
+      assert(new java.io.File(art, "_graft_key.json").exists(),
+        "manifest missing at publish time")
+    }
+  }
+
+  test("a dead builder's temp is reaped and the key rebuilds cleanly") {
+    withStoreDir {
+      val s = spark
+      import s.implicits._
+      val root = new java.io.File(sys.props("graft.index.dir"))
+      // simulate a crashed builder: its keyed temp dir is on disk, its
+      // process (and so its OS file lock) is gone
+      val digest = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash("spec:crash:1").toLong & 0xffffffffL)
+      val name = s"spec_crash_1_$digest"
+      val vdir = new java.io.File(root, s"v${VectorOps.IndexFormatVersion}")
+      val dead = new java.io.File(vdir, s".tmp_${name}_99999_deadbeef")
+      dead.mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(dead, "part-00000.parquet").toPath, "junk")
+      val got = VectorOps.durable(s, "spec:crash:1")(Seq(5L).toDF("id"))
+      assert(got.count() == 1, "rebuild after a crashed builder failed")
+      assert(!dead.exists(), "dead builder's temp dir survived the rebuild")
+      assert(!vdir.listFiles().exists(_.getName.startsWith(".tmp_")))
+    }
+  }
+
+  test("vacuum reaps a dead builder's temp and spares a live builder's") {
+    withStoreDir {
+      val s = spark
+      import s.implicits._
+      val Sf = "/root/testdata/sf0.001"
+      VectorOps.durable(s, s"spec:vtmp:$Sf:${VectorOps.fpOf(s"$Sf/embeddings.parquet")}")(
+        Seq(1L).toDF("id")).count()
+      val root = new java.io.File(sys.props("graft.index.dir"))
+      val vdir = root.listFiles().head
+      // dead builder: temp dir present, key lock NOT held → reaped
+      val deadTmp = new java.io.File(vdir, ".tmp_deadkey_1_1")
+      deadTmp.mkdirs()
+      // live builder: temp dir present AND the key lock held (on a raw
+      // channel, the way a peer process would) → spared as kept_building
+      val liveTmp = new java.io.File(vdir, ".tmp_livekey_1_1")
+      liveTmp.mkdirs()
+      val lockPath = new java.io.File(vdir, ".livekey.lock").toPath
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lk = ch.lock()
+      try {
+        val report = VectorOps.vacuumStore(s, Seq(Sf)).toMap
+        assert(report.get(".tmp_deadkey_1_1").contains("dropped_stale_tmp"),
+          s"dead temp not reaped: $report")
+        assert(!deadTmp.exists(), "dead temp dir still on disk")
+        assert(report.get(".tmp_livekey_1_1").contains("kept_building"),
+          s"live builder's temp not spared: $report")
+        assert(liveTmp.exists(), "live builder's temp was deleted")
+      } finally { lk.release(); ch.close() }
+    }
+  }
+
+  test("cross-process: two JVMs racing on one key build exactly once") {
+    val vroot = java.nio.file.Files.createTempDirectory("graft_xjvm").toFile
+    try {
+      val javaBin = new java.io.File(
+        new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
+      val pb = new ProcessBuilder(javaBin, "-cp",
+        System.getProperty("java.class.path"),
+        "graft.queries.StoreRaceChild", vroot.getPath, "k1", "800")
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      // let the child reach (or pass) the lock first in most schedules; the
+      // assertion below is order-independent either way
+      Thread.sleep(400)
+      val parentBuilt = StorePublish.buildOnce(vroot, "k1") { tmp =>
+        tmp.mkdirs()
+        java.nio.file.Files.writeString(
+          new java.io.File(tmp, "payload.txt").toPath, "parent")
+        java.nio.file.Files.writeString(
+          new java.io.File(tmp, "_SUCCESS").toPath, "")
+      }
+      val out = scala.io.Source.fromInputStream(proc.getInputStream).mkString
+      assert(proc.waitFor(60, java.util.concurrent.TimeUnit.SECONDS),
+        "child JVM did not exit")
+      val childBuilt = out.contains("BUILT=true")
+      assert(parentBuilt ^ childBuilt,
+        s"exactly one process must build (parent=$parentBuilt child=$childBuilt out=$out)")
+      val target = new java.io.File(vroot, "k1")
+      assert(StorePublish.published(target), "no published artifact after the race")
+      val payload = java.nio.file.Files.readString(
+        new java.io.File(target, "payload.txt").toPath)
+      assert(payload == (if (childBuilt) "child" else "parent"),
+        "published payload does not match the winning builder")
+      assert(!vroot.listFiles().exists(_.getName.startsWith(".tmp_")),
+        "temp residue after the race")
+    } finally StorePublish.deleteRecursively(vroot)
   }
 
   test("partitioned store prunes a bucket-filtered probe to touched directories") {
