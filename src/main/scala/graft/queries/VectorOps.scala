@@ -314,6 +314,19 @@ object VectorOps {
       durable(s, key)(build).persist()
     })
 
+  /** Session-scoped persist WITHOUT the durable layer: for frames that are
+    * recomputed per session by CONTRACT (the BM25 append entry's
+    * re-weighted corpus statistics — a store write would hide exactly the
+    * re-weight work the entry measures across fresh-JVM runs) but are
+    * consumed by several subplans of one query family, where plain
+    * laziness would recompute the build once per exchange. Same cache and
+    * application-end eviction as [[shared]]. */
+  private[queries] def sharedLocal(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    artifactCache.getOrElseUpdate((s, key), {
+      hookEviction(s)
+      build.persist()
+    })
+
   /** Driver-green certificate for the store's GC verb — the fourth index
     * lifecycle verb made driver-visible (create = ann_index_store_gate,
     * append = ann_ivf_append_topk, delete = ann_ivf_delete_topk, vacuum =
