@@ -326,6 +326,17 @@ private[queries] object AnnOracleSql {
         |  (3 * sum(n_common) >= 5 * count(*)) AS overlap_ok
         |FROM ($RrfSwapPerQuery)""".stripMargin)
 
+  /** Oracle for `sim_rrf_swap_sampled_gate`: [[rrfSwapGate]] restricted to
+    * the deterministic 1-in-`every` query subsample — the scale form whose
+    * exact-dense side stays linear in the corpus. Same integer-arithmetic
+    * floor. */
+  def rrfSwapGateSampled(k: Int, nProbe: Int, every: Long): String =
+    withClause(rrfSwapCtes(k, nProbe),
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(sum(n_common) AS BIGINT) AS n_common_total,
+        |  (3 * sum(n_common) >= 5 * count(*)) AS overlap_ok
+        |FROM ($RrfSwapPerQuery) WHERE qid % $every = 0""".stripMargin)
+
   /** Per-query top-3 overlap of the two fusions (x3 = exact-dense, a3 =
     * IVF-dense), shared by the report and gate selects above. */
   private val RrfSwapPerQuery =

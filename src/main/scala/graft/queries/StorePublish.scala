@@ -68,10 +68,11 @@ private[graft] object StorePublish {
 
   /** Run `f` holding the key's cross-process build lock (blocking: a peer
     * process building the same key finishes first). Callers inside one JVM
-    * are expected to already serialize on [[VectorOps.storeLock]] — JVM
-    * file locks are per-process, and overlapping same-process acquisition
-    * would throw [[OverlappingFileLockException]]. The lock file is left in
-    * place (deleting lock files is itself a race). */
+    * are expected to already serialize per key on [[VectorOps]]'s striped
+    * store monitors — JVM file locks are per-process, and overlapping
+    * same-process acquisition would throw
+    * [[OverlappingFileLockException]]. The lock file is left in place
+    * (deleting lock files is itself a race). */
   def withKeyLock[A](vroot: File, name: String)(f: => A): A = {
     vroot.mkdirs()
     val ch = FileChannel.open(lockFile(vroot, name).toPath,
@@ -108,10 +109,15 @@ private[graft] object StorePublish {
 
   /** Reap temp dirs for `name` left by dead builders. MUST be called under
     * the key lock: holding it proves no live builder for this key exists,
-    * so every matching temp is abandoned by construction. */
+    * so every matching temp is abandoned by construction. Ownership is
+    * parsed EXACTLY via [[tmpOwner]], never by name prefix: artifact names
+    * embed sanitized keys, so one name can extend another (`a_b` extends
+    * `a`), and a prefix match would let key A's builder delete key B's
+    * LIVE temp mid-build (vacuumAt always parsed exactly; this now does
+    * too). */
   def cleanStaleTmps(vroot: File, name: String): Unit =
     Option(vroot.listFiles()).getOrElse(Array.empty[File])
-      .filter(f => f.isDirectory && f.getName.startsWith(tmpPrefix(name)))
+      .filter(f => f.isDirectory && tmpOwner(f.getName).contains(name))
       .foreach(deleteRecursively)
 
   /** Build-once across processes. If `vroot/name` is published, returns
@@ -123,7 +129,16 @@ private[graft] object StorePublish {
     * The lost-race catch covers a legacy (non-locking) writer publishing
     * the target underneath us: its artifact stands, ours is discarded —
     * artifacts are deterministic functions of their key, so either copy
-    * is correct and immutability wins over last-writer. */
+    * is correct and immutability wins over last-writer. An occupied
+    * target that is NOT published (a pre-protocol build that crashed
+    * mid-write: data files, no `_SUCCESS`) is poisoned residue, not a
+    * peer's artifact — we hold the key lock, so nothing live owns it;
+    * the residue is deleted and the fresh complete build takes its place
+    * (the self-heal the old overwrite-in-place path had implicitly).
+    *
+    * A `write` failure deletes its temp before rethrowing: without that,
+    * the dead temp would sit until the NEXT build or vacuum of this key
+    * reaps it, and vacuum would report a phantom in the interim. */
   def buildOnce(vroot: File, name: String)(write: File => Unit): Boolean = {
     val target = new File(vroot, name)
     if (published(target)) return false
@@ -132,15 +147,25 @@ private[graft] object StorePublish {
       else {
         cleanStaleTmps(vroot, name)
         val tmp = new File(vroot, s"${tmpPrefix(name)}${ProcessHandle.current().pid()}_${java.lang.Long.toHexString(System.nanoTime())}")
-        write(tmp)
+        try write(tmp)
+        catch { case e: Throwable => deleteRecursively(tmp); throw e }
         try {
           Files.move(tmp.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE)
           true
         } catch {
-          case _: java.nio.file.FileAlreadyExistsException |
-              _: java.nio.file.DirectoryNotEmptyException =>
-            deleteRecursively(tmp)
-            false
+          // Broad FileSystemException on purpose: Linux surfaces a rename
+          // onto a non-empty dir as ENOTEMPTY -> the GENERIC
+          // FileSystemException (the JDK reserves DirectoryNotEmptyException
+          // for delete paths), so catching only the two specific subtypes
+          // let exactly the occupied-target case propagate as a crash.
+          case e: java.nio.file.FileSystemException =>
+            if (published(target)) { deleteRecursively(tmp); false }
+            else if (target.exists()) {
+              deleteRecursively(target)
+              Files.move(tmp.toPath, target.toPath,
+                StandardCopyOption.ATOMIC_MOVE)
+              true
+            } else { deleteRecursively(tmp); throw e }
         }
       }
     }

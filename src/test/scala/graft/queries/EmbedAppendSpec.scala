@@ -41,5 +41,27 @@ class EmbedAppendSpec extends SparkSpec {
       s"rebuild did not find the three planted near-dup pairs: $sigs")
     assert(append == sigs,
       s"append path diverged from the rebuild: $append vs $sigs")
+
+    // the WIDE signature tier (lshBitsFor's >32k-vector derivation) must
+    // find the same near-identical pairs — a ~0.999-cosine pair hits a
+    // 16-bit table with p ~ 0.8, missing all 24 tables w.p. < 1e-16 —
+    // and its append must equal its rebuild under the same width
+    val wide = VectorOps.embedCosineDedup(s, emb, threshold = 0.9,
+        kBits = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wideAppend = VectorOps.embedCosineAppendOf(s, emb, threshold = 0.9,
+        storeKey = None, kBits = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide == sigs, s"16-bit rebuild lost planted pairs: $wide")
+    assert(wideAppend == wide, "16-bit append diverged from its rebuild")
+  }
+
+  test("lshBitsFor derives 8 bits for small corpora, 16 at the 400k fixture") {
+    assert(VectorOps.lshBitsFor("/root/testdata/sf0.01") == 8,
+      "oracle-checked testdata must stay in the exhaustive 8-bit regime")
+    assert(VectorOps.lshBitsFor("/root/repo/fixtures/zipf1big") == 8,
+      "the 40k fixture (12k vectors) stays at 8 bits")
+    assert(VectorOps.lshBitsFor("/root/repo/fixtures/zipf1xl") == 16,
+      "the 400k fixture (120k clustered vectors) must take the wide tier")
   }
 }

@@ -459,6 +459,159 @@ class IndexStoreSpec extends SparkSpec {
     } finally StorePublish.deleteRecursively(vroot)
   }
 
+  test("builders of DIFFERENT keys overlap: no cross-key head-of-line blocking") {
+    withStoreDir {
+      val s = spark
+      import s.implicits._
+      // Key A's build blocks until key B's build COMPLETES. Under r14's
+      // single global store monitor this deadlocks-until-timeout (B cannot
+      // enter the store while A holds the monitor); under per-key striping
+      // B builds and publishes while A is mid-build. The latch timeouts
+      // turn a regression into a clean failure, not a hung suite.
+      val aEntered = new java.util.concurrent.CountDownLatch(1)
+      val bDone = new java.util.concurrent.CountDownLatch(1)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val tA = new Thread(() =>
+        try {
+          val r = VectorOps.durable(s, "spec:stripe:a") {
+            aEntered.countDown()
+            assert(bDone.await(60, java.util.concurrent.TimeUnit.SECONDS),
+              "key-B build did not overlap key-A build (global store lock?)")
+            Seq(1L).toDF("id")
+          }
+          assert(r.count() == 1)
+        } catch { case t: Throwable => errs.add(t) })
+      val tB = new Thread(() =>
+        try {
+          assert(aEntered.await(60, java.util.concurrent.TimeUnit.SECONDS))
+          val r = VectorOps.durable(s, "spec:stripe:b")(Seq(2L, 3L).toDF("id"))
+          assert(r.count() == 2)
+          bDone.countDown()
+        } catch { case t: Throwable => errs.add(t); bDone.countDown() })
+      tA.start(); tB.start()
+      tA.join(120000); tB.join(120000)
+      assert(!tA.isAlive && !tB.isAlive, "striped-lock threads did not finish")
+      assert(errs.isEmpty, s"concurrent builds failed: ${errs.peek()}")
+      // both artifacts published and reusable from a fresh session
+      assert(VectorOps.durable(s.newSession(), "spec:stripe:a")(
+        sys.error("rebuilt")).count() == 1)
+      assert(VectorOps.durable(s.newSession(), "spec:stripe:b")(
+        sys.error("rebuilt")).count() == 2)
+    }
+  }
+
+  test("a failed build deletes its temp and the key rebuilds cleanly") {
+    val vroot = java.nio.file.Files.createTempDirectory("graft_failw").toFile
+    try {
+      val boom = intercept[RuntimeException] {
+        StorePublish.buildOnce(vroot, "k1") { tmp =>
+          tmp.mkdirs()
+          java.nio.file.Files.writeString(
+            new java.io.File(tmp, "partial.bin").toPath, "junk")
+          sys.error("mid-write crash")
+        }
+      }
+      assert(boom.getMessage == "mid-write crash")
+      assert(!vroot.listFiles().exists(_.getName.startsWith(".tmp_")),
+        "failed build left its temp dir behind")
+      // the same key builds successfully afterwards
+      val built = StorePublish.buildOnce(vroot, "k1") { tmp =>
+        tmp.mkdirs()
+        java.nio.file.Files.writeString(
+          new java.io.File(tmp, "payload.txt").toPath, "ok")
+        java.nio.file.Files.writeString(
+          new java.io.File(tmp, "_SUCCESS").toPath, "")
+      }
+      assert(built, "rebuild after a failed write did not run")
+      assert(StorePublish.published(new java.io.File(vroot, "k1")))
+    } finally StorePublish.deleteRecursively(vroot)
+  }
+
+  test("unpublished residue at the target is healed, not reused") {
+    val vroot = java.nio.file.Files.createTempDirectory("graft_resid").toFile
+    try {
+      // pre-protocol crash residue: data files at the FINAL path, no
+      // _SUCCESS. The rename will fail (target exists) — the build must
+      // recognize the target is NOT published, replace the residue with
+      // its complete artifact, and report itself the builder. Returning
+      // false here would log REUSE and serve partial data silently.
+      val target = new java.io.File(vroot, "k1")
+      target.mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(target, "part-00000.parquet").toPath, "partial")
+      val built = StorePublish.buildOnce(vroot, "k1") { tmp =>
+        tmp.mkdirs()
+        java.nio.file.Files.writeString(
+          new java.io.File(tmp, "payload.txt").toPath, "fresh")
+        java.nio.file.Files.writeString(
+          new java.io.File(tmp, "_SUCCESS").toPath, "")
+      }
+      assert(built, "heal path must report this call as the builder")
+      assert(StorePublish.published(target), "healed target is not published")
+      assert(java.nio.file.Files.readString(
+        new java.io.File(target, "payload.txt").toPath) == "fresh")
+      assert(!new java.io.File(target, "part-00000.parquet").exists(),
+        "pre-protocol residue survived inside the healed artifact")
+      assert(!vroot.listFiles().exists(_.getName.startsWith(".tmp_")))
+      // a PUBLISHED target still wins over a late builder (immutability)
+      val again = StorePublish.buildOnce(vroot, "k1")(_ => fail("re-built"))
+      assert(!again)
+    } finally StorePublish.deleteRecursively(vroot)
+  }
+
+  test("stale-temp reaping matches exact owner, never a name prefix") {
+    val vroot = java.nio.file.Files.createTempDirectory("graft_tmpown").toFile
+    try {
+      // artifact names embed sanitized keys, so one name can extend
+      // another ('a' vs 'a_b'): key a's reap must not touch key a_b's temp
+      val mine = new java.io.File(vroot, ".tmp_a_1_1")
+      val other = new java.io.File(vroot, ".tmp_a_b_1_1")
+      mine.mkdirs(); other.mkdirs()
+      StorePublish.cleanStaleTmps(vroot, "a")
+      assert(!mine.exists(), "key a's own stale temp not reaped")
+      assert(other.exists(), "key a_b's temp deleted by key a's reap")
+    } finally StorePublish.deleteRecursively(vroot)
+  }
+
+  test("occurrence-index bucket count scales with the corpus, appends stay exact") {
+    // Derived-count monotonicity over the committed fixtures (byte-size
+    // driven, file metadata only — no Spark job): the 400k corpus gets
+    // strictly more bucket dirs than the 40k one, so the probe's pruning
+    // ratio grows with the corpus instead of capping at a constant
+    // (r14's hard-coded 64).
+    val small = LlmText.occBucketCount("/root/repo/fixtures/zipf1big")
+    val large = LlmText.occBucketCount("/root/repo/fixtures/zipf1xl")
+    assert(small == 64,
+      s"40k fixture must stay at the r14-comparable 64 buckets, got $small")
+    assert(large > small,
+      s"400k fixture must derive more buckets than the 40k one: $large")
+    assert(LlmText.occBucketCount("/root/testdata/sf0.01") == 64,
+      "small corpora must sit at the 64-bucket floor")
+    withStoreDir {
+      val s = spark.newSession()
+      // a non-default bucket count must (a) land as span_bkt= partition
+      // directories under an artifact name that EMBEDS the count and
+      // (b) leave the append hash-equal to the canonical rebuild
+      val docs = graft.Tables.documents(s, "/root/testdata/sf0.001")
+      val nBkt = 8
+      val append = LlmText.substringDedupCanonicalAppend(s, docs, l = 10,
+        cap = 20, storeKey = Some("spec:bkt"), nBkt = nBkt)
+        .collect().map(_.toSeq).toSeq
+      val rebuild = LlmText.substringDedupCanonical(docs, l = 10, cap = 20)
+        .collect().map(_.toSeq).toSeq
+      assert(append == rebuild,
+        "append under a non-default bucket count diverged from the rebuild")
+      val vdir = new java.io.File(sys.props("graft.index.dir")).listFiles().head
+      val art = vdir.listFiles()
+        .find(_.getName.startsWith(s"substr_canon_occh_base_b${nBkt}_"))
+        .getOrElse(fail(s"no b$nBkt-named occurrence artifact: ${
+          vdir.listFiles().map(_.getName).toSeq}"))
+      val bktDirs = art.listFiles().filter(_.getName.startsWith("span_bkt="))
+      assert(bktDirs.nonEmpty && bktDirs.length <= nBkt,
+        s"expected 1..$nBkt span_bkt= dirs, got ${bktDirs.length}")
+    }
+  }
+
   test("partitioned store prunes a bucket-filtered probe to touched directories") {
     withStoreDir {
       val s = spark

@@ -44,9 +44,16 @@ dedup_substring_append:dedup_substring
 dedup_substring_append_delta:dedup_substring
 dedup_substring_canonical_append:dedup_substring_canonical
 dedup_substring_canonical_append_delta:dedup_substring_canonical
-sim_bm25_append_topk:sim_bm25_topk
+bm25_maintain_postings_delta:bm25_maintain_postings
+bm25_maintain_weights:bm25_maintain_weights
 dedup_embed_append:dedup_embed_cosine
 "}
+# The r14 bm25 pair (sim_bm25_append_topk:sim_bm25_topk) fused a
+# corpus-sized query batch into both sides, so it measured SERVING, not
+# maintenance (r14 VERDICT weak). Maintenance is now its own two pairs:
+# the delta postings segment (O(delta) vs the full tokenize) and the
+# weight refresh (re-weight stored postings vs tokenize-and-weigh).
+# Serving wall-clock is recorded separately via TimeEntry sim_bm25_topk.
 
 # KEEP_STORE=1 reuses an already-warmed store (staged runs on the large
 # fixtures, where one prep pass is tens of minutes)
