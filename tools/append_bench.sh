@@ -31,7 +31,10 @@ CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
 # needs java.nio opened — the 40k runs never serialized a block, so the
 # single add-exports was enough only by accident
 OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
-JAVA="java -cp $CP $OPENS --add-exports java.base/sun.nio.ch=ALL-UNNAMED -Xmx24g"
+# XMX override: the 400k canonical rebuild OOMs intermittently at 24g
+# (r14 lost 1 run of 6; r15 lost a whole staged sweep to it) — the box
+# has headroom, and a fresh JVM per measurement keeps the number honest
+JAVA="java -cp $CP $OPENS --add-exports java.base/sun.nio.ch=ALL-UNNAMED -Xmx${XMX:-24g}"
 
 # PAIRS_OVERRIDE: space/newline-separated subset for staged runs on the
 # larger fixtures (each rebuild side at 400k docs is minutes; a full
