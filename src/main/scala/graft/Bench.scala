@@ -81,6 +81,15 @@ object Bench {
       "tpch_total" -> (_.startsWith("tpch_")),
       "events_total" -> (_.startsWith("events_")),
       "stream_total" -> (_.startsWith("stream_")),
+      // Catch-all LAST: the ~40 registry entries outside every named
+      // family (quality_lr_*, sample_*, dq_*, sql_front_door*, ...) cost
+      // ~1 KB that the named folds cannot reclaim — in r15 that gap
+      // skipped straight to the failed-only render and the round's line
+      // lost EVERY per-query number ("queries":{}) while healthy family
+      // totals would have fit. Folding them as other_total keeps the
+      // line's cross-round comparisons alive at any registry size.
+      // (excluding the *_total sums the earlier folds already produced)
+      "other_total" -> (n => !n.endsWith("_total")),
     )
     // fold_n records how many queries each fold absorbed, as a separate
     // top-level map so cross-round total comparisons survive the folding

@@ -78,7 +78,27 @@ private[graft] object StorePublish {
     val ch = FileChannel.open(lockFile(vroot, name).toPath,
       StandardOpenOption.CREATE, StandardOpenOption.WRITE)
     try {
-      val lk = ch.lock()
+      // Same-JVM overlap is an EXCEPTION, not a wait: a concurrent
+      // [[keyLockHeld]] probe (vacuum's liveness test) holds the lock for
+      // one tryLock/release instant, and JVM file locks are per-process,
+      // so ch.lock() throws OverlappingFileLockException instead of
+      // blocking. r14's global store monitor excluded this interleaving
+      // by accident; the striped per-key monitors reintroduced it for
+      // builder-vs-probe (builders of one key still serialize on the
+      // striped monitor). The probe's hold is momentary — retry briefly
+      // rather than fail the build (ADVICE r15).
+      var lk: java.nio.channels.FileLock = null
+      var attempts = 0
+      while (lk == null) {
+        try lk = ch.lock()
+        catch {
+          case e: OverlappingFileLockException =>
+            attempts += 1
+            if (attempts > 1000) throw e // not a probe: a genuine in-JVM
+                                         // double-acquire bug — surface it
+            Thread.sleep(2)
+        }
+      }
       try f
       finally lk.release()
     } finally ch.close()
@@ -162,8 +182,17 @@ private[graft] object StorePublish {
             if (published(target)) { deleteRecursively(tmp); false }
             else if (target.exists()) {
               deleteRecursively(target)
-              Files.move(tmp.toPath, target.toPath,
-                StandardCopyOption.ATOMIC_MOVE)
+              // The retry can itself fail (AccessDenied and
+              // AtomicMoveNotSupported are FileSystemExceptions too, and
+              // can land in this branch alongside genuine residue) — every
+              // exit of buildOnce must leave no temp behind, so clean up
+              // before rethrowing like the write-failure path does.
+              try {
+                Files.move(tmp.toPath, target.toPath,
+                  StandardCopyOption.ATOMIC_MOVE)
+              } catch {
+                case e2: Throwable => deleteRecursively(tmp); throw e2
+              }
               true
             } else { deleteRecursively(tmp); throw e }
         }

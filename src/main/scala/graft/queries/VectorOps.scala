@@ -575,10 +575,18 @@ object VectorOps {
     emb.withColumn("nrm", sqrt(dot(col("e"), col("e"))))
 
   /** Exact brute-force cosine top-k: broadcast the (small) query sample,
-    * scan the corpus once. Linear in corpus size — the exact baseline. */
-  private[queries] def bruteForceTopK(emb: DataFrame, topK: Int): DataFrame = {
+    * scan the corpus once. Linear in corpus size — the exact baseline.
+    * `qmod` picks the standing query schedule (`vec_id % qmod == 0`); a
+    * multiple of the default 50 selects a SUB-schedule with identical
+    * per-query rows (rankings are per-query independent), and because the
+    * predicate sits directly on the embeddings input it reaches the scan
+    * as a DataFilter — the sampled swap certificate's exact side is
+    * sampled-queries x corpus BY PLAN, not post-filtered after the full
+    * quadratic work (PlanQualitySpec pins the pushdown). */
+  private[queries] def bruteForceTopK(emb: DataFrame, topK: Int,
+      qmod: Long = 50): DataFrame = {
     val en = withNorm(emb)
-    val q = broadcast(en.filter(col("vec_id") % 50 === 0)
+    val q = broadcast(en.filter(col("vec_id") % qmod === 0)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn")))
     val scored = en.join(q, col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
@@ -594,10 +602,11 @@ object VectorOps {
   /** RRF fusion of the cosine and BM25 top-20s (see the registry comment
     * at `sim_rrf_topk`); factored out so the SQL front door can bind the
     * same frame as a temp view. */
-  private def rrfTopK(s: SparkSession, d: String): DataFrame = {
-    val cosR = bruteForceTopK(embOf(s, d), topK = 20)
+  private def rrfTopK(s: SparkSession, d: String,
+      qmod: Long = 50): DataFrame = {
+    val cosR = bruteForceTopK(embOf(s, d), topK = 20, qmod = qmod)
       .select(col("qid"), col("nid"), col("rnk").as("ra"))
-    val lexR = LlmText.bm25Ranked(s, d, topN = 20)
+    val lexR = LlmText.bm25Ranked(s, d, topN = 20, qmod = qmod)
       .select(col("qid"), col("nid"), col("rnk").as("rb"))
     val fused = cosR.join(lexR, Seq("qid", "nid"), "full")
       .withColumn("rrf",
@@ -613,10 +622,11 @@ object VectorOps {
 
   /** RRF with the IVF index as the dense side (see the registry comment
     * at `sim_rrf_ann_topk`). */
-  private def rrfAnnTopK(s: SparkSession, d: String): DataFrame = {
-    val annR = annIvfTopK(s, d, k = 16, nProbe = 4, topK = 20)
+  private def rrfAnnTopK(s: SparkSession, d: String,
+      qmod: Long = 50): DataFrame = {
+    val annR = annIvfTopK(s, d, k = 16, nProbe = 4, topK = 20, qmod = qmod)
       .select(col("qid"), col("nid"), col("rnk").as("ra"))
-    val lexR = LlmText.bm25Ranked(s, d, topN = 20)
+    val lexR = LlmText.bm25Ranked(s, d, topN = 20, qmod = qmod)
       .select(col("qid"), col("nid"), col("rnk").as("rb"))
     val fused = annR.join(lexR, Seq("qid", "nid"), "full")
       .withColumn("rrf",
@@ -673,15 +683,20 @@ object VectorOps {
     * the IVF swap but leaves the overlap floor unpinned exactly where the
     * swap matters — while a few hundred sampled queries keep the exact
     * side linear in the corpus and certify the same end metric. The
-    * sample filter sits on the fusion window's PARTITION key and the
-    * fusion join's equi key, so Catalyst pushes it through both pipelines
-    * into the query-sample scans: the exact side scores sampled-queries x
-    * corpus, never all-queries x corpus. */
+    * sample predicate is threaded INTO both pipelines as their query
+    * schedule (`qmod = every`), not applied above the fusion: a filter
+    * over the fused frame lands on `coalesce(qid, qid)` of the FullOuter
+    * USING join, which Catalyst cannot push, leaving the exact side
+    * quadratic (the r15 CONFIRMED plan bug — verified by `.explain`).
+    * With the schedule at the inputs the `% every` predicate reaches the
+    * embeddings/documents scans as a DataFilter (PlanQualitySpec pins
+    * it), and per-query independence makes the rows value-identical to
+    * the post-filtered form, so the oracle is unchanged. */
   private def rrfSwapOverlapSampledOf(s: SparkSession, d: String,
       every: Long): DataFrame = {
-    val ex = rrfTopK(s, d).filter(col("qid") % every === 0)
+    val ex = rrfTopK(s, d, qmod = every)
       .select(col("qid"), col("nid"))
-    val an = rrfAnnTopK(s, d).filter(col("qid") % every === 0)
+    val an = rrfAnnTopK(s, d, qmod = every)
       .select(col("qid"), col("nid"))
     val common = ex.join(an, Seq("qid", "nid"))
       .groupBy("qid").agg(count(lit(1)).as("cnt"))
@@ -874,9 +889,9 @@ object VectorOps {
     udf((qe: Seq[Double]) => nearestCells(centers, qe.toArray, nProbe))
 
   private[queries] def annIvfTopK(s: SparkSession, d: String,
-      k: Int, nProbe: Int, topK: Int): DataFrame = {
+      k: Int, nProbe: Int, topK: Int, qmod: Long = 50): DataFrame = {
     val (inverted, centers) = ivfIndexHandle(s, d, k)
-    ivfQueryTopK(inverted, centers, nProbe, topK)
+    ivfQueryTopK(inverted, centers, nProbe, topK, qmod)
   }
 
   /** Recall-vs-nProbe TRADEOFF CURVE — the tuning measurement a 100 TB IVF
@@ -915,9 +930,9 @@ object VectorOps {
     * indexes: probe each query's nProbe nearest cells, exact cosine inside
     * probed cells only, rank. `inverted` must have (vec_id, cell, e, nrm). */
   private def ivfQueryTopK(inverted: DataFrame, centers: Array[Array[Double]],
-      nProbe: Int, topK: Int): DataFrame = {
+      nProbe: Int, topK: Int, qmod: Long = 50): DataFrame = {
     val probe = udf((qe: Seq[Double]) => nearestCells(centers, qe.toArray, nProbe))
-    val queries = inverted.filter(col("vec_id") % 50 === 0)
+    val queries = inverted.filter(col("vec_id") % qmod === 0)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
       .withColumn("cell", explode(probe(col("qe"))))
     val w = Window.partitionBy("qid").orderBy(col("c").desc, col("nid"))
@@ -1687,15 +1702,31 @@ object VectorOps {
     * width is embedded in every signature/pair artifact name, so stored
     * layouts and probes agree by construction. */
   private[graft] def lshBitsFor(d: String): Int = {
-    val f = new java.io.File(s"$d/embeddings.parquet")
-    val bytes =
-      if (f.isFile) f.length
-      else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(_.isFile).map(_.length).sum
+    val bytes = probeBytesOrWarn(s"$d/embeddings.parquet", "lshBitsFor")
     // ~260 stored bytes per 64-dim float row: 8 bits through ~32k
     // vectors, 16 beyond — the next corpus decade re-derives, the same
     // way a production index re-tiers its banding with corpus growth
     if (bytes / 260L < 32768L) 8 else 16
+  }
+
+  /** On-disk byte size of a dataset file/dir for the index-tier
+    * derivations (occBucketCount, lshBitsFor) — java.io metadata only, no
+    * Spark job at plan-construction time. A missing or empty target is a
+    * wrong path or a non-local filesystem, NOT a small corpus: warn
+    * loudly instead of silently handing back the floor tier (the callers
+    * embed the derived constant in artifact names, so layout and probe
+    * stay self-consistent either way — the warning is the operator's cue
+    * to route the probe through the storage layer for that deployment). */
+  private[graft] def probeBytesOrWarn(path: String, who: String): Long = {
+    val f = new java.io.File(path)
+    val bytes =
+      if (f.isFile) f.length
+      else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.isFile).map(_.length).sum
+    if (bytes == 0L) System.err.println(
+      s"[graft] $who: size probe of $path found no bytes — missing path " +
+        "or non-local filesystem; using the FLOOR tier, verify the layout")
+    bytes
   }
 
   private[queries] def embedCosineDedup(
@@ -1771,7 +1802,25 @@ object VectorOps {
   private[queries] def embedCosineAppend(s: SparkSession, d: String,
       threshold: Double): DataFrame =
     embedCosineAppendOf(s, embOf(s, d), threshold,
-      storeKey = Some(s"$d:${dataFp(d)}"), kBits = lshBitsFor(d))
+      storeKey = Some(s"$d:${dataFp(d)}"), kBits = oracleLshBits(d))
+
+  /** [[lshBitsFor]] with the oracle-soundness guard for the registered
+    * embed-dedup entries: they are pinned to the EXACT all-pairs cosine
+    * oracle, which the 8-bit tier honors by exhaustive recall — at 16
+    * bits an AT-THRESHOLD 0.9-cos pair is missed with ~12% probability,
+    * so a DuckDB-compared dataset that silently crossed the byte-size
+    * tier boundary would fail its oracle hash NONDETERMINISTICALLY
+    * (ADVICE r15; latent while testdata embeddings top out ~0.8 MB).
+    * Driver-compared dirs (the testdata SFs) must therefore stay 8-bit;
+    * a fixture/production corpus takes whatever the size derives. */
+  private def oracleLshBits(d: String): Int = {
+    val bits = lshBitsFor(d)
+    require(!d.contains("/testdata/") || bits == 8,
+      s"embed dedup: oracle-checked dataset $d derived the $bits-bit LSH " +
+        "tier — the exact all-pairs oracle is only sound in the 8-bit " +
+        "exhaustive regime; re-tier the oracle before widening")
+    bits
+  }
 
   /** Core of the append path over an arbitrary (vec_id, e) frame;
     * `storeKey = None` skips the durable artifact store (spec use —
@@ -2994,7 +3043,7 @@ object VectorOps {
     // candidates reproduces the all-pairs oracle.
     "dedup_embed_cosine" -> ((s, d) =>
       embedCosineDedup(s, embOf(s, d), threshold = 0.9,
-        kBits = lshBitsFor(d))),
+        kBits = oracleLshBits(d))),
 
     // ---- SemDeDup: cluster-scoped semantic dedup, per-doc keep verdict ----
     // Abbas et al. 2023 — k-means cells bound the pair space, the greedy

@@ -57,5 +57,11 @@ object TimeEntry {
     val sec = (System.nanoTime() - t0) / 1e9
     spark.stop()
     println(f"TIME_ENTRY $name $sec%.3f")
+    // single-entry JVM: the lifetime store counters ARE this entry's
+    // counts — cb=0 with cr>0 is the REUSE-only certificate the serving
+    // payoff and maintenance measurements cite (a warmed store served
+    // every artifact; nothing was rebuilt inside the measured JVM)
+    println(s"TIME_ENTRY_STORE $name cb=${graft.queries.VectorOps.storeBuildCount.get} " +
+      s"cr=${graft.queries.VectorOps.storeReuseCount.get}")
   }
 }

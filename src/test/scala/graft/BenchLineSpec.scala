@@ -88,6 +88,33 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains("relational_micro_total"))
   }
 
+  test("non-family entries fold into other_total instead of evicting all timings") {
+    // r15's driver bench: 323 healthy entries + a fat meta (contended_q
+    // etc.) -> the ~40 entries outside every named family still blew the
+    // budget after family folding, and the failed-only fallback rendered
+    // "queries":{} — the round lost every per-query number. The catch-all
+    // other_total fold must keep the family totals on the line.
+    val meta = ""","runs":3,"load":[3.52,17.9],"contended":true,""" +
+      """"contended_q":["a","b","c","d","e","f","g","h","i","j","k","l"]""" +
+      ""","contended_n":52,"gc_q":["m","n"],"gc_n":2"""
+    val results = (1 to 60).map(i => s"text_op_number_$i" -> 0.1) ++
+      (1 to 60).map(i => s"wdi_stat_long_name_$i" -> 0.1) ++
+      (1 to 22).map(i => s"tpch_q$i" -> 0.4) ++
+      (1 to 45).map(i => s"standalone_entry_long_name_$i" -> 0.2) ++
+      (1 to 60).map(i => s"dedup_variant_name_$i" -> 0.3) ++
+      (1 to 60).map(i => s"stream_drain_name_$i" -> 0.2)
+    val line = Bench.foldedLine(results, Map.empty, 60.0, "/tmp/sf",
+      meta = meta)
+    assert(line.length <= Bench.LineBudget, s"line is ${line.length} chars")
+    assert(parseable(line))
+    assert(!line.contains("\"queries\":{}"),
+      s"all per-query data evicted despite zero failures: $line")
+    assert(line.contains("\"other_total\":"),
+      s"non-family entries not folded into other_total: $line")
+    assert(line.contains("\"tpch_total\":"),
+      s"family totals lost from the line: $line")
+  }
+
   test("folds report their absorbed query counts in fold_n") {
     val results = (1 to 200).map(i => s"text_op_number_$i" -> 0.1) ++
       (1 to 30).map(i => s"tpch_q$i" -> 0.4)

@@ -274,6 +274,33 @@ class PlanQualitySpec extends SparkSpec {
         offenders.mkString("\n"))
   }
 
+  test("the sampled swap gate's % 500 sample reaches the query scans") {
+    // r15 CONFIRMED plan bug: the 1-in-500 sample filtered ABOVE the RRF
+    // fusion lands on coalesce(qid, qid) of the FullOuter USING join,
+    // which Catalyst cannot push — the exact side stayed all-queries x
+    // corpus (quadratic) and the 400k certificate aborted. The sample is
+    // now threaded into the inputs as the query schedule; this pin holds
+    // the fix: the % 500 predicate must appear in the DataFilters of the
+    // embeddings AND documents query-sample scans, and no residual
+    // coalesce-guarded sample filter may sit above the fusion.
+    val plan = SparkEntry.queries("sim_rrf_swap_sampled_gate")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    val embPushed =
+      """DataFilters: \[[^\]]*\(vec_id#\d+L? % 500\)[^\]]*\], Format: Parquet, Location: [^,]*embeddings""".r
+        .findFirstIn(plan).isDefined
+    val docPushed =
+      """DataFilters: \[[^\]]*\(doc_id#\d+L? % 500\)[^\]]*\], Format: Parquet, Location: [^,]*documents""".r
+        .findFirstIn(plan).isDefined
+    val unpushedResidue =
+      """coalesce\([^)]*\) % 500""".r.findFirstIn(plan).isDefined
+    assert(embPushed,
+      s"% 500 sample not in the embeddings query scan's DataFilters:\n$plan")
+    assert(docPushed,
+      s"% 500 sample not in the documents query scan's DataFilters:\n$plan")
+    assert(!unpushedResidue,
+      s"unpushed coalesce-guarded sample filter above the fusion:\n$plan")
+  }
+
   test("no registered query plans a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, Sf).queryExecution.executedPlan.toString

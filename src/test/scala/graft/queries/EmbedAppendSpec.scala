@@ -59,9 +59,13 @@ class EmbedAppendSpec extends SparkSpec {
   test("lshBitsFor derives 8 bits for small corpora, 16 at the 400k fixture") {
     assert(VectorOps.lshBitsFor("/root/testdata/sf0.01") == 8,
       "oracle-checked testdata must stay in the exhaustive 8-bit regime")
-    assert(VectorOps.lshBitsFor("/root/repo/fixtures/zipf1big") == 8,
+    // gitignored fixtures — regenerate with graft.tools.ZipfFixture;
+    // cancel (not fail) on a fresh clone, like Bm25MaxScoreSpec
+    assume(new java.io.File("fixtures/zipf1xl/embeddings.parquet").exists(),
+      "fixtures/zipf1xl not generated")
+    assert(VectorOps.lshBitsFor("fixtures/zipf1big") == 8,
       "the 40k fixture (12k vectors) stays at 8 bits")
-    assert(VectorOps.lshBitsFor("/root/repo/fixtures/zipf1xl") == 16,
+    assert(VectorOps.lshBitsFor("fixtures/zipf1xl") == 16,
       "the 400k fixture (120k clustered vectors) must take the wide tier")
   }
 }

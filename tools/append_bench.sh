@@ -33,8 +33,10 @@ CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
 OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 # XMX override: the 400k canonical rebuild OOMs intermittently at 24g
 # (r14 lost 1 run of 6; r15 lost a whole staged sweep to it) — the box
-# has headroom, and a fresh JVM per measurement keeps the number honest
-JAVA="java -cp $CP $OPENS --add-exports java.base/sun.nio.ch=ALL-UNNAMED -Xmx${XMX:-24g}"
+# has headroom, and a fresh JVM per measurement keeps the number honest.
+# Default raised 24g -> 40g in r16 so the default can never repeat the
+# r15 loss (the box has 128 GiB; one measurement JVM runs at a time).
+JAVA="java -cp $CP $OPENS --add-exports java.base/sun.nio.ch=ALL-UNNAMED -Xmx${XMX:-40g}"
 
 # PAIRS_OVERRIDE: space/newline-separated subset for staged runs on the
 # larger fixtures (each rebuild side at 400k docs is minutes; a full
@@ -87,7 +89,7 @@ require_time() { # <value> <label>
 
 ft=()
 for i in 1 2 3; do
-  t="$($JAVA graft.tools.TimeEntry "$FIX" _floor 2>/dev/null | awk '/^TIME_ENTRY/{print $3}')"
+  t="$($JAVA graft.tools.TimeEntry "$FIX" _floor 2>/dev/null | awk '$1=="TIME_ENTRY"{print $3}')"
   require_time "$t" "_floor"
   ft+=("$t")
 done
@@ -96,17 +98,21 @@ echo "FLOOR ${FLOOR}s (bare scan+noop, fresh JVM; runs: ${ft[*]})"
 
 for p in $PAIRS; do
   a=${p%%:*}; r=${p##*:}
-  at=(); rt=()
+  at=(); rt=(); astore=""
   for i in 1 2 3; do
-    t="$(SPARK_GRAFT_INDEX_DIR=$STORE $JAVA graft.tools.TimeEntry "$FIX" "$a" 2>/dev/null | awk '/^TIME_ENTRY/{print $3}')"
+    out="$(SPARK_GRAFT_INDEX_DIR=$STORE $JAVA graft.tools.TimeEntry "$FIX" "$a" 2>/dev/null)"
+    t="$(printf '%s\n' "$out" | awk '$1=="TIME_ENTRY"{print $3}')"
+    # REUSE certificate: cb=0 on the warmed-store side proves the timed
+    # JVM rebuilt nothing — the append reading is delta work + store reads
+    astore="$(printf '%s\n' "$out" | awk '$1=="TIME_ENTRY_STORE"{print $3" "$4}')"
     require_time "$t" "append:$a"; at+=("$t")
-    t="$(SPARK_GRAFT_NO_INDEX_STORE=1 $JAVA graft.tools.TimeEntry "$FIX" "$r" 2>/dev/null | awk '/^TIME_ENTRY/{print $3}')"
+    t="$(SPARK_GRAFT_NO_INDEX_STORE=1 $JAVA graft.tools.TimeEntry "$FIX" "$r" 2>/dev/null | awk '$1=="TIME_ENTRY"{print $3}')"
     require_time "$t" "rebuild:$r"; rt+=("$t")
   done
   am=$(median "${at[@]}"); rm_=$(median "${rt[@]}")
   ratio=$(python3 -c "print(round($am/$rm_,3))")
-  echo "PAIR append=$a ${am}s rebuild=$r ${rm_}s ratio=$ratio (runs: append=${at[*]} rebuild=${rt[*]})"
-  printf '%s\t%s\t%s\t%s\t%s\t%s\n' "$a:$r" "$am" "$rm_" "$ratio" "${at[*]}" "${rt[*]}" >> "$ROWS"
+  echo "PAIR append=$a ${am}s rebuild=$r ${rm_}s ratio=$ratio store=[$astore] (runs: append=${at[*]} rebuild=${rt[*]})"
+  printf '%s\t%s\t%s\t%s\t%s\t%s\t%s\n' "$a:$r" "$am" "$rm_" "$ratio" "${at[*]}" "${rt[*]}" "$astore" >> "$ROWS"
 done
 
 # SemDeDup at the scale-right k (the registered entries pin k=16 for the
@@ -123,7 +129,7 @@ done
 am=$(median "${at[@]}"); rm_=$(median "${rt[@]}")
 ratio=$(python3 -c "print(round($am/$rm_,3))")
 echo "PAIR append=semdedup_k$SEMK ${am}s rebuild=semdedup_k$SEMK ${rm_}s ratio=$ratio (runs: append=${at[*]} rebuild=${rt[*]})"
-printf '%s\t%s\t%s\t%s\t%s\t%s\n' "semdedup_k$SEMK:semdedup_k$SEMK" "$am" "$rm_" "$ratio" "${at[*]}" "${rt[*]}" >> "$ROWS"
+printf '%s\t%s\t%s\t%s\t%s\t%s\t%s\n' "semdedup_k$SEMK:semdedup_k$SEMK" "$am" "$rm_" "$ratio" "${at[*]}" "${rt[*]}" "" >> "$ROWS"
 fi
 
 if [ -n "$OUT" ]; then
@@ -135,13 +141,18 @@ import json, sys
 rows_path, out, fix, ndocs, floor = sys.argv[1:6]
 pairs = []
 for line in open(rows_path):
-    pair, a, r, ratio, aruns, rruns = line.rstrip("\n").split("\t")
-    pairs.append({
+    fields = line.rstrip("\n").split("\t")
+    pair, a, r, ratio, aruns, rruns = fields[:6]
+    store = fields[6] if len(fields) > 6 else ""
+    row = {
         "pair": pair, "corpus": fix, "n_docs": int(ndocs),
         "append_s": float(a), "rebuild_s": float(r), "ratio": float(ratio),
         "floor_s": float(floor),
         "runs": {"append": [float(x) for x in aruns.split()],
-                 "rebuild": [float(x) for x in rruns.split()]}})
+                 "rebuild": [float(x) for x in rruns.split()]}}
+    if store:
+        row["append_store"] = store
+    pairs.append(row)
 json.dump({"fixture": fix, "n_docs": int(ndocs), "floor_s": float(floor),
            "pairs": pairs}, open(out, "w"), indent=1)
 print(f"wrote {out} ({len(pairs)} pairs)")
