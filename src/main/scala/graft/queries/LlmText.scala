@@ -2565,43 +2565,53 @@ object LlmText {
         col("doc_id").as("nid"), col("score"))
   }
 
-  /** Term-ORDERED score fold without an object aggregate: slot i sums the
-    * (at most one) contribution of the query's i-th term, so each sum()
-    * is order-free, stays in whole-stage codegen, and the slots fold
-    * left-to-right in term order exactly like the oracle's
-    * list_sum(list(... ORDER BY w)) — a missing term adds +0.0, an FP
-    * identity (contributions are strictly positive). Replaces a
-    * collect_list+array_sort object agg that dominated the sf0.1 bench
-    * (9.2 s -> see ROUNDLOG) once the 31-word synthetic vocabulary made
-    * every query match every document. Emits the RAW (unrounded) score.
-    * Since the MaxScore path scores candidates via per-doc term-map
-    * lookups (same slot arithmetic, one row per candidate), this fold
-    * remains only under [[bm25RankedBrute]], the equality baseline. */
-  private def bm25Fold(rows: DataFrame): DataFrame = {
+  /** The full (unpruned) ranking for the tiny-vocabulary regime, where
+    * every query matches essentially every document and nothing can prune
+    * — [[bm25RankedOf]] picks per the vocabulary statistic, and
+    * Bm25MaxScoreSpec pins this and the MaxScore plan value-identical.
+    *
+    * r16 reshape (guide §2.3/2.4): the weight index is repartitioned by
+    * doc_id BEFORE the broadcast term join, so the (qid, doc_id) score
+    * fold — whose grouping keys CONTAIN doc_id — aggregates in the same
+    * stage with no exchange of the exploded match rows (the old plan
+    * shuffled the 800k partial-agg groups, 27 MB at sf0.1, through a
+    * single-task stage: the stored weight artifact reads back as ONE
+    * parquet partition and everything fused onto one core). After the
+    * fold, the rank window's group-limit prunes to topN-per-query
+    * locally, so only ~topN·queries·partitions thin rows reach the
+    * window exchange. One small exchange in (155k weight rows), one
+    * thin exchange out — vs 27 MB through one core. The fold arithmetic
+    * is untouched (each slot holds at most one strictly-positive
+    * contribution, so partial-sum order cannot matter), and at
+    * production scale the repartition is the same few-percent-of-input
+    * exchange (weights, not matches) with AQE sizing the partition
+    * count. */
+  private[queries] def bm25RankedBrute(s: SparkSession, d: String,
+      tf: DataFrame, topN: Int, wgtKey: Option[String] = None,
+      qmod: Long = 50): DataFrame = {
+    // EXPLICIT partition count: the weight rows are tiny but each fans out
+    // to every query containing its term (~40x at sf0.1), so bytes wildly
+    // under-state the compute and AQE's byte-based coalescing folds the
+    // exchange back to one partition (measured: the whole fold ran on 1 of
+    // 32 cores). A user-numbered repartition is exempt from AQE
+    // coalescing; the count follows the session's core count and never
+    // shrinks an already-wide plan.
+    val wgt0 = bm25WeightsOf(s, tf, wgtKey)
+    val nPart = math.max(s.sparkContext.defaultParallelism,
+      wgt0.rdd.getNumPartitions)
+    val wgt = wgt0.repartition(nPart, col("doc_id"))
+    val q = bm25QueryTerms(Tables.documents(s, d), qmod)
     val slots = (0 until 8).map(i =>
       sum(when(col("qi") === i, col("wbm"))).as(s"s$i"))
-    rows.groupBy("qid", "doc_id")
+    val win = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+    wgt.join(broadcast(q), "w")
+      .filter(col("doc_id") =!= col("qid"))
+      .select("qid", "doc_id", "qi", "wbm")
+      .groupBy("qid", "doc_id")
       .agg(slots.head, slots.tail: _*)
       .withColumn("raw", (0 until 8).map(i => coalesce(col(s"s$i"), lit(0.0)))
         .reduce(_ + _))
       .select("qid", "doc_id", "raw")
-  }
-
-  /** The single-join full ranking: scores EVERY (query, doc) pair sharing
-    * a term. Quadratic with a realistic vocabulary (10.9B scored rows at
-    * the 400k Zipf fixture, where MaxScore generates 212M) but the CHEAPER
-    * plan when the vocabulary is tiny and nothing can prune —
-    * [[bm25RankedOf]] picks per the vocabulary statistic, and
-    * Bm25MaxScoreSpec pins both plans value-identical. */
-  private[queries] def bm25RankedBrute(s: SparkSession, d: String,
-      tf: DataFrame, topN: Int, wgtKey: Option[String] = None,
-      qmod: Long = 50): DataFrame = {
-    val wgt = bm25WeightsOf(s, tf, wgtKey)
-    val q = bm25QueryTerms(Tables.documents(s, d), qmod)
-    val win = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
-    bm25Fold(wgt.join(broadcast(q), "w")
-        .filter(col("doc_id") =!= col("qid"))
-        .select("qid", "doc_id", "qi", "wbm"))
       .withColumn("score", round(col("raw"), 6))
       .withColumn("rnk", row_number().over(win))
       .filter(col("rnk") <= topN)
