@@ -330,6 +330,21 @@ object Bench {
       .format("noop").mode("overwrite").save()
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
+    // r16: the range-sum warm-up never touched the vectorized parquet
+    // reader, hash aggregation, exchanges, or the sort path, so the first
+    // real queries absorbed their JIT compilation — a10_rollup (first in
+    // the sorted registry) read a 5.3 s median vs 1.1 s steady-state in
+    // the r16 baseline. One scan->group->sort noop over the largest table
+    // warms those code paths; it shares no aggregate expression with any
+    // registered entry, runs before any timed region, and the per-query
+    // methodology (median of `runs` materializations) is unchanged.
+    try {
+      import org.apache.spark.sql.functions.{col, count}
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_linestatus").agg(count(col("l_orderkey")).as("warm_n"))
+        .orderBy("l_linestatus")
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     // SPARK_GRAFT_BENCH_REPEAT is an accepted alias for SPARK_GRAFT_BENCH_RUNS
     val runs = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_REPEAT")
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_RUNS")).getOrElse("3").toInt)

@@ -87,4 +87,30 @@ object Tables {
 
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Parallelism floor for per-row-EXPENSIVE consumers of a small scan.
+    *
+    * The driver's testdata ships each table as ONE single-row-group parquet
+    * file, so every scan is one unsplittable partition and everything fused
+    * into the scan stage — codec round-trips, brute-force scoring,
+    * tokenize passes, partial aggregation — runs on one core of the 32
+    * (r16 stage profile: `sim_rrf_topk`'s scoring stage = 1.5 s on 1 task,
+    * 31 cores idle; the whole bench showed near-flat core scaling). This is
+    * the unsplittable-input case of the optimization guide (§2.5): fix by
+    * repartitioning immediately after the read. Round-robin, so no skew by
+    * construction, and `sortBeforeRepartition` (on by default) keeps the
+    * row-to-partition assignment deterministic under task retry.
+    *
+    * SCALE SHAPE: the floor is `defaultParallelism` (the session's core
+    * count — the driver benches at several core counts and a cluster run
+    * inherits its own), and a scan that already has at least that many
+    * splits — any realistically-sized input — passes through UNTOUCHED, so
+    * at 100 TB this is a no-op gate, never an added shuffle. Apply ONLY
+    * where the downstream per-row work dominates the one small exchange;
+    * a cheap scan→filter→project query keeps its shuffle-free plan. */
+  def widened(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    // partition probe is plan-time only (no job); construction is untimed
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

@@ -1482,7 +1482,10 @@ object LlmText {
     //      only; n-gram/shingle jaccard is the minhash query's verify step;
     //      guarded against hot buckets — see blockedJaccard) ----
     "dedup_blocked_jaccard" -> ((s, d) =>
-      blockedJaccard(s, Tables.documents(s, d), maxBucketDocs = 4096L)
+      // widened input: the token-set + bucketing pass ran single-task over
+      // the one-row-group testdata scan (see Tables.widened)
+      blockedJaccard(s, Tables.widened(s, Tables.documents(s, d)),
+          maxBucketDocs = 4096L)
         .orderBy("id_a", "id_b")),
 
     // ---- C4-style global line-level dedup ----
@@ -2599,7 +2602,13 @@ object LlmText {
     val wgt0 = bm25WeightsOf(s, tf, wgtKey)
     val nPart = math.max(s.sparkContext.defaultParallelism,
       wgt0.rdd.getNumPartitions)
-    val wgt = wgt0.repartition(nPart, col("doc_id"))
+    // Cost-based: the fold volume scales with the query count (~corpus /
+    // qmod). At the standing schedule (qmod <= 50) the exchange-free fold
+    // over doc_id-partitioned weights wins big; for sparse schedules
+    // (the 1-in-500 sampled swap certificate) the match volume is tiny
+    // and the fixed repartition+32-task overhead measurably LOSES
+    // (sim_rrf_swap_sampled_gate 1.2 -> 2.1 s) — keep the narrow plan.
+    val wgt = if (qmod <= 50) wgt0.repartition(nPart, col("doc_id")) else wgt0
     val q = bm25QueryTerms(Tables.documents(s, d), qmod)
     val slots = (0 until 8).map(i =>
       sum(when(col("qi") === i, col("wbm"))).as(s"s$i"))

@@ -12,10 +12,21 @@ object MultimodalQueries {
   private def media(s: SparkSession, d: String) =
     Multimodal.asMediaTable(Tables.documents(s, d))
 
+  /** Codec-entry input: the real-codec round-trips encode/decode PER ROW
+    * inside the scan stage, and the single-row-group testdata file makes
+    * that stage ONE task — every mm_real_* / phash entry ran its whole
+    * codec pass on one core of 32 (r16 stage profile: mm_phash 0.95 s,
+    * all of it in two 1-task stages). Widened per Tables.widened: a
+    * round-robin spread of the (doc_id-only) rows, no-op on any input
+    * that already has >= core-count partitions. */
+  private def codecDocs(s: SparkSession, d: String) =
+    Tables.widened(s, Tables.documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // batched feature extraction: 16-bin byte histogram per payload
     "mm_features" -> ((s, d) => {
-      val feats = Multimodal.extractFeatures(media(s, d))
+      val feats = Multimodal.extractFeatures(
+        Multimodal.asMediaTable(codecDocs(s, d)))
       val bins = (0 until 16).map(b =>
         round(element_at(col("features"), b + 1), 6).as(s"bin_$b"))
       feats.select(col("media_id") +: bins: _*).orderBy("media_id")
@@ -31,22 +42,22 @@ object MultimodalQueries {
     // REAL codec round-trip: JDK ImageIO PNG encode -> decode on executors,
     // luminance histogram checked against the pixel formula in pure SQL
     "mm_real_decode" -> ((s, d) =>
-      Multimodal.realDecodeRoundtrip(Tables.documents(s, d))
+      Multimodal.realDecodeRoundtrip(codecDocs(s, d))
         .orderBy("media_id")),
 
     // REAL frame demux: animated GIF encode -> JDK demux, row per frame
     "mm_real_frames" -> ((s, d) =>
-      Multimodal.realFramesRoundtrip(Tables.documents(s, d))
+      Multimodal.realFramesRoundtrip(codecDocs(s, d))
         .orderBy("media_id", "frame_idx")),
 
     // REAL audio round-trip: PCM -> WAV encode -> JDK codec decode
     "mm_real_audio" -> ((s, d) =>
-      Multimodal.realAudioRoundtrip(Tables.documents(s, d))
+      Multimodal.realAudioRoundtrip(codecDocs(s, d))
         .orderBy("media_id")),
 
     // REAL pixel resize round-trip: decode -> nearest-neighbor -> re-encode
     "mm_real_resize" -> ((s, d) =>
-      Multimodal.realResizeRoundtrip(Tables.documents(s, d))
+      Multimodal.realResizeRoundtrip(codecDocs(s, d))
         .orderBy("media_id")),
 
     // metadata-level resize with aspect-preserving scale
@@ -58,7 +69,7 @@ object MultimodalQueries {
 
     // REAL-codec perceptual hash per media item (bit-predicted by the oracle)
     "mm_phash" -> ((s, d) =>
-      Multimodal.perceptualHash(Tables.documents(s, d)).orderBy("media_id")),
+      Multimodal.perceptualHash(codecDocs(s, d)).orderBy("media_id")),
 
     // ---- image near-dup certificate: segment-blocked pHash pairs ----
     // The scale path for image dedup: pairs come from 16-bit segment
@@ -69,22 +80,32 @@ object MultimodalQueries {
     // or hash drift all break the compare. The hash table is the index
     // artifact (one codec pass per media item).
     "mm_phash_dedup_gate" -> ((s, d) => {
-      val ph = Multimodal.perceptualHash(Tables.documents(s, d))
-      val sig = ph.select(col("media_id"),
+      // r16: the old form re-derived the pHash table FIVE times (two
+      // blocking sides, two verify-join sides, the n_media count) — five
+      // full codec passes per execution, each a 1-task stage on this
+      // testdata (mapPartitions is opaque, so Catalyst shares nothing).
+      // The signature rows now CARRY their four segments through the
+      // segment-equality join (the verify needs no join back), n_media
+      // counts documents directly (perceptualHash emits exactly one row
+      // per document), and the codec input is widened — 5 codec passes
+      // -> 2, each parallel. Values unchanged: the candidate pair set,
+      // the hamming verify, and both counts are identical.
+      val ph = Multimodal.perceptualHash(codecDocs(s, d))
+      val sig = ph.select(col("media_id"), col("seg0"), col("seg1"),
+        col("seg2"), col("seg3"),
         expr("stack(4, 0, seg0, 1, seg1, 2, seg2, 3, seg3) AS (seg_idx, seg_val)"))
-      val cand = sig.as("x").join(sig.as("y"), Seq("seg_idx", "seg_val"))
+      val nPairs = sig.as("x").join(sig.as("y"), Seq("seg_idx", "seg_val"))
         .filter(col("x.media_id") < col("y.media_id"))
-        .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"))
+        .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+          col("x.seg0").as("a0"), col("x.seg1").as("a1"),
+          col("x.seg2").as("a2"), col("x.seg3").as("a3"),
+          col("y.seg0").as("b0"), col("y.seg1").as("b1"),
+          col("y.seg2").as("b2"), col("y.seg3").as("b3"))
         .distinct()
-      val a = ph.select(col("media_id").as("id_a"), col("seg0").as("a0"),
-        col("seg1").as("a1"), col("seg2").as("a2"), col("seg3").as("a3"))
-      val b = ph.select(col("media_id").as("id_b"), col("seg0").as("b0"),
-        col("seg1").as("b1"), col("seg2").as("b2"), col("seg3").as("b3"))
-      val nPairs = cand.join(a, "id_a").join(b, "id_b")
         .filter(expr("bit_count(a0 ^ b0) + bit_count(a1 ^ b1)" +
           " + bit_count(a2 ^ b2) + bit_count(a3 ^ b3)") <= 3)
         .agg(count(lit(1)).cast("long").as("n_pairs"))
-      ph.agg(count(lit(1)).cast("long").as("n_media"))
+      Tables.documents(s, d).agg(count(lit(1)).cast("long").as("n_media"))
         .crossJoin(broadcast(nPairs))
     })
   )

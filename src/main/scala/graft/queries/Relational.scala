@@ -756,12 +756,22 @@ object Relational {
     // Spark `percentile` and DuckDB `quantile_cont` both linearly
     // interpolate; rounded to absorb float-path ulp divergence.
     "a13_percentiles" -> ((s, d) =>
+      // ONE percentile buffer for the three quantity cuts (r16): three
+      // scalar `percentile` aggs each built their own value-count map over
+      // the same 600k-row column inside the single-task scan stage; the
+      // array form buffers the column once and interpolates all three cuts
+      // from it — the identical interpolation on the identical buffer, so
+      // the rounded values (and the oracle) are unchanged.
       Tables.lineitem(s, d).groupBy("l_returnflag")
         .agg(
-          round(percentile(col("l_quantity"), lit(0.25)), 6).as("p25_qty"),
-          round(percentile(col("l_quantity"), lit(0.5)), 6).as("p50_qty"),
-          round(percentile(col("l_quantity"), lit(0.75)), 6).as("p75_qty"),
+          percentile(col("l_quantity"),
+            array(lit(0.25), lit(0.5), lit(0.75))).as("pq"),
           round(median(col("l_extendedprice")), 6).as("med_price"))
+        .select(col("l_returnflag"),
+          round(element_at(col("pq"), 1), 6).as("p25_qty"),
+          round(element_at(col("pq"), 2), 6).as("p50_qty"),
+          round(element_at(col("pq"), 3), 6).as("p75_qty"),
+          col("med_price"))
         .orderBy("l_returnflag")),
 
     // ---- K1: per-group quadratic OLS detrend (reference: quad.R:132-168) ----

@@ -2440,7 +2440,14 @@ object VectorOps {
     * shingle set depends only on its own text, so slice-computed rows are
     * bit-identical to a full-corpus pass. */
   private def shingleSetsOf(docs: DataFrame): DataFrame =
-    docs.withColumn("toks", split(col("text"), " "))
+    // widened: shingling is the dedup family's per-row-heavy pass and,
+    // over the single-row-group testdata files, it fused into 1-task scan
+    // stages (r16 stage profile: three sequential ~0.5 s single-task
+    // shingle stages inside one entry). No-op when the input is already
+    // at least core-count partitions; filters still push past the
+    // round-robin exchange to the scan.
+    Tables.widened(docs.sparkSession, docs)
+      .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), shingleCol(col("text"), "toks").as("w"))
 
   /** Banded self-join candidate pairs (id_a < id_b) over band rows. */
@@ -2521,7 +2528,8 @@ object VectorOps {
     * family's set representation (long compares beat string compares in
     * the merge-intersect; injective modulo ~2^-64 collisions). */
   private def shingleHashSets(docs: DataFrame): DataFrame =
-    docs.withColumn("toks", split(col("text"), " "))
+    Tables.widened(docs.sparkSession, docs) // see shingleSetsOf
+      .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"),
         array_sort(array_distinct(transform(shingleCol(col("text"), "toks"),
           x => xxhash64(x)))).as("w"))
