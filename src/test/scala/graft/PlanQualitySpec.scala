@@ -301,6 +301,37 @@ class PlanQualitySpec extends SparkSpec {
       s"unpushed coalesce-guarded sample filter above the fusion:\n$plan")
   }
 
+  test("BM25 brute fold rides the doc_id repartition — no match-row exchange") {
+    // r16 reshape (guide §2.3/§2.4): the weight index is repartitioned by
+    // doc_id below the broadcast term join, so the (qid, doc_id) score fold
+    // satisfies its clustered distribution with NO exchange of the exploded
+    // match rows. This pin holds that shape: the plan must carry the
+    // explicit doc_id repartition (REPARTITION_BY_NUM — an AQE-coalescing-
+    // exempt user repartition) and must NOT re-grow an
+    // Exchange hashpartitioning(qid, doc_id) of partial-agg match rows.
+    val plan = SparkEntry.queries("sim_bm25_topk")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert("""hashpartitioning\(doc_id#\d+L?, \d+\), REPARTITION_BY_NUM""".r
+      .findFirstIn(plan).isDefined,
+      s"weight-side doc_id repartition missing from the brute plan:\n$plan")
+    assert("""hashpartitioning\(qid#\d+L?, doc_id#\d+L?""".r
+      .findFirstIn(plan).isEmpty,
+      s"match-row (qid, doc_id) exchange re-appeared in the brute plan:\n$plan")
+  }
+
+  test("the mm dedup gate runs exactly two codec passes") {
+    // r16 restructure: signature rows CARRY their four pHash segments
+    // through the segment-equality join and n_media counts documents
+    // directly, so the opaque mapPartitions codec pass appears exactly
+    // twice (the self-join's two sides) — the old shape re-derived the
+    // pHash table five times. Each codec pass is one MapPartitions node.
+    val plan = SparkEntry.queries("mm_phash_dedup_gate")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    val n = "MapPartitions".r.findAllIn(plan).size
+    assert(n == 2,
+      s"mm_phash_dedup_gate plans $n codec passes, expected 2:\n$plan")
+  }
+
   test("no registered query plans a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, Sf).queryExecution.executedPlan.toString
