@@ -110,7 +110,12 @@ object Tables {
     * a cheap scan→filter→project query keeps its shuffle-free plan. */
   def widened(s: SparkSession, df: DataFrame): DataFrame = {
     val target = s.sparkContext.defaultParallelism
-    // partition probe is plan-time only (no job); construction is untimed
+    // PRECONDITION: pass a scan (or filtered/projected scan), nothing with
+    // an exchange below — `df.rdd` on a multi-stage AQE plan eagerly runs
+    // the upstream shuffle stages at construction time (real jobs, even
+    // though construction is untimed). For a bare scan the probe is
+    // plan-time only (no job). Every current caller passes a Tables.*
+    // scan; keep it that way.
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 }

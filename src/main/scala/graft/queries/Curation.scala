@@ -510,7 +510,12 @@ object Curation {
     // expressions + one hash agg; JSON never shuffles (only the extracted
     // columns do).
     "f12_json_roundtrip" -> ((s, d) => {
-      val js = Tables.events(s, d)
+      // r17 (guide §2.5): widened — the serialize/parse round-trip is
+      // per-row-expensive and ran fused into the one-row-group scan's
+      // single task; spread first it runs on every core, and the groupBy's
+      // partial aggregation keeps the post-projection exchange thin.
+      // No-op gate at any realistic input size (Tables.widened).
+      val js = Tables.widened(s, Tables.events(s, d))
         .select(col("event_id"),
           to_json(struct(
             col("user_id").as("u"),

@@ -1343,11 +1343,20 @@ object LlmText {
     // TWICE through zipWithIndex and then shuffled the full payload twice
     // more through the a⋈b rank join.
     val lcpOf = packedLcp(bits, perLong, cap, nk)
+    // r17 (guide §5): SERIALIZED storage for the checkpoint blocks. The
+    // default deserialized MEMORY_AND_DISK level held every suffix row as
+    // a Java tuple of boxed Seq[Long] keys — the 400k-doc rebuild OOM'd
+    // once at Xmx40g and sat at the memory edge (r16 sweep); serialized
+    // blocks are a fraction of the object-graph footprint and spill to
+    // disk as bytes. localCheckpoint keeps a pre-set storage level
+    // (transformed to include disk), so the persist below IS the
+    // checkpoint's level. Values unaffected — storage level only.
     val sortedRdd = suff
       .repartitionByRange(32, col("pk"), col("doc_id"), col("pos"))
       .sortWithinPartitions(col("pk"), col("doc_id"), col("pos"))
       .as[(Long, Int, Int, Seq[Long])]
-      .rdd.localCheckpoint()
+      .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .localCheckpoint()
     val ends = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
       if (!it.hasNext) Iterator.empty
       else {
@@ -1524,6 +1533,9 @@ object LlmText {
     }),
 
     // ---- quality scoring: length / stopword / alpha ratios ----
+    // (r17: widening measured a regression at this corpus size — the
+    // per-row scoring is too cheap to amortize the added exchange; left
+    // fused into the scan)
     "text_quality" -> ((s, d) =>
       Tables.documents(s, d)
         .withColumn("w", split(col("text"), " "))
@@ -1730,7 +1742,9 @@ object LlmText {
     // chain (whole-stage codegen, no shuffle). Patterns stay inside the
     // Java-regex ∩ RE2 common dialect so the DuckDB oracle applies the
     // LITERAL same expressions; counts let curation filter on PII density.
-    "text_pii_scrub" -> ((s, d) => piiScrub(Tables.documents(s, d)).orderBy("doc_id")),
+    // r17: widened (guide §2.5) — the six-regex scrub pass is the cost
+    "text_pii_scrub" -> ((s, d) =>
+      piiScrub(Tables.widened(s, Tables.documents(s, d))).orderBy("doc_id")),
 
     // ---- sessionization: 30-min-gap sessions per user (events table) ----
     "events_sessionize" -> ((s, d) => {
@@ -2072,7 +2086,8 @@ object LlmText {
       val sEs = score(LangStops("es"))
       val sFr = score(LangStops("fr"))
       val g = greatest(sDe, sEn, sEs, sFr)
-      Tables.documents(s, d)
+      // r17: widened (guide §2.5) — four stop-list filters per row
+      Tables.widened(s, Tables.documents(s, d))
         .select(col("doc_id"), col("lang").as("meta_lang"),
           when(g === 0, "und")
             .when(sDe === g, "de").when(sEn === g, "en")
@@ -2224,6 +2239,9 @@ object LlmText {
     // the tag-back is an equi-join on the hash — nothing all-pairs, no
     // driver-side state. (Grams are hashed only as join keys; the output
     // carries counts, so xxhash64 collisions are the usual ~2^-64 caveat.)
+    // r17: widening this input was measured and REVERTED (0.86 -> 1.30 s
+    // isolated): the (gh, doc_id) partial agg loses map-side combining
+    // when the doc rows are spread, and the extra exchange ships the text
     "text_boilerplate" -> ((s, d) => boilerplate(Tables.documents(s, d))),
 
     // ---- TF-IDF: per-doc top-5 distinctive terms ----
@@ -2600,15 +2618,26 @@ object LlmText {
     // coalescing; the count follows the session's core count and never
     // shrinks an already-wide plan.
     val wgt0 = bm25WeightsOf(s, tf, wgtKey)
-    val nPart = math.max(s.sparkContext.defaultParallelism,
-      wgt0.rdd.getNumPartitions)
     // Cost-based: the fold volume scales with the query count (~corpus /
     // qmod). At the standing schedule (qmod <= 50) the exchange-free fold
     // over doc_id-partitioned weights wins big; for sparse schedules
     // (the 1-in-500 sampled swap certificate) the match volume is tiny
     // and the fixed repartition+32-task overhead measurably LOSES
     // (sim_rrf_swap_sampled_gate 1.2 -> 2.1 s) — keep the narrow plan.
-    val wgt = if (qmod <= 50) wgt0.repartition(nPart, col("doc_id")) else wgt0
+    // r17 (ADVICE): the never-shrink probe runs ONLY on store-backed
+    // weights (a parquet scan — `.rdd` there is plan-time, no job) and
+    // only inside the branch that uses it; on the store-less path
+    // (wgtKey=None, a multi-stage plan under AQE) `.rdd` eagerly ran the
+    // weight shuffle stages at construction time, and the session floor
+    // is the honest count there.
+    val wgt =
+      if (qmod <= 50) {
+        val floor = s.sparkContext.defaultParallelism
+        val nPart =
+          if (wgtKey.isDefined) math.max(floor, wgt0.rdd.getNumPartitions)
+          else floor
+        wgt0.repartition(nPart, col("doc_id"))
+      } else wgt0
     val q = bm25QueryTerms(Tables.documents(s, d), qmod)
     val slots = (0 until 8).map(i =>
       sum(when(col("qi") === i, col("wbm"))).as(s"s$i"))

@@ -465,9 +465,22 @@ object Olap {
     // Spark's HLL++ has no sparse-mode exact path — at the sf0.001
     // cardinality (~1.5k) the 0.05-rsd sketch's bias-corrected estimate
     // measured >5% off, while 0.02 holds the 5% gate at every SF.
+    // r17 (guide §2.3): DEDUP FIRST, sketch the distinct set. Planned as
+    // countDistinct(k) + approx_count_distinct(k) in one agg, Spark keeps a
+    // partial HLL state PER GROUP KEY — the exchange carried 411 columns
+    // (410 HLL register longs) for every distinct l_orderkey, ~150k x 3 KB
+    // at sf0.1 (plans/r17/x2_hll_gate_before.txt node (3)). Split as
+    // distinct-then-aggregate, the exchange carries bare keys and exactly
+    // ONE HLL buffer per partition crosses the final exchange. Values are
+    // identical: count(*) over the distinct set IS countDistinct, and
+    // HLL++ registers are duplicate-insensitive (register = max over the
+    // hashed value set), so the estimate is bit-identical. Input widened
+    // (§2.5) so the dedup build also runs on every core.
     "x2_hll_gate" -> ((s, d) =>
-      Tables.lineitem(s, d).agg(
-          countDistinct(col("l_orderkey")).as("n_exact"),
+      Tables.widened(s, Tables.lineitem(s, d).select("l_orderkey"))
+        .distinct()
+        .agg(
+          count(lit(1)).as("n_exact"),
           approx_count_distinct(col("l_orderkey"), 0.02).as("n_approx"))
         .select(col("n_exact"),
           (abs(col("n_approx") - col("n_exact"))
@@ -523,8 +536,14 @@ object Olap {
     // One scan exploded x32 into thin (replica, value) rows, one 32-group
     // aggregate, one final percentile over 32 numbers.
     "a17_bootstrap_ci" -> ((s, d) => {
-      val reps = Tables.events(s, d)
-        .filter(col("value").isNotNull)
+      // r17 (guide §2.5): widened — the x32 replica explode and its per-row
+      // md5 membership hash ran fused into the one-row-group scan's single
+      // task (6M+ md5 calls on one core); spread first, the resample pass
+      // runs on every core and the 32-group partial agg keeps the exchange
+      // tiny. No-op gate at any realistic input size (Tables.widened).
+      val reps = Tables.widened(s, Tables.events(s, d)
+          .filter(col("value").isNotNull)
+          .select(col("event_id"), col("value")))
         .select(col("event_id"), col("value"),
           explode(sequence(lit(0), lit(31))).as("rep"))
         .filter(substring(md5(concat(col("event_id").cast("string"),

@@ -118,6 +118,10 @@ object Relational {
         .orderBy("event_id")),
 
     // ---- P5: guarded scalar when/otherwise (reference: quad.R:154) ----
+    // (r17: the sort-first/project-after restructure applied to the
+    // expensive function families — f1/f5/f10/f11 — was measured a LOSS
+    // here and on the other trivial projections: duplicating a two-op
+    // projection costs less than range-sorting the wider source rows.)
     "p5_when_otherwise" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_id"),
@@ -134,13 +138,26 @@ object Relational {
         .orderBy("l_orderkey", "l_linenumber")),
 
     // ---- R1: unpivot (reference: detrendandstat_quad.R:36-56) ----
+    // r17 (guide §2.3/§2.4): range-partition the BASE rows, expand after,
+    // sort within partitions. The old shape's global sort over the
+    // expanded rows executed scan+Expand twice (bounds sampling + real
+    // pass) and 4x the rows crossed the range exchange. (l_orderkey,
+    // l_linenumber) is the lineitem key, so each base row's four metric
+    // rows stay in one range partition and the within-partition
+    // (key, metric) sort reproduces the exact global ORDER BY order.
+    // Explicit partition count (= session cores, the Tables.widened
+    // floor): a user-numbered repartition is exempt from AQE's byte-based
+    // coalescing, which would fold this compute-dense but small exchange
+    // back to one task.
     "r1_unpivot" -> ((s, d) =>
       Tables.lineitem(s, d)
+        .repartitionByRange(s.sparkContext.defaultParallelism,
+          col("l_orderkey"), col("l_linenumber"))
         .unpivot(
           Array(col("l_orderkey"), col("l_linenumber")),
           Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
           "metric", "val")
-        .orderBy("l_orderkey", "l_linenumber", "metric")),
+        .sortWithinPartitions("l_orderkey", "l_linenumber", "metric")),
 
     // ---- R2: pivot with explicit value list (reference: quad.R:112-116) ----
     "r2_pivot" -> ((s, d) => {
@@ -686,8 +703,19 @@ object Relational {
         .orderBy("l_returnflag")),
 
     // ---- F1: scalar function set (reference §2.9) ----
+    // r17 (guide §2.3/§2.4): sort FIRST, project AFTER. A global sort's
+    // range exchange executes its child once to sample partition bounds
+    // and once for real, so a projection below it ran TWICE — serially,
+    // fused into the one-row-group scan's single task. Above the sort it
+    // runs once, on every post-shuffle core, and the sampling pass
+    // executes only the thin scan. Project preserves ordering, so rows
+    // AND order — hence the oracle hash — are unchanged. Applied only to
+    // the per-row-EXPENSIVE projections (here and f5/f10/f11): on the
+    // trivial ones the duplicated pass costs less than range-sorting the
+    // wider source rows (measured; see p5).
     "f1_scalar_fns" -> ((s, d) =>
       Tables.lineitem(s, d)
+        .orderBy("l_orderkey", "l_linenumber")
         .select(col("l_orderkey"), col("l_linenumber"),
           abs(col("l_discount") - 0.05).as("abs_disc"),
           ceil(col("l_quantity")).as("ceil_qty"),
@@ -697,8 +725,7 @@ object Relational {
           upper(col("l_returnflag")).as("uflag"),
           substring(col("l_linestatus"), 1, 1).as("ls1"),
           coalesce(col("l_returnflag"), lit("?")).as("flag_nn"),
-          round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"))
-        .orderBy("l_orderkey", "l_linenumber")),
+          round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"))),
 
     // ---- F2: date/time function family (absent from the reference but
     // table stakes for an engine user; dialect-aligned with the oracle:
@@ -762,6 +789,10 @@ object Relational {
       // array form buffers the column once and interpolates all three cuts
       // from it — the identical interpolation on the identical buffer, so
       // the rounded values (and the oracle) are unchanged.
+      // r17: widening this input was measured and REVERTED (1.57 -> 2.25 s
+      // isolated) — 32 partial value-count buffers shuffle ~32x the map
+      // entries the single partial's already-merged buffer ships, exactly
+      // the partial-agg-vs-widen trade the r16 tpch audit documented.
       Tables.lineitem(s, d).groupBy("l_returnflag")
         .agg(
           percentile(col("l_quantity"),

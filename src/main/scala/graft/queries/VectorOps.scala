@@ -599,10 +599,10 @@ object VectorOps {
       .orderBy("qid", "rnk")
   }
 
-  /** RRF fusion of the cosine and BM25 top-20s (see the registry comment
-    * at `sim_rrf_topk`); factored out so the SQL front door can bind the
-    * same frame as a temp view. */
-  private def rrfTopK(s: SparkSession, d: String,
+  /** RRF fusion of the cosine and BM25 top-20s, UNORDERED (see the
+    * registry comment at `sim_rrf_topk`); the ordered entry and the swap
+    * consumers wrap it. */
+  private def rrfFused(s: SparkSession, d: String,
       qmod: Long = 50): DataFrame = {
     val cosR = bruteForceTopK(embOf(s, d), topK = 20, qmod = qmod)
       .select(col("qid"), col("nid"), col("rnk").as("ra"))
@@ -617,12 +617,15 @@ object VectorOps {
       .filter(col("rk") <= 3)
       .select(col("qid"), col("rk").cast("long").as("rnk"), col("nid"),
         round(col("rrf"), 6).as("rrf"))
-      .orderBy("qid", "rnk")
   }
 
-  /** RRF with the IVF index as the dense side (see the registry comment
-    * at `sim_rrf_ann_topk`). */
-  private def rrfAnnTopK(s: SparkSession, d: String,
+  private def rrfTopK(s: SparkSession, d: String,
+      qmod: Long = 50): DataFrame =
+    rrfFused(s, d, qmod).orderBy("qid", "rnk")
+
+  /** RRF with the IVF index as the dense side, UNORDERED (see the
+    * registry comment at `sim_rrf_ann_topk`). */
+  private def rrfAnnFused(s: SparkSession, d: String,
       qmod: Long = 50): DataFrame = {
     val annR = annIvfTopK(s, d, k = 16, nProbe = 4, topK = 20, qmod = qmod)
       .select(col("qid"), col("nid"), col("rnk").as("ra"))
@@ -637,8 +640,11 @@ object VectorOps {
       .filter(col("rk") <= 3)
       .select(col("qid"), col("rk").cast("long").as("rnk"), col("nid"),
         round(col("rrf"), 6).as("rrf"))
-      .orderBy("qid", "rnk")
   }
+
+  private def rrfAnnTopK(s: SparkSession, d: String,
+      qmod: Long = 50): DataFrame =
+    rrfAnnFused(s, d, qmod).orderBy("qid", "rnk")
 
   /** The nDCG rank-discount table 1/log2(rnk+1) for rnk 1..10, QUANTIZED
     * to 6dp HALF_UP and rendered as one CASE text of DECIMAL literals —
@@ -666,8 +672,24 @@ object VectorOps {
     * fusions — the swap's END metric, shared by the report entry
     * (`sim_rrf_swap_overlap`) and its pinned floor (`sim_rrf_swap_gate`). */
   private def rrfSwapOverlapOf(s: SparkSession, d: String): DataFrame = {
-    val ex = rrfTopK(s, d).select(col("qid"), col("nid"))
-    val an = rrfAnnTopK(s, d).select(col("qid"), col("nid"))
+    // r17 (guide §2.4 shared exchanges / VERDICT r16 item 3): the report
+    // entry and its pinned-floor gate run the SAME two four-stage fusion
+    // pipelines, and within one entry the exact side is referenced twice
+    // (overlap join + query-universe distinct) — Catalyst shares nothing
+    // across references or entries. The (qid, nid) pair sets are
+    // session-persisted under the sharedLocal convention, so the two
+    // pipelines materialize once per session and every other reference is
+    // an in-memory scan. Keyed by the data fingerprint like every other
+    // session artifact; the persisted frames are thin top-3 pair sets (a
+    // 2-column PROJECTION of the fused ranking, deliberately not any
+    // registered entry's output — sim_rrf_topk / sim_rrf_ann_topk still
+    // compute their full ordered rankings from scratch). The sampled swap
+    // certificate (qmod=500) keeps its own unshared path.
+    val fp = docsFp(d)
+    val ex = sharedLocal(s, s"swap_pairs_exact:$d:$fp")(
+      rrfFused(s, d).select(col("qid"), col("nid")))
+    val an = sharedLocal(s, s"swap_pairs_ann:$d:$fp")(
+      rrfAnnFused(s, d).select(col("qid"), col("nid")))
     val common = ex.join(an, Seq("qid", "nid"))
       .groupBy("qid").agg(count(lit(1)).as("cnt"))
     ex.select("qid").distinct()

@@ -39,15 +39,16 @@ object Warehouse {
     // props is a JSON object column; construction is restricted to
     // int/string fields where Spark's to_json and DuckDB's to_json emit
     // byte-identical text.
+    // sort-first, project-after (see Relational f1): the JSON parse/emit
+    // pass runs once on every core instead of twice on one
     "f5_json_fns" -> ((s, d) =>
-      Tables.events(s, d)
+      Tables.events(s, d).orderBy("event_id")
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k"),
           to_json(struct(col("event_id").as("id"), col("event_type").as("t")))
             .as("js"),
           get_json_object(
-            to_json(struct(col("event_type").as("t"))), "$.t").as("t_rt"))
-        .orderBy("event_id")),
+            to_json(struct(col("event_type").as("t"))), "$.t").as("t_rt"))),
 
     // ---- F11: Variant — Spark 4's binary semi-structured path ----
     // parse_json materializes props as VariantType (parsed once, typed
@@ -55,15 +56,17 @@ object Warehouse {
     // string re-parsing) and variant_get extracts typed fields; a
     // round-trip through to_json proves the value survives intact. The
     // oracle reads the same fields with DuckDB's native JSON operators.
+    // sort-first, project-after (see Relational f1): three parse_json
+    // calls per row run once on every core instead of twice on one
     "f11_variant" -> ((s, d) =>
       Tables.events(s, d)
         .filter(col("props").isNotNull)
+        .orderBy("event_id")
         .select(col("event_id"),
           expr("variant_get(parse_json(props), '$.k', 'long')").as("k"),
           expr("variant_get(parse_json(props), '$.missing', 'long')")
             .as("k_missing"),
-          expr("to_json(parse_json(props))").as("js_rt"))
-        .orderBy("event_id")),
+          expr("to_json(parse_json(props))").as("js_rt"))),
 
     // ---- F6: bitwise function family ----
     "f6_bitwise_fns" -> ((s, d) =>
@@ -238,16 +241,17 @@ object Warehouse {
     // 100 TB ingest pipeline wants for dirty data. DuckDB's natural
     // semantics (NULL division-by-zero, TRY_CAST, out-of-range list
     // index) line up exactly, so the family is hash-checkable.
+    // sort-first, project-after (see Relational f1): the try_* battery
+    // runs once on every core instead of twice on one
     "f10_try_fns" -> ((s, d) =>
-      Tables.events(s, d).select(
+      Tables.events(s, d).orderBy("event_id").select(
           col("event_id"),
           expr("try_divide(value, 0.0)").as("div0"),
           expr("try_divide(value, 2.0)").as("half"),
           expr("try_cast(event_type AS INT)").cast("long").as("bad_cast"),
           expr("try_cast(cast(user_id AS STRING) AS INT)").cast("long").as("rt_cast"),
           expr("try_element_at(split(event_type, '_'), 5)").as("oob"),
-          expr("try_add(user_id, 1)").cast("long").as("inc"))
-        .orderBy("event_id")),
+          expr("try_add(user_id, 1)").cast("long").as("inc"))),
 
     // ---- incremental aggregate maintenance (partials merge exactly) ----
     // The materialized-view refresh shape: a "yesterday" aggregate (events

@@ -14,7 +14,7 @@ object StageProfile {
     val sfDir = args(0)
     val names = args(1).split(',').toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -24,7 +24,13 @@ object StageProfile {
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .getOrCreate()
+    // ad-hoc conf experiments: SPARK_GRAFT_EXTRA_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(';')).map(_.split('=')).foreach {
+        case Array(k, v) => builder.config(k, v)
+        case _           => ()
+      }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -49,7 +55,16 @@ object StageProfile {
         val t0 = System.nanoTime()
         df.write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(200) // let listener drain
+        // drain the async listener bus BEFORE snapshotting: a fixed sleep
+        // raced late stage-completed events into the next run's bucket
+        // (ADVICE r16); the public SQL-execution listener-bus flush isn't
+        // exposed, so call the private waitUntilEmpty reflectively and
+        // keep the sleep as fallback where the signature drifts
+        try {
+          val busField = spark.sparkContext.getClass.getMethod("listenerBus")
+          val bus = busField.invoke(spark.sparkContext)
+          bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+        } catch { case _: Throwable => Thread.sleep(500) }
         println(s"===== $n run$run total ${f"$sec%.2f"} s =====")
         stages.forEach(l => println(l))
       }
