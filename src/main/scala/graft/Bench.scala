@@ -311,6 +311,13 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // r17 examined-and-REVERTED: lowering AQE's coalescing floor
+      // (spark.sql.adaptive.coalescePartitions.minPartitionSize 1m->16k)
+      // parallelizes the compute-dense sub-MB post-shuffle stages (f10's
+      // post-sort stage: 1 task 674 ms -> 32 tasks 274 ms wall), but the
+      // family-level A/B read a wash-to-loss (relational micro 45.7 s at
+      // the default vs 46.9 s at 16k) — the extra task launches across
+      // ~100 trivial stages eat the few hot stages' win. Default kept.
       // Engine-wide planner choice (set in every graft session builder):
       // InferFiltersFromGenerate copies an explode's array expression into a
       // size(...) > 0 pre-filter, and predicate pushdown then re-inlines it
