@@ -1460,23 +1460,50 @@ object VectorOps {
       }
       out
     })
-    val approxU = udf((qe: Seq[Double], codes: Seq[Long]) => {
-      var dt = 0.0; var nd = 0.0; var j = 0
-      while (j < codes.length) {
-        val dec = mn(j) + (codes(j) + 0.5) * (mx(j) - mn(j)) / 255.0
-        dt += qe(j) * dec; nd += dec * dec; j += 1
+    // r17 (guide expressions/codegen — the annPqTopK lesson applied to SQ):
+    // the asymmetric score ran as an interpreted Scala UDF once per
+    // (query, corpus-vector) pair — the whole SQ scan's inner loop, with
+    // Seq boxing per call. The SQ ADC decomposes into the SAME per-(dim,
+    // code) table-lookup-sum as PQ: dt = sum_j qe_j·dec(j,c_j) and
+    // nd = sum_j dec(j,c_j)², so two 64x256 per-QUERY tables (built once
+    // per query on the broadcast side) turn the per-pair work into two
+    // native codegen pq_adc sums. Identical arithmetic in identical j
+    // order — dec, the products, and the accumulation sequence are the
+    // expressions the UDF evaluated — so scores are bit-identical (oracle
+    // hash green).
+    val sqTabsU = udf((qe: Seq[Double]) => {
+      val dim = mn.length
+      val t1 = Array.ofDim[Double](dim, 256)
+      val t2 = Array.ofDim[Double](dim, 256)
+      var j = 0
+      while (j < dim) {
+        var c = 0
+        while (c < 256) {
+          val dec = mn(j) + (c + 0.5) * (mx(j) - mn(j)) / 255.0
+          t1(j)(c) = qe(j) * dec
+          t2(j)(c) = dec * dec
+          c += 1
+        }
+        j += 1
       }
-      dt / math.sqrt(nd)
+      (t1.map(_.toSeq).toSeq, t2.map(_.toSeq).toSeq)
     })
     // the byte-code table is the durable index artifact, like pq_codes
     val codes = shared(s, s"sq_codes:$d:${dataFp(d)}")(
       en.withColumn("codes", encodeU(col("e")))
         .select(col("vec_id").as("nid"), col("codes")))
     val q = broadcast(en.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn")))
+      .select(col("vec_id").as("qid"), col("nrm").as("qn"),
+        sqTabsU(col("e")).as("tabs")))
     val wSq = Window.partitionBy("qid").orderBy(col("sq").desc, col("nid"))
-    val shortlist = codes.join(q, col("nid") =!= col("qid"))
-      .withColumn("sq", approxU(col("qe"), col("codes")) / col("qn"))
+    // stored codes are array<long> (artifact schema unchanged); pq_adc
+    // indexes with array<int> — the 0..255 cast is exact
+    val shortlist = codes
+      .withColumn("ci", col("codes").cast("array<int>"))
+      .join(q, col("nid") =!= col("qid"))
+      .withColumn("sq",
+        (call_function("pq_adc", expr("tabs._1"), col("ci")) /
+          sqrt(call_function("pq_adc", expr("tabs._2"), col("ci")))) / col("qn"))
       .withColumn("prnk", row_number().over(wSq))
       .filter(col("prnk") <= topK * 10)
       .select("qid", "nid")
